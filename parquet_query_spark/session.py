@@ -1,0 +1,71 @@
+"""SparkSession factory for the parquet-query-spark engine.
+
+The reference (``/root/reference/src/duckdb.ts:9-39``) lazily boots a single
+DuckDB-WASM engine in a Web Worker and memoizes one connection.  The Spark
+equivalent is a memoized :class:`~pyspark.sql.SparkSession` configured for
+columnar, adaptive execution.
+
+Scale notes (100 TB design intent, tested on local[N]):
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic join-strategy demotion are the knobs that keep a fixed plan healthy
+  at 1000 executors.
+* ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE coalesces
+  down.  On a real cluster this would be sized ~2-3× total cores.
+* Arrow execution is on so the Python boundary (Pandas UDFs, ``toPandas``)
+  is vectorized batch transfer, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's synthetic events table stores TIMESTAMP(NANOS) which the
+    # vanilla Parquet reader rejects; read as int64 nanos and convert (see
+    # sources/registry.py::load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Keep timestamps micros on write (matches DuckDB/Arrow interchange).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+
+def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = None) -> SparkSession:
+    """Memoized local session (``SparkSession.getOrCreate`` is the memo).
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then ``*``.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs on a session we did not create.
+
+    The correctness driver passes its own SparkSession into
+    ``__spark_entry__``; these SQL confs are all runtime-settable and make
+    query semantics (timezone, nanos handling, AQE) identical to ours.
+    """
+    for k, v in _DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep going

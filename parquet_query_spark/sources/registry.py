@@ -1,0 +1,197 @@
+"""Source discovery + registration (reference Tier A operators A1-A5).
+
+Reference behavior being re-expressed (see SURVEY.md §2.A):
+
+* A1/A2 — recursive folder walk collecting data files
+  (``/root/reference/src/fileImport.ts:17-52``).
+* A3 — admit only ``.parquet/.csv/.json/.ndjson``, case-insensitive
+  (``/root/reference/src/fileImport.ts:7-15``).
+* A4 — every file queryable by its relative path
+  (``/root/reference/src/duckdb.ts:41-44``).  Spark: a temp view per file —
+  no byte copy; executors read the file in place, which is what removes the
+  reference's browser-RAM scale ceiling.
+* A5 — optional union view over all parquet files
+  (``/root/reference/src/App.tsx:316-327``): one multi-path
+  ``spark.read.parquet(*paths)`` scan (schema-merging union), *not* an N-way
+  ``UNION ALL`` plan — a single FileScan keeps partition planning and
+  pushdown intact at 100k-file scale.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUPPORTED_SUFFIXES = (".parquet", ".csv", ".json", ".ndjson")
+
+#: the driver's synthetic tables (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def is_supported_file_path(path: str) -> bool:
+    """Format filter — same admitted set as ``src/fileImport.ts:7-15``."""
+    return path.lower().endswith(SUPPORTED_SUFFIXES)
+
+
+@dataclass(frozen=True)
+class SourceFile:
+    path: str  # relative path, forward slashes (the reference's table key)
+    abs_path: str
+    size: int
+
+
+def collect_files(root: str) -> list[SourceFile]:
+    """Recursive walk, stable order, extension-filtered (A1-A3)."""
+    out: list[SourceFile] = []
+    root = os.path.abspath(root)
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            ap = os.path.join(dirpath, fn)
+            rel = os.path.relpath(ap, root).replace(os.sep, "/")
+            if is_supported_file_path(rel):
+                out.append(SourceFile(rel, ap, os.path.getsize(ap)))
+    return out
+
+
+def reader_for(spark: SparkSession, path: str):
+    """Reader dispatch per suffix (A3 → Spark readers).
+
+    Spark's JSON reader natively handles both ndjson (default) and the
+    array-of-objects form (``multiLine``); we sniff the first byte for ``[``.
+    """
+    lower = path.lower()
+    if lower.endswith(".parquet"):
+        return spark.read.parquet(path)
+    if lower.endswith(".csv"):
+        return spark.read.csv(path, header=True, inferSchema=True)
+    if lower.endswith(".ndjson"):
+        return spark.read.json(path)
+    if lower.endswith(".json"):
+        multiline = False
+        try:
+            with open(path, "rb") as f:
+                head = f.read(64).lstrip()
+                multiline = head.startswith(b"[")
+        except OSError:
+            pass
+        return spark.read.option("multiLine", multiline).json(path)
+    raise ValueError(f"unsupported source format: {path}")
+
+
+def _nanos_ts_columns(abs_path: str) -> list[str]:
+    """Columns stored as Parquet TIMESTAMP(NANOS) (footer inspection only)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(abs_path)
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if str(typ) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
+
+def _fix_nanos(df: DataFrame, cols: list[str]) -> DataFrame:
+    """nanos-as-long → TimestampType (micros), matching DuckDB's truncation.
+
+    Stays inside whole-stage codegen (`div` + `timestamp_micros`), so the
+    conversion is free relative to the scan even at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; transparently repairs nanosecond timestamps."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(path)
+    if ns_cols:
+        df = _fix_nanos(df, ns_cols)
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view named by table name."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def view_name_for_path(path: str) -> str:
+    """Spark-safe temp-view name for a file's relative path.
+
+    The reference keys tables by raw relative path (``src/duckdb.ts:41-44``);
+    Spark temp-view names are bare identifiers, so SQL access to the *raw*
+    path spelling goes through the ``FROM 'path'`` rewrite
+    (workbench.statements.rewrite_path_tables) while this sanitized alias
+    (``dir/f.parquet`` → ``dir_f_parquet``) is registered as a convenience.
+    """
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", path)
+
+
+def register_folder(
+    spark: SparkSession,
+    root: str,
+    table_name: str | None = None,
+) -> dict[str, DataFrame]:
+    """Import a folder (A1-A5): per-file views + optional parquet union view.
+
+    Returns the registry mapping view key → DataFrame.  File keys are
+    relative paths exactly as in the reference (``registerFileBuffer(path)``,
+    ``src/duckdb.ts:41-44``); query them via the path-literal rewrite
+    (workbench.statements.rewrite_path_tables) or backticked identifiers.
+    """
+    files = collect_files(root)
+    registry: dict[str, DataFrame] = {}
+    for f in files:
+        df = reader_for(spark, f.abs_path)
+        ns_cols = _nanos_ts_columns(f.abs_path) if f.path.endswith(".parquet") else []
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = _fix_nanos(spark.read.parquet(f.abs_path), ns_cols)
+        df.createOrReplaceTempView(view_name_for_path(f.path))
+        registry[f.path] = df
+
+    if table_name is not None:
+        parquet_paths = [f.abs_path for f in files if f.path.lower().endswith(".parquet")]
+        if not parquet_paths:
+            # reference: createOrReplaceParquetView errors with no parquets
+            # (src/App.tsx:318-321)
+            raise ValueError("Nenhum arquivo .parquet importado")
+        union = spark.read.option("mergeSchema", True).parquet(*parquet_paths)
+        from parquet_query_spark.workbench.quoting import spark_identifier
+
+        union.createOrReplaceTempView(spark_identifier(table_name))
+        registry[table_name] = union
+    return registry
