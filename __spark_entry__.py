@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 inventory +
+LLM-pipeline extensions), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+genuinely non-SQL-expressible operators: sketches, LSH-ANN, SimHash,
+frame sampling).
 """
 
 from __future__ import annotations
@@ -14,25 +15,40 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _catalog():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parquet_query_spark.operators.catalog import load_all
+
+    return load_all()
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary at sf0.001."""
+    from parquet_query_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    catalog = _catalog()
+    return catalog["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    catalog = _catalog()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from parquet_query_spark.session import ensure_session_confs
+
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in catalog.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    catalog = _catalog()
+    return {name: spec.oracle for name, spec in catalog.items() if spec.oracle}

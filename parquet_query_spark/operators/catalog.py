@@ -1,0 +1,77 @@
+"""Query/operator catalog — the engine's SURVEY §2 coverage inventory.
+
+Every implemented operator registers here as a :class:`QuerySpec`:
+
+* ``fn(spark, sf_dir) -> DataFrame`` — the Spark implementation (DataFrame
+  API or ``spark.sql`` — whichever reads better; Catalyst sees the same plan).
+* ``oracle`` — the equivalent ANSI SQL DuckDB runs over the same parquet
+  files (views: region nation customer supplier part orders lineitem events
+  documents embeddings).  ``None`` marks a genuinely non-SQL-expressible
+  operator (the driver then records a weaker rows-only check).
+
+Determinism contract for oracle-checked queries (the driver hash-compares
+values): every floating-point aggregate is rounded; every LIMIT/top-k has a
+total order (unique tie-break key); column names are identical on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_query_spark.sources.registry import register_testdata_views
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register an operator implementation in the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QuerySpec(name, fn, oracle, tuple(tags), fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register the driver tables for this sf_dir (idempotent)."""
+    out = register_testdata_views(spark, sf_dir)
+    if not out:
+        raise FileNotFoundError(f"no driver parquet tables found in {sf_dir!r}")
+    return out
+
+
+_LOADED = False
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so the catalog is fully populated."""
+    global _LOADED
+    if not _LOADED:
+        from parquet_query_spark.operators import (  # noqa: F401
+            tpch,
+            relational,
+            templates,
+            events_ops,
+            text,
+            dedup,
+            similarity,
+            multimodal,
+        )
+        from parquet_query_spark.streaming import streaming_ops  # noqa: F401
+
+        _LOADED = True
+    return CATALOG

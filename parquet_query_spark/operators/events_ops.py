@@ -1,0 +1,179 @@
+"""Event-stream batch operators: JSON extraction, time bucketing,
+sessionization (SURVEY §7 step 7's batch counterparts).
+
+The ``events`` table is the driver's stream stand-in (nanosecond timestamps,
+JSON ``props``).  Everything here is expressed so the same logic lifts to
+Structured Streaming (see streaming/streaming_ops.py): time bucketing uses
+alignment-stable truncation, sessionization uses the lag+cumsum formulation
+whose streaming twin is ``session_window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+ORDER BY event_id
+""",
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (stays in codegen via
+    get_json_object — no Python)."""
+    v = views(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        v["events"]
+        .select("event_id", "event_type", k.alias("k_val"))
+        .where(F.col("k_val") >= 90)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_hourly_stats",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n,
+       round(SUM(value), 2) AS total_value,
+       round(AVG(value), 4) AS avg_value,
+       round(MIN(value), 2) AS min_value,
+       round(MAX(value), 2) AS max_value
+FROM events
+GROUP BY hour_start, event_type
+ORDER BY hour_start, event_type
+""",
+    tags=("events", "aggregate"),
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup — the batch twin of the streaming windowed agg."""
+    v = views(spark, sf_dir)
+    return (
+        v["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "events_weekday_hour_heatmap",
+    oracle="""
+SELECT isodow(ts) - 1 AS weekday, hour(ts) AS hr, event_type, COUNT(*) AS n
+FROM events
+GROUP BY weekday, hr, event_type
+ORDER BY weekday, hr, event_type
+""",
+    tags=("events", "aggregate"),
+)
+def events_weekday_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday×hour activity grid (Spark weekday(): 0=Monday — DuckDB
+    equivalent is isodow-1)."""
+    v = views(spark, sf_dir)
+    return (
+        v["events"]
+        .groupBy(
+            F.weekday("ts").alias("weekday"),
+            F.hour("ts").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("weekday", "hr", "event_type")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30' MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("events", "window", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id.  One
+    shuffle on user_id serves both windows and the final group-by (Catalyst
+    reuses the partitioning).  Streaming twin: ``session_window(ts, '30
+    minutes')`` — cross-checked in streaming tests."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        v["events"]
+        .select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_pivot_type_by_user",
+    oracle="""
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("events", "pivot"),
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never the two-pass inferred pivot
+    — the value scan is a full extra job at scale)."""
+    v = views(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        v["events"]
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+        .orderBy("user_id")
+    )

@@ -1,0 +1,252 @@
+"""Similarity search over embeddings (array<float> column).
+
+Scale design:
+
+* **Brute-force top-k** — the exactness baseline: broadcast the (small)
+  query set, scan the corpus once, per-partition top-k via window on the
+  query key.  At 100 TB the corpus side stays distributed; cost is one scan
+  per query batch.
+* **LSH-bucketed ANN** — random-hyperplane signatures (deterministic seeded
+  planes) bucket both sides; candidate generation is an equi-join on
+  (plane-table signature), probing only matching buckets.  Recall measured
+  against brute force in tests/test_similarity_ops.py.
+* All dot products run on `double` after an explicit cast from float —
+  same promotion DuckDB applies, so results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+_DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+
+
+_DUCKDB_COSINE = """
+round(
+  list_sum(list_transform(list_zip(qv, ev), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(ev, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+"""
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+     scored AS (
+       SELECT qid, e.vec_id AS neighbor_id,
+              {_DUCKDB_COSINE} AS cosine
+       FROM q CROSS JOIN (SELECT vec_id, embedding AS ev FROM embeddings) e
+       WHERE e.vec_id <> qid
+     ),
+     ranked AS (
+       SELECT qid, neighbor_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rnk
+       FROM scored
+     )
+SELECT qid, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+""",
+    tags=("similarity", "bench"),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × one corpus scan.
+
+    Ranking happens on the *rounded* score with neighbor_id tie-break so the
+    result is a total order (cross-engine deterministic)."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    emb = v["embeddings"]
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv"))
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ev"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+SELECT label, COUNT(*) AS n,
+       round(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+       round(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS c1,
+       round(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS c2,
+       round(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS c3
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    tags=("similarity", "aggregate"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 4 dims shown) — the reduce step of k-means /
+    IVF coarse quantization, expressed as a plain aggregation."""
+    v = views(spark, sf_dir)
+    emb = v["embeddings"]
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.round(
+                    F.avg(F.element_at("embedding", i + 1).cast("double")), 6
+                ).alias(f"c{i}")
+                for i in range(4)
+            ],
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)  AS comp_sum,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)  AS comp_max
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("similarity", "scalar"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms/stats via higher-order functions — all JVM-side."""
+    v = views(spark, sf_dir)
+    d = _as_double("embedding")
+    return (
+        v["embeddings"]
+        .select(
+            "vec_id",
+            "label",
+            F.round(_norm("embedding"), 6).alias("l2_norm"),
+            F.round(F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE))"), 6).alias("comp_sum"),
+            F.round(F.array_max(d), 6).alias("comp_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _lsh_planes(n_planes: int, dim: int):
+    """Deterministic random hyperplanes (seeded, reproducible everywhere)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_planes, dim))
+
+
+@query("ann_lsh_cosine", oracle=None, tags=("similarity", "ann"))
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (16-bit signatures).
+
+    Corpus and queries are signed against the same seeded planes; candidates
+    are bucket-equality matches (equi-join — at scale, a shuffle on the
+    16-bit signature instead of an O(n·m) cross join), re-scored exactly and
+    top-k'd.  No SQL oracle (plane generation isn't SQL); recall vs
+    brute-force is asserted in tests."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    planes = _lsh_planes(16, _DIM)
+    plane_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+    emb = v["embeddings"].withColumn("_planes", plane_lits)
+    sig = F.expr(
+        """
+        aggregate(
+          transform(_planes, (p, i) ->
+            CASE WHEN aggregate(zip_with(p, embedding, (x, y) -> x * CAST(y AS DOUBLE)),
+                                CAST(0.0 AS DOUBLE), (a, v) -> a + v) >= 0
+                 THEN shiftleft(1L, i) ELSE 0L END),
+          0L, (a, v) -> a | v)
+        """
+    )
+    signed = emb.select(
+        "vec_id", _as_double("embedding").alias("ev"), sig.alias("sig")
+    )
+    q = signed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv"), F.col("sig").alias("qsig")
+    )
+    cand = (
+        signed.join(F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("qid")))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .orderBy("qid", "rnk")
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS qv, b.embedding AS ev
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 50 AND b.vec_id < 50
+)
+SELECT id_a, id_b, {_DUCKDB_COSINE} AS cosine
+FROM pairs
+WHERE {_DUCKDB_COSINE} >= 0.8
+ORDER BY id_a, id_b
+""",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a bounded sample (the
+    unbounded version goes through the LSH bucket join above)."""
+    v = views(spark, sf_dir)
+    sub = v["embeddings"].where(F.col("vec_id") < 50)
+    a = sub.select(F.col("vec_id").alias("id_a"), _as_double("embedding").alias("qv"))
+    b = sub.select(F.col("vec_id").alias("id_b"), _as_double("embedding").alias("ev"))
+    cos = F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north star).
+
+All hot-path logic is JVM builtin expressions (regexp/split/md5 etc.) — no
+Python in the row path, so these sweep 100 TB of documents at scan speed.
+Each has an exact DuckDB oracle (same regex semantics verified by the parity
+suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+# token pattern: letter runs | digit runs | single non-space symbol (BPE-ish
+# pre-tokenization, cf. GPT-2's regex family)
+_TOKEN_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "un", "une", "des"],
+}
+
+
+def _stop_pat(lang: str) -> str:
+    return r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       length(text)                                            AS n_chars_exact,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS n_tokens,
+       len(string_split_regex(trim(text), '\\s+'))             AS n_words,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_word_len,
+       length(text) - length(replace(text, 'e', ''))           AS n_letter_e
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "bench"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document counting stats: chars, BPE-ish tokens, words, avg word
+    length.  Pure codegen expressions over one scan."""
+    v = views(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        v["documents"]
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars_exact"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"), F.lit(0))).alias("n_tokens"),
+            F.size(words).alias("n_words"),
+            F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / F.size(words),
+                4,
+            ).alias("avg_word_len"),
+            (
+                F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+            ).alias("n_letter_e"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_scores_sql_duckdb() -> str:
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{_stop_pat(lang)}')) AS score_{lang}"
+        for lang in _STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {cols}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       score_en, score_es, score_de, score_fr
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("text_language_id", oracle=_lang_scores_sql_duckdb(), tags=("text",))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic family).  Argmax with
+    a fixed preference order so ties are deterministic."""
+    v = views(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    scores = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(_stop_pat(lang)), F.lit(0)))
+        for lang in _STOPWORDS
+    }
+    df = v["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _STOPWORDS],
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(
+            (F.col("score_es") >= F.col("score_de"))
+            & (F.col("score_es") >= F.col("score_fr")),
+            "es",
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        "doc_id",
+        "labeled_lang",
+        predicted.alias("predicted_lang"),
+        "score_en",
+        "score_es",
+        "score_de",
+        "score_fr",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4)            AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_words, 4)             AS stopword_ratio,
+       round(CAST(n_chars AS DOUBLE) / n_words, 4)            AS chars_per_word,
+       CASE WHEN n_words >= 20 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+            THEN 1 ELSE 0 END                                  AS passes_filter
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "bench"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (Gopher/C4-style length & symbol filters)."""
+    v = views(spark, sf_dir)
+    m = v["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias("n_punct"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_pat("en")), F.lit(0))
+        ).alias("n_stop"),
+    )
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round(F.col("n_punct").cast("double") / F.col("n_chars"), 4).alias("punct_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4).alias("chars_per_word"),
+        F.when(
+            (F.col("n_words") >= 20) & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_filter"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_fingerprint,
+       md5(text)                                                AS raw_fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (whitespace-collapsed, lowercased,
+    md5) — the join key for exact dedup across shards."""
+    v = views(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        v["documents"]
+        .select(
+            "doc_id",
+            F.md5(norm).alias("norm_fingerprint"),
+            F.md5(F.col("text")).alias("raw_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,163 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY §2.C: execution is one-shot);
+this is the planned extension (§7 step 7).  Each operator reads the events
+parquet as a *stream* (``readStream``), applies watermark + windowed/stateful
+logic, runs to completion against the static file (``processAllAvailable``)
+and returns the materialized result — so the driver can treat it like any
+batch query, and the DuckDB oracle is the equivalent batch SQL.
+
+Scale notes: watermarks bound state; tumbling windows aggregate with
+partial state per (window,key); session windows keep per-key session state.
+On a real cluster the same code points at Kafka + a checkpoint location.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query
+from parquet_query_spark.sources.registry import load_table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream, nanos repaired inside the stream plan."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")  # schema only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_table(result: DataFrame, name_prefix: str) -> str:
+    """Drive the streaming query over the static file to completion."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, round(SUM(value), 2) AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows + 1-hour watermark over the event stream.
+
+    Epoch-aligned ``window('1 hour')`` starts coincide with
+    ``date_trunc('hour')`` — which is exactly what the batch oracle
+    computes, so this is a true streaming-vs-batch differential test."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = _run_to_table(agg, "tumbling")
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_dedup_by_key",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (`dropDuplicates` keyed state) then count —
+    the streaming twin of exact dedup; watermark bounds the dedup state."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        # rows are unique after dropDuplicates; COUNT(DISTINCT) is not
+        # allowed on streams, and count(*) is equivalent here
+        .agg(F.count("*").alias("n_unique"))
+    )
+    name = _run_to_table(deduped, "dedup")
+    return spark.table(name).orderBy("event_type")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "session"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) in streaming.
+
+    Oracle is the batch lag+cumsum sessionization — the two formulations
+    must agree on session counts.  Note Spark closes a session when the gap
+    is >= the timeout, hence the oracle's ``>=``."""
+    stream = _events_stream(spark, sf_dir)
+    # ONE stateful operator in the stream (session_window agg); the per-user
+    # rollup happens in batch on the materialized sessions — chaining two
+    # stateful aggs behind one watermark is a streaming-correctness trap.
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = _run_to_table(sessions, "sessions")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
