@@ -23,6 +23,7 @@ from parquet_query_spark.sources.registry import register_folder
 from parquet_query_spark.workbench.csv_sink import export_csv, write_csv_distributed
 from parquet_query_spark.workbench.formatting import format_cell
 from parquet_query_spark.workbench.statements import (
+    has_executable_text,
     rewrite_path_tables,
     split_statements,
     statement_at_position,
@@ -103,7 +104,10 @@ class Engine:
 
     # A7 — materializing execute
     def sql(self, statement: str) -> DataFrame:
-        return self.spark.sql(rewrite_path_tables(statement, self.root))
+        from parquet_query_spark.sources.registry import view_name_for_path
+
+        registered = {path: view_name_for_path(path) for path in self.registry}
+        return self.spark.sql(rewrite_path_tables(statement, self.root, registered))
 
     # A6 + A7 + A10 + A14 — the full run path
     def run(
@@ -116,6 +120,10 @@ class Engine:
         statement = (
             statement_at_position(sql, cursor) if cursor is not None else None
         ) or (split_statements(sql)[0] if split_statements(sql) else sql.strip())
+        if not has_executable_text(statement):
+            # reference UI no-ops on an empty buffer; surface a clear error
+            # instead of Spark's raw PARSE_EMPTY_STATEMENT
+            raise ValueError("no SQL statement to run (buffer is empty)")
         df = self.sql(statement)
         preview = df.limit(limit).collect()
         rows = [[format_cell(v) for v in row] for row in preview]
@@ -131,7 +139,7 @@ class Engine:
 
     # A8 — effect-only execute
     def exec(self, statement: str) -> None:
-        self.spark.sql(rewrite_path_tables(statement, self.root))
+        self.sql(statement)
 
     # A13 — CSV sinks
     def export_csv(self, sql: str, path: str, distributed: bool = False) -> int:

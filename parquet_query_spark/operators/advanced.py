@@ -1,0 +1,315 @@
+"""Advanced aggregate/window/array coverage (SURVEY §2.C long tail).
+
+Statistical moments, arg-min/max, ordered string aggregation, exact median,
+higher-order array functions, n-gram frequency top-k, HAVING, value-window
+functions, distribution ranks, and batch sliding windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 4)         AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics — single-pass, mergeable partial state."""
+    v = views(spark, sf_dir)
+    return (
+        v["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+SELECT o_orderstatus,
+       max_by(o_custkey, o_orderkey) AS latest_cust,
+       min_by(o_custkey, o_orderkey) AS first_cust,
+       max(o_orderkey)               AS max_orderkey
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate",),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/max with a UNIQUE ordering value (o_orderkey) — ties under
+    max_by are engine-defined, so the ordering key must be total."""
+    v = views(spark, sf_dir)
+    return (
+        v["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
+            F.min_by("o_custkey", "o_orderkey").alias("first_cust"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_ordered_string_agg",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("aggregate",),
+)
+def agg_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation — collect_set → array_sort →
+    array_join keeps the merge associative (safe under partial agg),
+    equivalent to DuckDB's ordered string_agg."""
+    v = views(spark, sf_dir)
+    return (
+        v["customer"]
+        .join(F.broadcast(v["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_exact_median",
+    oracle="""
+SELECT o_orderstatus,
+       round(median(o_totalprice), 4)          AS median_price,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/quartiles (continuous interpolation).  Exact percentiles
+    buffer the group — at 100 TB prefer `percentile_approx` (see
+    agg_approx_distinct); this is the small-group/exactness path."""
+    v = views(spark, sf_dir)
+    return (
+        v["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "array_higher_order_functions",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0))                          AS n_positive,
+       CASE WHEN len(list_filter(embedding, x -> x > 2.0)) > 0
+            THEN true ELSE false END                                     AS any_gt2,
+       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+       round(CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0
+             THEN CAST(x AS DOUBLE) ELSE 0.0 END)) AS DOUBLE), 4)        AS pos_sum
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("array", "scalar"),
+)
+def array_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter/exists/slice/transform/aggregate — the lambda-expression
+    family, all evaluated inside codegen (no Python)."""
+    v = views(spark, sf_dir)
+    return (
+        v["embeddings"]
+        .select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+            F.exists("embedding", lambda x: x > 2.0).alias("any_gt2"),
+            F.transform(
+                F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+            ).alias("head3"),
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + F.when(x > 0, x.cast("double")).otherwise(0.0),
+                ),
+                4,
+            ).alias("pos_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 50
+""",
+    tags=("text", "topk"),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-k: explode → partial-agg count → top-k.
+    The map-side partial aggregation collapses each partition to its
+    vocabulary before the shuffle — the only scalable shape for 100 TB."""
+    v = views(spark, sf_dir)
+    return (
+        v["documents"]
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15 AND SUM(o_totalprice) > 3000000
+ORDER BY o_custkey
+""",
+    tags=("aggregate",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation predicate."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 15 AND SUM(o_totalprice) > 3000000
+        ORDER BY o_custkey
+        """
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window",),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value windows — last_value needs the full-frame
+    spelling (the default frame ends at CURRENT ROW in both engines)."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        v["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w_full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume,
+       dense_rank() OVER w             AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+ORDER BY o_orderkey
+""",
+    tags=("window",),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist/dense_rank — tie-stable (equal values share a
+    rank), so no artificial tie-break is needed."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return (
+        v["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "events_sliding_window_counts",
+    oracle="""
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL '1' HOUR AS window_start, event_type FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM assigned
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    tags=("events", "window"),
+)
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide) in batch via ``window()`` — each
+    event lands in exactly two windows; the oracle materializes the same
+    assignment with a UNION ALL of the two hour-truncations."""
+    v = views(spark, sf_dir)
+    return (
+        v["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )

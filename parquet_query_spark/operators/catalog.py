@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         from parquet_query_spark.operators import (  # noqa: F401
             tpch,
             relational,
+            advanced,
             templates,
             events_ops,
             text,

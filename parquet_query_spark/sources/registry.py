@@ -77,7 +77,13 @@ def reader_for(spark: SparkSession, path: str):
     if lower.endswith(".parquet"):
         return spark.read.parquet(path)
     if lower.endswith(".csv"):
-        return spark.read.csv(path, header=True, inferSchema=True)
+        # multiLine + doubled-quote escape: RFC-4180 embedded newlines parse
+        # correctly (DuckDB parity).  Note: multiLine makes a CSV file
+        # non-splittable — fine for workbench imports; at 100 TB you want
+        # newline-free CSV (or parquet) anyway.
+        return spark.read.options(
+            header=True, inferSchema=True, multiLine=True, escape='"'
+        ).csv(path)
     if lower.endswith(".ndjson"):
         return spark.read.json(path)
     if lower.endswith(".json"):

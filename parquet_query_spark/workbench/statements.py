@@ -99,6 +99,28 @@ def statement_at_position(sql: str, position: int) -> str:
     return ""
 
 
+def has_executable_text(statement: str) -> bool:
+    """True if anything other than whitespace/comments remains — a
+    comment-only "statement" is not runnable (both engines reject it)."""
+    i = 0
+    n = len(statement)
+    while i < n:
+        ch = statement[i]
+        nxt = statement[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":
+            while i < n and statement[i] != "\n":
+                i += 1
+        elif ch == "/" and nxt == "*":
+            i += 2
+            while i < n - 1 and not (statement[i] == "*" and statement[i + 1] == "/"):
+                i += 1
+            i += 1
+        elif not ch.isspace():
+            return True
+        i += 1
+    return False
+
+
 _FORMAT_BY_SUFFIX = {
     ".parquet": "parquet",
     ".csv": "csv",
@@ -110,7 +132,13 @@ _FORMAT_BY_SUFFIX = {
 _TABLE_REF_KEYWORD = re.compile(r"(?:\bfrom\b|\bjoin\b)\s*$", re.IGNORECASE)
 
 
-def _spark_path_ref(path: str, root: str | None) -> str | None:
+def _spark_path_ref(
+    path: str, root: str | None, registered: dict[str, str] | None
+) -> str | None:
+    if registered and path in registered:
+        # imported file: its per-file view carries the right reader options
+        # (csv header/multiline, json multiline, nanos repair)
+        return f"`{registered[path]}`"
     lower = path.lower()
     fmt = next(
         (f for suf, f in _FORMAT_BY_SUFFIX.items() if lower.endswith(suf)), None
@@ -122,7 +150,9 @@ def _spark_path_ref(path: str, root: str | None) -> str | None:
     return f"{fmt}.`{escaped}`"
 
 
-def rewrite_path_tables(sql: str, root: str | None = None) -> str:
+def rewrite_path_tables(
+    sql: str, root: str | None = None, registered: dict[str, str] | None = None
+) -> str:
     """Rewrite ``FROM 'file.parquet'`` → ``FROM parquet.`/abs/file.parquet```.
 
     Lexer-aware: only single-quoted literals in table position (immediately
@@ -182,7 +212,7 @@ def rewrite_path_tables(sql: str, root: str | None = None) -> str:
                     j += 1
             literal = "".join(content)
             ref = (
-                _spark_path_ref(literal, root)
+                _spark_path_ref(literal, root, registered)
                 if _TABLE_REF_KEYWORD.search("".join(out))
                 else None
             )

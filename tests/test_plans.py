@@ -1,0 +1,72 @@
+"""Physical-plan assertions — correctness of the *plan*, not just the rows.
+
+These encode the 100 TB design contract: filters/projections reach the
+Parquet scan, small dims broadcast, window+groupBy on the same key reuse one
+shuffle, top-k never globally sorts.
+"""
+
+import re
+
+from parquet_query_spark.operators.catalog import load_all
+from parquet_query_spark.plans import physical_plan
+
+CATALOG = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_q6_filters_pushed_to_parquet(spark):
+    # plan metadata strings are truncated at 100 chars, so match leniently
+    plan = physical_plan(CATALOG["q6_forecast_revenue"].fn(spark, SF))
+    pushed = re.search(r"PushedFilters: \[([^\n]*)", plan).group(1)
+    assert "l_shipdate" in pushed and "IsNotNull" in pushed
+
+
+def test_pushdown_scan_prunes_columns(spark):
+    plan = physical_plan(CATALOG["pushdown_scan_project"].fn(spark, SF))
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    # only the 5 referenced columns are read, not all 11
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate", "l_quantity"}
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = physical_plan(CATALOG["q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_all_dim_joins_broadcast(spark):
+    plan = physical_plan(CATALOG["q5_local_supplier_volume"].fn(spark, SF))
+    # customer/supplier/nation/region joins all broadcast; only the
+    # lineitem-orders fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = physical_plan(CATALOG["topk_global_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_shuffle_for_user(spark):
+    plan = physical_plan(CATALOG["events_sessionize"].fn(spark, SF))
+    # windows + groupBy all partition by user_id: two lag/cumsum windows and
+    # the session aggregation must NOT each add an Exchange; allow the one
+    # hashpartitioning(user_id) plus the final orderBy's rangepartitioning
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 1, plan
+
+
+def test_semi_join_is_semi(spark):
+    plan = physical_plan(CATALOG["join_semi_customers_with_orders"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_minhash_signatures_no_shuffle_before_sort(spark):
+    plan = physical_plan(CATALOG["dedup_minhash_signatures"].fn(spark, SF))
+    # signature computation is scan-side: no hash Exchange at all (only the
+    # final presentation orderBy range-partitions)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = physical_plan(CATALOG["knn_bruteforce_cosine"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
