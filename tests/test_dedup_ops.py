@@ -1,0 +1,81 @@
+"""Property tests for dedup operators on crafted corpora.
+
+The oracle suite proves Spark↔DuckDB agreement; these prove the operators
+actually FIND duplicates: injected exact copies and near-duplicates must
+surface with the right scores.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from parquet_query_spark.operators.catalog import load_all
+
+CATALOG = load_all()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "birds fly south for the winter and the farmer tends his field of corn"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+FAR = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and adaptive planning stages"
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [BASE, BASE, NEAR, FAR, FAR + " extra tail words here"],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(BASE), len(BASE), len(NEAR), len(FAR), len(FAR) + 22],
+        }
+    )
+    docs.to_parquet(os.path.join(str(d), "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_exact_dedup_finds_clones(spark, crafted_dir):
+    rows = CATALOG["dedup_exact_groups"].fn(spark, crafted_dir).collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in rows}
+    assert by_keeper[1] == 2  # docs 1+2 identical
+    assert sum(by_keeper.values()) == 5
+
+
+def test_exact_survivors_drop_clone(spark, crafted_dir):
+    ids = [r.doc_id for r in CATALOG["dedup_exact_survivors"].fn(spark, crafted_dir).collect()]
+    assert ids == [1, 3, 4, 5]  # doc 2 deduplicated away
+
+
+def test_minhash_finds_near_duplicates(spark, crafted_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in CATALOG["dedup_minhash_candidate_pairs"].fn(spark, crafted_dir).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact clones
+    assert pairs[(1, 3)] > 0.7   # one-token perturbation
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated docs
+
+
+def test_simhash_hamming_properties(spark, crafted_dir):
+    rows = {r.doc_id: r.simhash for r in CATALOG["dedup_simhash"].fn(spark, crafted_dir).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert rows[1] == rows[2]                 # identical text → identical hash
+    assert hamming(rows[1], rows[3]) <= 12    # near-dup → close in Hamming space
+    assert hamming(rows[1], rows[4]) >= 20    # unrelated → far
+
+
+def test_fingerprint_normalization(spark, crafted_dir):
+    df = CATALOG["text_fingerprint"].fn(spark, crafted_dir)
+    rows = {r.doc_id: (r.norm_fingerprint, r.raw_fingerprint) for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1][0] != rows[3][0]

@@ -1,0 +1,61 @@
+"""Property tests for similarity search: cloned vectors must be found by
+both brute force and LSH; LSH results must be a subset of the exact ranking
+with identical scores."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parquet_query_spark.operators.catalog import load_all
+
+CATALOG = load_all()
+
+
+@pytest.fixture(scope="module")
+def vec_dir(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    d = tmp_path_factory.mktemp("vecs")
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    # vec 20 is an exact clone of query vec 0; vec 21 a tiny perturbation
+    base[20] = base[0]
+    base[21] = base[0] + rng.standard_normal(64).astype(np.float32) * 0.01
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [row.tolist() for row in base],
+            "label": (np.arange(40) % 5).astype(np.int32),
+        }
+    ).to_parquet(os.path.join(str(d), "embeddings.parquet"), index=False)
+    return str(d)
+
+
+def test_bruteforce_finds_clone_first(spark, vec_dir):
+    rows = CATALOG["knn_bruteforce_cosine"].fn(spark, vec_dir).collect()
+    top_for_q0 = [r for r in rows if r.qid == 0 and r.rnk == 1][0]
+    assert top_for_q0.neighbor_id == 20
+    assert top_for_q0.cosine == 1.0
+    second = [r for r in rows if r.qid == 0 and r.rnk == 2][0]
+    assert second.neighbor_id == 21
+    assert second.cosine > 0.99
+
+
+def test_lsh_finds_clone_and_scores_match_exact(spark, vec_dir):
+    lsh = CATALOG["ann_lsh_cosine"].fn(spark, vec_dir).collect()
+    brute = CATALOG["knn_bruteforce_cosine"].fn(spark, vec_dir).collect()
+    exact = {(r.qid, r.neighbor_id): r.cosine for r in brute}
+    q0 = {r.neighbor_id: r.cosine for r in lsh if r.qid == 0}
+    # the exact clone shares every hyperplane side → must be in the bucket
+    assert q0.get(20) == 1.0
+    # every LSH hit that brute force also ranked has the identical score
+    for r in lsh:
+        if (r.qid, r.neighbor_id) in exact:
+            assert r.cosine == exact[(r.qid, r.neighbor_id)]
+
+
+def test_neardup_pairs_symmetric_clones(spark, vec_dir):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in CATALOG["embedding_neardup_pairs"].fn(spark, vec_dir).collect()}
+    assert pairs.get((0, 20)) == 1.0
+    assert pairs.get((0, 21), 0) > 0.99
+    assert all(a < b for a, b in pairs)
