@@ -46,12 +46,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+_VIEW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_ACTIVE_DIR: dict[int, str] = {}
+
+
 def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load + register the driver tables for this sf_dir (idempotent)."""
-    out = register_testdata_views(spark, sf_dir)
-    if not out:
-        raise FileNotFoundError(f"no driver parquet tables found in {sf_dir!r}")
-    return out
+    """Load + register the driver tables for this sf_dir.
+
+    Memoized per (session, dir) — re-registering re-reads 10 parquet footers
+    per query.  SQL-text queries resolve against the session's CURRENT temp
+    views, so switching dirs must re-register even on a cache hit."""
+    key = (id(spark), sf_dir)
+    if key not in _VIEW_CACHE or _ACTIVE_DIR.get(id(spark)) != sf_dir:
+        out = register_testdata_views(spark, sf_dir)
+        if not out:
+            raise FileNotFoundError(f"no driver parquet tables found in {sf_dir!r}")
+        _VIEW_CACHE[key] = out
+        _ACTIVE_DIR[id(spark)] = sf_dir
+    return _VIEW_CACHE[key]
 
 
 _LOADED = False
@@ -71,8 +83,12 @@ def load_all() -> dict[str, QuerySpec]:
             dedup,
             similarity,
             multimodal,
+            misc,
         )
-        from parquet_query_spark.streaming import streaming_ops  # noqa: F401
+        from parquet_query_spark.streaming import (  # noqa: F401
+            stateful,
+            streaming_ops,
+        )
 
         _LOADED = True
     return CATALOG

@@ -1,0 +1,159 @@
+"""Remaining §2.C surface: correlated subqueries, JSON struct parsing,
+UNPIVOT, inline VALUES, map/struct constructors."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+
+@query(
+    "subq_correlated_min_price",
+    oracle="""
+SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+FROM part p
+WHERE p.p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p.p_partkey
+""",
+    tags=("subquery",),
+)
+def subq_correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape) — Catalyst decorrelates
+    it into an aggregate + join; never a per-row re-execution."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+        FROM part p
+        WHERE p.p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        ORDER BY p.p_partkey
+        """
+    )
+
+
+@query(
+    "events_from_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+ORDER BY event_id
+""",
+    tags=("events", "json"),
+)
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (`from_json`) — unlike get_json_object this
+    yields a typed struct column usable downstream without re-parsing."""
+    v = views(spark, sf_dir)
+    parsed = F.from_json("props", "k INT")
+    return (
+        v["events"]
+        .select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_val"),
+            F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey < 100
+) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+    tags=("reshape",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) — identical SQL in both dialects."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem WHERE l_orderkey < 100
+        ) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+        ORDER BY l_orderkey, l_linenumber, measure
+        """
+    )
+
+
+@query(
+    "values_inline_table",
+    oracle="""
+SELECT t.grade, COUNT(*) AS n_customers
+FROM customer
+JOIN (VALUES ('AUTOMOBILE', 'A'), ('BUILDING', 'B'), ('FURNITURE', 'F'),
+             ('HOUSEHOLD', 'H'), ('MACHINERY', 'M')) AS t(seg, grade)
+  ON c_mktsegment = t.seg
+GROUP BY t.grade
+ORDER BY t.grade
+""",
+    tags=("scan",),
+)
+def values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined to a table (B2 family — constant
+    relations; broadcast for free)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.grade, COUNT(*) AS n_customers
+        FROM customer
+        JOIN (VALUES ('AUTOMOBILE', 'A'), ('BUILDING', 'B'), ('FURNITURE', 'F'),
+                     ('HOUSEHOLD', 'H'), ('MACHINERY', 'M')) AS t(seg, grade)
+          ON c_mktsegment = t.seg
+        GROUP BY t.grade
+        ORDER BY t.grade
+        """
+    )
+
+
+@query(
+    "struct_and_map_constructors",
+    oracle="""
+SELECT r_regionkey,
+       {'region': r_name, 'key_sq': r_regionkey * r_regionkey} AS info,
+       to_json(MAP(['name_len', 'key'], [length(r_name), r_regionkey])) AS metrics
+FROM region
+ORDER BY r_regionkey
+""",
+    tags=("scalar", "nested"),
+)
+def struct_and_map_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type constructors: named struct + map columns (the reference
+    displays these JSON-encoded — A14's object branch)."""
+    v = views(spark, sf_dir)
+    return (
+        v["region"]
+        .select(
+            "r_regionkey",
+            F.struct(
+                F.col("r_name").alias("region"),
+                (F.col("r_regionkey") * F.col("r_regionkey")).alias("key_sq"),
+            ).alias("info"),
+            # maps cross the comparison boundary as JSON — the DuckDB client
+            # materializes MAP as {'key': [...], 'value': [...]} otherwise
+            F.to_json(
+                F.create_map(
+                    F.lit("name_len"), F.length("r_name"),
+                    F.lit("key"), F.col("r_regionkey"),
+                )
+            ).alias("metrics"),
+        )
+        .orderBy("r_regionkey")
+    )

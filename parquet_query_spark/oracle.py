@@ -50,6 +50,8 @@ def canon_value(v: object) -> str:
         return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # pyspark Row (a tuple subclass) ↔ DuckDB dict
+        return canon_value(v.asDict())
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     if isinstance(v, dict):

@@ -1,0 +1,141 @@
+"""Custom stateful streaming operators (applyInPandasWithState) + exactly-
+once sinks (foreachBatch).
+
+These cover the streaming API surface the built-in windowed aggregations
+can't express: arbitrary per-key state machines.  The demo operator tracks a
+per-user running spend total and emits one row per micro-batch per user with
+the cumulative value — the canonical shape for feature backfills and online
+aggregation at scale (state lives in the state store, partitioned by key;
+nothing accumulates on the driver).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from parquet_query_spark.operators.catalog import query
+from parquet_query_spark.streaming.streaming_ops import _events_stream
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _track_user_totals(key, pdf_iter, state: GroupState):
+    """Per-user state machine: fold micro-batch rows into (count, sum)."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState.
+
+    After the stream drains the static file, per-user totals must equal the
+    batch GROUP BY — that equivalence is the oracle.  (Update-mode emission
+    means one row per user per batch; the single-batch drain makes the final
+    table comparable.)"""
+    stream = _events_stream(spark, sf_dir)
+    totals = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _track_user_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emission per user wins (update mode may emit once per micro-batch)
+    from pyspark.sql import Window as W
+
+    emitted = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_foreach_batch_sink",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "sink"),
+)
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch: the exactly-once custom-sink shape.
+
+    Each micro-batch DataFrame is written transactionally by epoch (here:
+    overwrite-by-epoch into a temp parquet dir keyed on batch id — the same
+    idempotence pattern used for JDBC/object-store sinks)."""
+    out_dir = tempfile.mkdtemp(prefix="febatch_")
+    stream = _events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_feb_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # read back the last epoch (idempotent overwrite semantics)
+    import glob
+    import os
+
+    epochs = sorted(glob.glob(f"{out_dir}/epoch=*"), key=lambda p: int(p.rsplit("=", 1)[1]))
+    return spark.read.parquet(epochs[-1]).orderBy("event_type")
