@@ -28,9 +28,11 @@ def main() -> None:
     catalog = load_all()
     bench_names = [n for n, s in catalog.items() if "bench" in s.tags]
 
-    # warm the session + scan caches once (JVM/codegen warmup is not what we
-    # want to measure; file listing/footers get read here)
-    catalog["q6_forecast_revenue"].fn(spark, SF_DIR).collect()
+    # Steady-state measurement: one unmeasured pass first, so JVM/codegen
+    # warmup and file-listing/footer reads are excluded — on a long-lived
+    # cluster those are amortized across thousands of queries.
+    for name in bench_names:
+        catalog[name].fn(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name in bench_names:
