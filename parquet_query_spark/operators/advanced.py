@@ -313,3 +313,117 @@ def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, n_name,
+       GROUPING(c_mktsegment) AS g_seg, GROUPING(n_name) AS g_nat,
+       COUNT(*) AS n_customers, round(SUM(c_acctbal), 2) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name), ())
+ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
+""",
+    tags=("aggregate", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): four chosen granularities
+    in one shuffle; GROUPING() disambiguates real NULL keys from subtotal
+    rows — identical SQL both dialects."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               GROUPING(c_mktsegment) AS g_seg, GROUPING(n_name) AS g_nat,
+               COUNT(*) AS n_customers, round(SUM(c_acctbal), 2) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name), ())
+        ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_exact_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "quantile"),
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile per group (`percentile` = linear interpolation,
+    same definition as DuckDB's quantile_cont).  For 100 TB you'd flip to
+    `approx_percentile` (t-digest-style mergeable sketch, no full sort) —
+    exposed as the weak-oracle `agg_approx_quantiles`."""
+    li = views(spark, sf_dir)["lineitem"]
+    q = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 2)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q(0.25).alias("p25"),
+            q(0.50).alias("p50"),
+            q(0.75).alias("p75"),
+            q(0.95).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_quantiles", tags=("aggregate", "quantile", "approx"))
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (`approx_percentile`) — the mergeable,
+    single-pass form that replaces the exact sort at cluster scale.  No SQL
+    oracle: approximation algorithms differ across engines by design."""
+    li = views(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+            ).alias("quantiles")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_range_frame_weekly_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey, day_no,
+       round(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             datediff('day', DATE '1995-01-01', o_orderdate) AS day_no
+      FROM orders)
+ORDER BY o_custkey, day_no, o_orderkey
+""",
+    tags=("window", "rangeframe"),
+)
+def window_range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): trailing-7-day
+    revenue per customer.  Day numbers make the frame numeric so the exact
+    same frame definition runs on both engines."""
+    from pyspark.sql import Window as W
+
+    o = views(spark, sf_dir)["orders"].withColumn(
+        "day_no", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-6, W.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "day_no",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+        )
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    )

@@ -84,6 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
             similarity,
             multimodal,
             misc,
+            temporal,
         )
         from parquet_query_spark.streaming import (  # noqa: F401
             stateful,

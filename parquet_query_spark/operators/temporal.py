@@ -1,0 +1,124 @@
+"""Temporal joins the reference's SQL surface reaches via DuckDB (ASOF JOIN,
+range predicates) re-expressed as scalable Spark compositions.
+
+* **As-of join** — implemented with the union-tag trick: tag both streams,
+  union, ONE window pass per user ordered by time, carry the last seen
+  left-side row forward with ``last(..., ignorenulls)``.  This is the
+  100 TB formulation: a single shuffle on the key, no per-key pair
+  expansion (a naive ``JOIN ON ts <= ts`` blows up quadratically on hot
+  keys), and it degrades gracefully under AQE skew splitting.
+* **Range join** — equi-key + bounded time predicate.  At 100 TB the win is
+  bucketing both sides by (key, time-bucket) so the range condition only
+  probes adjacent buckets; here the equi-key join + predicate is the same
+  plan Catalyst would produce for that, minus the bucket pruning.
+
+Oracles are plain ANSI SQL (row_number formulation) so the semantics —
+including tie-breaks — are pinned exactly, not left to an engine's ASOF
+implementation choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+
+@query(
+    "asof_purchase_last_view",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     j AS (
+       SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+              v.event_id AS view_id, v.ts AS view_ts,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY v.ts DESC, v.event_id DESC) AS rn
+       FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+     )
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts
+FROM j WHERE rn = 1
+ORDER BY purchase_id
+""",
+    tags=("join", "asof", "events"),
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent view
+    at-or-before it (ties broken by highest event_id).
+
+    Union-tag formulation: views sort before purchases at equal ts, so a
+    running ``last(view_struct, ignorenulls)`` over (user, ts, tag,
+    event_id) gives every purchase its as-of match in one window pass."""
+    ev = views(spark, sf_dir)["events"]
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # views first at equal ts (a view AT the purchase instant matches)
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(
+            F.col("event_type") == "view", F.struct("ts", "event_id")
+        ).alias("view_struct"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_view", F.last("view_struct", ignorenulls=True).over(w))
+        .where((F.col("is_p") == 1) & F.col("last_view").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_view.event_id").alias("view_id"),
+            F.col("last_view.ts").alias("view_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "range_join_errors_after_purchase",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(e.ts) AS errors_within_1h
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '1' HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY purchase_id
+""",
+    tags=("join", "range", "events"),
+)
+def range_join_errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, count same-user errors in the next hour.
+
+    Equi-join on user_id carries the shuffle; the time-range predicate is
+    evaluated join-side.  The left join + COUNT(col) keeps zero-error
+    purchases in the output."""
+    ev = views(spark, sf_dir)["events"]
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        p.join(e, cond, "left")
+        .groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(F.count("e_ts").alias("errors_within_1h"))
+        .orderBy("purchase_id")
+    )

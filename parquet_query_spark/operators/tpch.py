@@ -241,3 +241,177 @@ def pushdown_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q4_priority_with_returns",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("subquery", "join"),
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join.
+
+    Catalyst rewrites EXISTS into a semi join; only o_orderkey shuffles from
+    the probe side, and the date filter is pushed into the orders scan."""
+    v = views(spark, sf_dir)
+    o = v["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    returned = v["lineitem"].where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_late_shipments_by_priority",
+    oracle="""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' ELSE 'low' END
+         AS priority_class,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END)
+         AS late_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("join", "aggregate"),
+)
+def q12_late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional aggregation.
+
+    orders<->lineitem is the one genuinely large-x-large join in this schema;
+    at 100 TB both sides shuffle on orderkey (or are pre-bucketed on it) and
+    the CASE aggregation is map-side partial."""
+    v = views(spark, sf_dir)
+    j = v["orders"].join(v["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        j.groupBy(F.when(is_high, "high").otherwise("low").alias("priority_class"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+""",
+    tags=("join", "aggregate"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + ratio-of-conditional-sums.
+
+    `part` is a dimension table -> explicit broadcast hint keeps the plan a
+    map-side hash join with zero shuffle of the (filtered) fact side."""
+    v = views(spark, sf_dir)
+    li = v["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(v["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+       round(big.sum_qty, 2) AS sum_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 200) big
+  ON o_orderkey = big.l_orderkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("join", "aggregate", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: pre-aggregate-then-join + global top-k.
+
+    Aggregating lineitem BEFORE joining collapses the big side to one row
+    per order (the HAVING filters it further), so the join probe is tiny;
+    ORDER BY + LIMIT plans as TakeOrderedAndProject — no global sort."""
+    v = views(spark, sf_dir)
+    big = (
+        v["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        v["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(v["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q19_brand_size_qty_revenue",
+    oracle="""
+SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("join", "aggregate"),
+)
+def q19_brand_size_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate over a
+    broadcast join — the OR-of-ANDs stays a single post-join filter (no
+    union-of-three-scans rewrite needed)."""
+    v = views(spark, sf_dir)
+    j = v["lineitem"].join(F.broadcast(v["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.where(
+        arm("Brand#12", 15, 1, 20) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
