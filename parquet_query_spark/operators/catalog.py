@@ -85,6 +85,7 @@ def load_all() -> dict[str, QuerySpec]:
             multimodal,
             misc,
             temporal,
+            scale_patterns,
         )
         from parquet_query_spark.streaming import (  # noqa: F401
             stateful,

@@ -157,3 +157,40 @@ def struct_and_map_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "lateral_top2_customers_per_nation",
+    oracle="""
+SELECT n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) c
+ORDER BY n_name, acctbal DESC, c_name
+""",
+    tags=("join", "lateral"),
+)
+def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation top-2.
+
+    Catalyst rewrites the lateral into a ranked window over a single join
+    (DomainJoin decorrelation), so it stays one shuffle — not a re-executed
+    subquery per outer row."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) c
+        ORDER BY n_name, acctbal DESC, c_name
+        """
+    )

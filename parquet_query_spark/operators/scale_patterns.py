@@ -1,0 +1,100 @@
+"""Skew- and scale-management patterns as first-class, oracle-checked
+operators.
+
+These produce the SAME results as their naive formulations (the oracles are
+the plain SQL), but with plan shapes that survive hot keys at 100 TB:
+
+* **Salted two-phase aggregation** — a groupBy on a low-cardinality /
+  highly-skewed key funnels entire key populations through single reducers.
+  Salting fans each key across N_SALT partial aggregates, then re-combines;
+  the second shuffle carries one row per (key, salt) instead of the raw data.
+* **Salted skew join** — replicate the small side N_SALT times, salt the big
+  side; each hot-key partition shrinks by ~N_SALT.  (AQE's skew-join split
+  does this adaptively for sort-merge joins; the explicit form also covers
+  aggregations and deterministic plans.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+N_SALT = 8
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("aggregate", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 5-value key.
+
+    Phase 1 groups by (key, hash(event_id) % N_SALT) — every executor core
+    gets a share of each hot key; phase 2 merges the N_SALT partials.  COUNT
+    and SUM re-aggregate losslessly (any distributive aggregate does)."""
+    ev = views(spark, sf_dir)["events"]
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT e.event_type, CAST(m.weight AS DOUBLE) AS weight, COUNT(*) AS n,
+       round(SUM(e.value * m.weight), 2) AS weighted_value
+FROM events e
+JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+             ('signup', 5.0), ('error', 0.0)) AS m(etype, weight)
+  ON e.event_type = m.etype
+GROUP BY e.event_type, m.weight
+ORDER BY e.event_type
+""",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join against a tiny weight table on a hot 5-value key.
+
+    The small side is replicated once per salt value (5×8 = 40 rows) and the
+    fact side salted, so a shuffle join on (key, salt) spreads each hot key
+    over N_SALT reducers.  (With a table this small you'd broadcast instead —
+    the salt pattern is for small-but-over-broadcast-threshold sides; the
+    result is identical either way, which is what the oracle pins.)"""
+    ev = views(spark, sf_dir)["events"]
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "etype string, weight double",
+    )
+    salts = spark.range(N_SALT).select(F.col("id").cast("int").alias("salt"))
+    weights_rep = weights.crossJoin(salts)
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)).cast("int"))
+    return (
+        salted.join(
+            weights_rep.hint("shuffle_hash"),
+            (F.col("event_type") == F.col("etype")) & (salted["salt"] == weights_rep["salt"]),
+        )
+        .groupBy("event_type", "weight")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )

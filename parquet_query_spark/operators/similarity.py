@@ -250,3 +250,138 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= 0.8)
         .orderBy("id_a", "id_b")
     )
+
+
+N_IVF_QUERIES = 10
+IVF_NPROBE = 3
+IVF_TOP_K = 5
+
+# Cosine between two already-double lists (DuckDB side), rounded for
+# cross-engine determinism.
+_DUCKDB_COSINE_RAW = """
+round(
+  list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
+  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+     * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)
+"""
+
+
+@query(
+    "ann_ivf_cosine",
+    oracle=f"""
+WITH cent_elems AS (
+  SELECT label, i,
+         round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(v ORDER BY i) AS cv FROM cent_elems GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, ev, c_label FROM (
+    SELECT e.vec_id, e.ev, c.label AS c_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCKDB_COSINE_RAW.format(a="e.ev", b="c.cv")} DESC, c.label) AS rn
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings) e
+    CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, qv, c_label FROM (
+    SELECT q.vec_id AS qid, q.qv, c.label AS c_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DUCKDB_COSINE_RAW.format(a="q.qv", b="c.cv")} DESC, c.label) AS rn
+    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < {N_IVF_QUERIES}) q
+    CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS neighbor_id,
+         {_DUCKDB_COSINE_RAW.format(a="p.qv", b="a.ev")} AS cosine
+  FROM probes p JOIN assigned a ON a.c_label = p.c_label
+  WHERE a.vec_id <> p.qid
+)
+SELECT qid, neighbor_id, cosine, rnk FROM (
+  SELECT qid, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {IVF_TOP_K}
+ORDER BY qid, rnk
+""",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into label-centroid cells,
+    probe only the NPROBE nearest cells per query.
+
+    The scale story vs. brute force: the corpus is scanned ONCE to assign
+    cells (a map-side job against a broadcast centroid table, ~K·d flops per
+    row), and each query then touches ~NPROBE/K of the corpus.  Centroids
+    here are deterministic per-label means (rounded to 6 dp so both engines
+    quantize identically); production would k-means them — the plan shape is
+    unchanged.  Cell assignment is a broadcast join, candidate scoring
+    shuffles only on cell id."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select(
+        "vec_id", "label", _as_double("embedding").alias("ev")
+    )
+
+    # centroids: element-wise mean per label (posexplode → avg → re-assemble)
+    cent = (
+        emb.select("label", F.posexplode("ev").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+
+    cos_cv = F.round(_dot("ev", "cv") / (_norm("ev") * _norm("cv")), 6)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "ev", "c_label", cos_cv.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ev", "c_label")
+    )
+
+    q = emb.where(F.col("vec_id") < N_IVF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    cos_q = F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+    w_probe = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("c_label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "c_label", cos_q.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("qid", "qv", "c_label")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "c_label")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cosine"),
+        )
+    )
+    w_rank = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= IVF_TOP_K)
+        .orderBy("qid", "rnk")
+    )

@@ -1,0 +1,76 @@
+"""Sink-layer tests: partitioned layout prunes, bucketed layout joins
+without exchange, round-trips preserve data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_query_spark.sources import sinks
+from parquet_query_spark.sources.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_type")
+    sinks.write_parquet(ev, out, partition_by=["event_type"])
+
+    # hive layout on disk
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+    back = spark.read.parquet(out)
+    clicks = back.where(F.col("event_type") == "click")
+    assert clicks.count() == ev.where(F.col("event_type") == "click").count()
+    # the filter must become a partition filter (directory pruning),
+    # not a data filter evaluated per row
+    plan = _plan(clicks)
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_partitioned_write_round_trip(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_rt")
+    sinks.write_parquet(ev, out, partition_by=["event_type"], max_records_per_file=500)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    a = {tuple(r) for r in ev.select("event_id", "user_id").collect()}
+    b = {tuple(r) for r in back.select("event_id", "user_id").collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    sinks.write_bucketed_table(orders, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    sinks.write_bucketed_table(lineitem, "t_lineitem_b", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        o = spark.table("t_orders_b")
+        l = spark.table("t_lineitem_b")
+        j = o.hint("merge").join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        # sort order also satisfied by the bucket-file sort
+        assert j.count() == lineitem.count()
+    finally:
+        sinks.drop_table(spark, "t_orders_b")
+        sinks.drop_table(spark, "t_lineitem_b")
+
+
+def test_json_csv_round_trip(spark, tmp_path):
+    region = load_table(spark, SF_DIR, "region")
+    jout, cout = str(tmp_path / "r_json"), str(tmp_path / "r_csv")
+    sinks.write_json(region, jout)
+    sinks.write_csv(region, cout)
+    jback = spark.read.json(jout)
+    cback = spark.read.option("header", True).option("inferSchema", True).csv(cout)
+    assert jback.count() == region.count()
+    assert cback.count() == region.count()
+    assert set(jback.columns) == set(region.columns)
+    assert set(cback.columns) == set(region.columns)
