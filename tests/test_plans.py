@@ -70,3 +70,37 @@ def test_minhash_signatures_no_shuffle_before_sort(spark):
 def test_knn_broadcasts_queries(spark):
     plan = physical_plan(CATALOG["knn_bruteforce_cosine"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = physical_plan(CATALOG["q4_priority_with_returns"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q14_broadcasts_part_no_shuffle(spark):
+    plan = physical_plan(CATALOG["q14_promo_revenue_share"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # scalar aggregate over a broadcast join: no hash exchange at all
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q18_topk_and_preagg(spark):
+    plan = physical_plan(CATALOG["q18_large_volume_customers"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # only the lineitem pre-aggregation shuffles; both joins broadcast
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_asof_join_single_shuffle(spark):
+    # the union-tag formulation's whole point: ONE exchange on user_id,
+    # no join operator at all
+    plan = physical_plan(CATALOG["asof_purchase_last_view"].fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct", plan)
+
+
+def test_salted_agg_two_phase(spark):
+    # phase 1 shuffles on (key, salt), phase 2 on key — exactly two
+    plan = physical_plan(CATALOG["agg_salted_skew"].fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
