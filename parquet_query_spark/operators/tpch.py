@@ -415,3 +415,124 @@ def q19_brand_size_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+
+
+@query(
+    "q7_volume_shipping_nation_pairs",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "aggregate"),
+)
+def q7_volume_shipping_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 5-way join with a symmetric nation-pair predicate.
+
+    The nation filter lands on the two broadcast dim joins, shrinking the
+    fact stream before the orders<->lineitem shuffle; the year extraction
+    keys the final (tiny) aggregation."""
+    v = views(spark, sf_dir)
+    n1 = v["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = v["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = v["lineitem"].where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(v["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(v["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(v["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("join", "aggregate"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way snowflake join + conditional-share aggregation.
+
+    Every dimension (part, supplier, customer, nation x2, region) broadcasts;
+    the only shuffle is orders<->lineitem.  Region/p_type filters apply
+    before their joins, so the broadcast hash sets stay small."""
+    v = views(spark, sf_dir)
+    n1 = v["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = v["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    europe = v["region"].where(F.col("r_name") == "EUROPE")
+    promo = v["part"].where(F.col("p_type") == "PROMO")
+    o = v["orders"].where(F.col("o_orderdate").between("1996-01-01", "1997-12-31 23:59:59"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        v["lineitem"]
+        .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(v["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(v["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(europe), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -161,3 +161,38 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_static_join_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n, round(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment, e.event_type
+ORDER BY segment, e.event_type
+""",
+    tags=("streaming", "join"),
+)
+def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table,
+    then aggregate per (segment, type).
+
+    The static side is re-read per micro-batch (so dimension updates are
+    picked up) and joins broadcast — the canonical streaming-enrichment
+    pattern; no state is kept for the join itself, only for the windowless
+    aggregation."""
+    from parquet_query_spark.sources.registry import load_table as _lt
+
+    stream = _events_stream(spark, sf_dir)
+    customer = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        stream.join(F.broadcast(customer), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = _run_to_table(agg, "stream_enrich")
+    return spark.table(name).orderBy("segment", "event_type")
