@@ -84,6 +84,7 @@ def load_all() -> dict[str, QuerySpec]:
             similarity,
             multimodal,
             misc,
+            pipeline,
             temporal,
             scale_patterns,
         )

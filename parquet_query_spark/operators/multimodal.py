@@ -140,3 +140,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return media.mapInPandas(sample_frames, schema).orderBy("doc_id", "frame_no")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("dst_bytes", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856  AS w,
+         64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016 AS h
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, w, h,
+         least(256.0 / w, 256.0 / h, 1.0) AS s
+  FROM meta
+)
+SELECT doc_id, w::INTEGER AS src_w, h::INTEGER AS src_h,
+       greatest(1, floor(w * s))::INTEGER AS dst_w,
+       greatest(1, floor(h * s))::INTEGER AS dst_h,
+       (greatest(1, floor(w * s)) * greatest(1, floor(h * s)) * 3)::BIGINT AS dst_bytes
+FROM scaled
+ORDER BY doc_id
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: decode dims, fit into a 256x256 box (never upscale),
+    emit target geometry + RGB byte budget.
+
+    Runs as the same mapInPandas pipeline a real resizer would (PIL
+    ``img.resize((dst_w, dst_h))`` slots in where the arithmetic is); the
+    oracle recomputes the geometry from the stub decode, pinning the
+    batch plumbing end-to-end."""
+    import math
+
+    import pandas as pd
+
+    def resize_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = _fake_decode_meta(bytes(payload))
+                s = min(256.0 / w, 256.0 / h, 1.0)
+                dw, dh = max(1, math.floor(w * s)), max(1, math.floor(h * s))
+                rows.append((doc_id, w, h, dw, dh, dw * dh * 3))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h", "dst_bytes"]
+            )
+
+    v = views(spark, sf_dir)
+    media = v["documents"].select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return media.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")

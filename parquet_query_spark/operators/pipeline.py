@@ -1,0 +1,81 @@
+"""Composed training-data pipeline: the operators chained the way a real
+corpus-cleaning job chains them — one declarative plan, one pass.
+
+Composition matters at 100 TB: each stage below is a narrow projection or
+filter that Catalyst fuses into the scan + a single dedup shuffle, instead
+of three materialized intermediate datasets.  (Language filter and quality
+metrics are scan-side; only the content-hash dedup shuffles.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_query_spark.operators.catalog import query, views
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang, source, text,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+),
+kept AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM m
+  WHERE lang = 'en'
+    AND n_words >= 20
+    AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+)
+SELECT doc_id, source, n_words,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio
+FROM kept WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language filter -> quality filter -> exact dedup (keep lowest doc_id),
+    in one plan.
+
+    The filters run scan-side (no shuffle); the only exchange is the
+    content-hash window for dedup.  At 100 TB this is the shape you want:
+    data reduction BEFORE the expensive shuffle, and the shuffle keyed on
+    a 128-bit hash, never the document text."""
+    d = views(spark, sf_dir)["documents"]
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).alias("n_punct"),
+    )
+    kept = m.where(
+        (F.col("lang") == "en")
+        & (F.col("n_words") >= 20)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            F.round(F.col("n_punct").cast("double") / F.col("n_chars"), 4).alias(
+                "punct_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
