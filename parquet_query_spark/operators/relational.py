@@ -389,7 +389,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+            # accuracy 1000 ≈ ±0.1% rank error — sketch memory and merge cost
+            # scale with accuracy, and 10k was 4s of pure sketch build at sf0.01
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 1000).alias("price_quantiles"),
         )
         .orderBy("l_returnflag")
     )
