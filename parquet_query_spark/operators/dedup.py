@@ -382,3 +382,103 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(simhash_batches, schema)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_DUCKDB_SHINGLES} AS shingles FROM documents WHERE doc_id < 1000
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.15
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size
+FROM (SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root)
+ORDER BY doc_id
+""",
+    tags=("dedup", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the pair graph,
+    by iterative min-label propagation to a fixpoint.
+
+    Pairs only say "a matches b"; dedup needs the transitive closure (keep
+    one doc per CLUSTER).  Each iteration joins current labels across edges
+    and takes the per-node min; convergence in O(diameter) rounds.  This is
+    the DataFrame formulation of large-scale connected components (cf.
+    alternating large-star/small-star) — every step is a shuffle-join, no
+    driver-side graph.  The DuckDB oracle computes the same closure with a
+    recursive CTE.  Edge source here is bounded exact-Jaccard; at scale the
+    LSH candidate join (dedup_minhash_candidate_pairs) produces the edges —
+    the component loop is unchanged."""
+    v = views(spark, sf_dir)
+    sh = _with_shingles(v["documents"].where(F.col("doc_id") < 1000))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+    union = (
+        F.size("a.shingles") + F.size("b.shingles")
+        - F.size(F.array_intersect("a.shingles", "b.shingles"))
+    )
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(inter / union >= 0.15)
+        .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
+    )
+    edges = pairs.union(pairs.select(F.col("pb"), F.col("pa"))).toDF("src", "dst").cache()
+
+    # min-label propagation: label(v) <- min(label(v), min over neighbors)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).cache()
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    from pyspark.sql import Window as W
+
+    out = (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
+        .withColumn(
+            "component_size", F.count("*").over(W.partitionBy("component_id"))
+        )
+        .orderBy("doc_id")
+    )
+    edges.unpersist()
+    return out

@@ -46,7 +46,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n,
        round(SUM(value), 2) AS total_value,
-       round(AVG(value), 4) AS avg_value,
+       CAST((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 100 + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_value,
        round(MIN(value), 2) AS min_value,
        round(MAX(value), 2) AS max_value
 FROM events
@@ -64,7 +65,17 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # avg in integer cents with explicit half-up division: hourly
+            # means land exactly on .5 boundaries (e.g. 889.59/24), where
+            # double round() is engine-dependent; values are exact cents so
+            # this is lossless AND deterministic
+            (
+                F.expr(
+                    "(2 * SUM(CAST(round(value * 100) AS BIGINT)) * 100 + COUNT(*))"
+                    " div (2 * COUNT(*))"
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
         )
