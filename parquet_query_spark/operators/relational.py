@@ -643,3 +643,93 @@ def groupby_output_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY segment
         """
     )
+
+
+@query(
+    "join_right_outer_customer_orders",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey < 100
+ORDER BY c_custkey, o_orderkey NULLS FIRST
+""",
+    tags=("join",),
+)
+def join_right_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (customers without orders keep a NULL orderkey) —
+    Catalyst canonicalizes it to the mirrored left outer, so the plan is
+    identical to the flipped form."""
+    v = views(spark, sf_dir)
+    return (
+        v["orders"]
+        .join(v["customer"], F.col("o_custkey") == F.col("c_custkey"), "right")
+        .where(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy("c_custkey", F.asc_nulls_first("o_orderkey"))
+    )
+
+
+@query(
+    "distinct_projection",
+    oracle="""
+SELECT DISTINCT c_mktsegment, o_orderstatus
+FROM customer JOIN orders ON c_custkey = o_custkey
+ORDER BY c_mktsegment, o_orderstatus
+""",
+    tags=("aggregate",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a join — planned as a hash aggregate on the
+    projected columns (same shuffle as a groupBy on them)."""
+    v = views(spark, sf_dir)
+    return (
+        v["customer"]
+        .join(v["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_mktsegment", "o_orderstatus")
+        .distinct()
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+SELECT flag, COUNT(*) AS n FROM (
+  SELECT 'intersect_all' AS flag, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  ) a
+  UNION ALL
+  SELECT 'except_all' AS flag, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  ) b
+) GROUP BY flag
+ORDER BY flag
+""",
+    tags=("setop",),
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicities preserved
+    via the generated row-count window, not a distinct)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT flag, COUNT(*) AS n FROM (
+          SELECT 'intersect_all' AS flag, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+          ) a
+          UNION ALL
+          SELECT 'except_all' AS flag, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+          ) b
+        ) GROUP BY flag
+        ORDER BY flag
+        """
+    )
