@@ -45,17 +45,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 ORDER BY c_custkey
 """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS."""
+    """LEFT ANTI join = NOT EXISTS.
+
+    The filter on the anti side matters: every customer in the testdata has
+    SOME order, so an unfiltered NOT EXISTS would be vacuously empty and
+    prove nothing — this variant returns a real (non-empty) complement."""
     v = views(spark, sf_dir)
+    big = v["orders"].where(F.col("o_totalprice") > 400000)
     return (
         v["customer"]
-        .join(v["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
