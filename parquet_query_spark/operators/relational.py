@@ -410,7 +410,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
 FROM orders
-WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.7 * (SELECT AVG(o_totalprice) FROM orders)
 ORDER BY o_orderkey
 """,
     tags=("subquery",),
@@ -422,7 +422,7 @@ def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.7 * (SELECT AVG(o_totalprice) FROM orders)
         ORDER BY o_orderkey
         """
     )
