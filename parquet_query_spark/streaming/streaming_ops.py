@@ -196,3 +196,70 @@ def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(agg, "stream_enrich")
     return spark.table(name).orderBy("segment", "event_type")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       v.event_id AS view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL '2' HOUR AND v.ts < p.ts
+ORDER BY purchase_id, view_id
+""",
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    views from the preceding 2 hours.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can evict rows once the watermark passes
+    the interval — the ONLY way a stream-stream join is bounded-memory at
+    100 TB.  Inner join + append mode; the oracle is the identical batch
+    join."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).orderBy("purchase_id", "view_id")
