@@ -194,3 +194,33 @@ def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
         ORDER BY n_name, acctbal DESC, c_name
         """
     )
+
+
+_RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-07-01'
+)
+SELECT m, COUNT(o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders
+  ON year(o_orderdate) * 100 + month(o_orderdate) = year(m) * 100 + month(m)
+GROUP BY m
+ORDER BY m
+"""
+
+
+@query(
+    "recursive_cte_month_series",
+    oracle=_RECURSIVE_MONTHS_SQL,
+    tags=("cte", "recursive"),
+)
+def recursive_cte_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999) — calendar-fill: generate every month in the
+    data range, left-join order counts so empty months appear as zero.
+    Identical SQL text on both engines (Spark 4 recursion <-> DuckDB);
+    month equality via integer year*100+month since date_trunc return
+    types differ across dialects."""
+    views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_MONTHS_SQL)
