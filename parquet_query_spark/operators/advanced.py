@@ -103,9 +103,9 @@ def agg_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_median",
     oracle="""
 SELECT o_orderstatus,
-       round(median(o_totalprice), 4)          AS median_price,
-       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+       floor(median(o_totalprice) * 10000 + 0.5) / 10000          AS median_price,
+       floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+       floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS p75
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -121,9 +121,11 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         v["orders"]
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.median("o_totalprice"), 4).alias("median_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            # floor(x*1e4+0.5)/1e4, not round(): interpolated medians land
+            # on exact .5 boundaries where round()'s half-rule diverges
+            (F.floor(F.median("o_totalprice") * 10000 + 0.5) / 10000).alias("median_price"),
+            (F.floor(F.percentile("o_totalprice", F.lit(0.25)) * 10000 + 0.5) / 10000).alias("p25"),
+            (F.floor(F.percentile("o_totalprice", F.lit(0.75)) * 10000 + 0.5) / 10000).alias("p75"),
         )
         .orderBy("o_orderstatus")
     )
@@ -348,10 +350,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_quantiles",
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+       floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS p25,
+       floor(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) / 100 AS p50,
+       floor(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100 AS p75,
+       floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) / 100 AS p95
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -364,7 +366,11 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_percentile` (t-digest-style mergeable sketch, no full sort) —
     exposed as the weak-oracle `agg_approx_quantiles`."""
     li = views(spark, sf_dir)["lineitem"]
-    q = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 2)  # noqa: E731
+    # floor(x*100+0.5)/100 instead of round(): both engines produce the SAME
+    # interpolated double, but round()'s half-rule on inexact doubles is
+    # engine-dependent (even-count medians land on exact half-cents);
+    # pure double arithmetic is identical on identical inputs
+    q = lambda p: F.floor(F.percentile("l_extendedprice", F.lit(p)) * 100 + 0.5) / 100  # noqa: E731
     return (
         li.groupBy("l_returnflag")
         .agg(

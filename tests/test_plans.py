@@ -104,3 +104,19 @@ def test_salted_agg_two_phase(spark):
     # phase 1 shuffles on (key, salt), phase 2 on key — exactly two
     plan = physical_plan(CATALOG["agg_salted_skew"].fn(spark, SF))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_q7_q8_snowflake_broadcasts(spark):
+    # all dimensions broadcast; at most the fact-fact side + final agg shuffle
+    p7 = physical_plan(CATALOG["q7_volume_shipping_nation_pairs"].fn(spark, SF))
+    assert p7.count("BroadcastHashJoin") >= 4
+    assert len(re.findall(r"Exchange hashpartitioning", p7)) <= 2
+    p8 = physical_plan(CATALOG["q8_market_share"].fn(spark, SF))
+    assert p8.count("BroadcastHashJoin") >= 6
+    assert len(re.findall(r"Exchange hashpartitioning", p8)) <= 2
+
+
+def test_pipeline_clean_corpus_single_shuffle(spark):
+    # filters run scan-side; the only exchange is the dedup window's
+    plan = physical_plan(CATALOG["pipeline_clean_corpus"].fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
