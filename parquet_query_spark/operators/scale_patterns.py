@@ -98,3 +98,39 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sample_deterministic_hash",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_sampled,
+       round(SUM(value), 2) AS sampled_value
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 10
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sample",),
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash — the reproducible
+    alternative to TABLESAMPLE/rand() (which differ per engine, per run,
+    and per partitioning).
+
+    Hash-mod sampling is stable under repartitioning, joins, and retries —
+    the property training pipelines need so a sampled doc set stays FIXED
+    across runs and engines.  md5 is the portable hash (xxhash64 seeds
+    differ across engines); scan-side, no shuffle beyond the aggregation."""
+    ev = views(spark, sf_dir)["events"]
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+    )
+    return (
+        ev.where(bucket < 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sampled_value"),
+        )
+        .orderBy("event_type")
+    )
