@@ -188,3 +188,52 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=types)
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_two_level_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY h, event_type
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+       SUM(n) AS n_events,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+FROM hourly
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+    tags=("events", "aggregate", "rollup"),
+)
+def events_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: the daily rollup is computed FROM the
+    hourly rollup, not from raw events.
+
+    This is the hypertable/materialized-rollup shape: at 100 TB the hourly
+    aggregate is maintained incrementally (e.g. by the streaming tumbling
+    job in streaming_ops), and coarser windows re-aggregate ~24 rows per
+    key instead of re-scanning the raw table.  COUNT and SUM re-roll
+    losslessly; value is carried as integer cents so the two-level sum is
+    exactly the one-level sum."""
+    v = views(spark, sf_dir)
+    hourly = (
+        v["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("h")).cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
