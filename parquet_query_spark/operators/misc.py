@@ -224,3 +224,50 @@ def recursive_cte_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     types differ across dialects."""
     views(spark, sf_dir)
     return spark.sql(_RECURSIVE_MONTHS_SQL)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_non_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority) FROM orders
+ORDER BY col
+""",
+    tags=("profile", "aggregate"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null counts + exact distinct per column) built
+    programmatically from the schema — the data-quality pass that gates a
+    training pipeline.
+
+    One scan computes all columns' stats together (vs the oracle's
+    per-column UNION ALL — same result, N scans); at 100 TB swap
+    countDistinct for approx_count_distinct and it becomes a single
+    map-side sketch pass."""
+    o = views(spark, sf_dir)["orders"]
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(c)).alias("n_non_null"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+        ).alias(c)
+        for c in _PROFILE_COLS
+    ]
+    wide = o.agg(*per_col)
+    return (
+        wide.select(F.explode(F.array(*[F.col(c) for c in _PROFILE_COLS])).alias("s"))
+        .select("s.col", "s.n_rows", "s.n_non_null", "s.n_distinct")
+        .orderBy("col")
+    )
