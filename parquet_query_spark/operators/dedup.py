@@ -482,3 +482,30 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query("dedup_minhash_signatures_fast", tags=("dedup", "minhash"))
+def dedup_minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-speed MinHash: xxhash64 instead of md5 for the
+    Carter-Wegman family — same plan shape as dedup_minhash_signatures,
+    measured ~1.3x faster end-to-end at 8x sf0.1 (hashing is cheaper;
+    shingle construction now dominates).
+
+    No SQL oracle: DuckDB's hash() is a different function family, so
+    signatures are engine-specific by construction (rows-only check).  Use
+    THIS variant at 100 TB; the md5 variant exists to let the oracle verify
+    the algorithm end-to-end."""
+    v = views(spark, sf_dir)
+    sh = _with_shingles(v["documents"])
+    h = sh.select(
+        "doc_id",
+        F.expr(
+            # mask to 56 bits so h1 + k*(2*h2+1) stays inside int64 under
+            # ANSI arithmetic (same range as the md5 variant's hex halves)
+            "transform(shingles, x -> named_struct("
+            "'h1', xxhash64(x) & 72057594037927935L, "
+            "'h2', (xxhash64(x, 1) & 72057594037927935L) * 2 + 1))"
+        ).alias("h12"),
+    )
+    mh = h.select("doc_id", *_minhash_cols_spark())
+    return mh.select("doc_id", *_band_cols_spark()).orderBy("doc_id")
