@@ -739,3 +739,96 @@ def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY flag
         """
     )
+
+
+@query(
+    "scalar_string_functions2",
+    oracle="""
+SELECT p_partkey,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0')       AS key_padded,
+       split_part(p_type, ' ', 1)                     AS type_head,
+       reverse(p_brand)                               AS brand_rev,
+       repeat('*', p_size % 5)                        AS stars,
+       translate(p_brand, '#', '-')                   AS brand_dash,
+       levenshtein(p_brand, 'Brand#1')                AS edit_dist,
+       position('#' IN p_brand)                       AS hash_pos,
+       left(p_name, 4)                                AS name_l4,
+       right(p_name, 4)                               AS name_r4
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("scalar",),
+)
+def scalar_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function sweep: padding, split_part, reverse, repeat,
+    translate, levenshtein, position, left/right — identical names and
+    semantics in both dialects."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               lpad(CAST(p_partkey AS STRING), 8, '0')  AS key_padded,
+               split_part(p_type, ' ', 1)               AS type_head,
+               reverse(p_brand)                         AS brand_rev,
+               repeat('*', p_size % 5)                  AS stars,
+               translate(p_brand, '#', '-')             AS brand_dash,
+               levenshtein(p_brand, 'Brand#1')          AS edit_dist,
+               position('#' IN p_brand)                 AS hash_pos,
+               left(p_name, 4)                          AS name_l4,
+               right(p_name, 4)                         AS name_r4
+        FROM part
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "scalar_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05)                          AS disc_dev,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT)    AS price_k_ceil,
+       CAST(floor(l_quantity / 10) AS BIGINT)          AS qty_decile,
+       round(ln(l_extendedprice), 6)                   AS price_ln,
+       round(log10(l_extendedprice), 6)                AS price_log10,
+       round(sqrt(l_quantity), 6)                      AS qty_sqrt,
+       round(pow(1 + l_tax, 2), 6)                     AS tax_sq,
+       CAST(sign(l_discount - 0.05) AS INTEGER)        AS disc_sign,
+       CAST(l_orderkey % 7 AS BIGINT)                  AS key_mod,
+       greatest(l_discount, l_tax)                     AS rate_hi,
+       least(l_discount, l_tax)                        AS rate_lo,
+       CASE WHEN l_quantity >= 50 THEN 6
+            ELSE CAST(floor(l_quantity / 10) + 1 AS BIGINT) END AS qty_bucket
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("scalar",),
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function sweep: abs/ceil/floor/ln/log10/sqrt/pow/sign/mod/
+    greatest/least/width_bucket — all codegen builtins in Spark, same
+    names in DuckDB (floor/ceil return DOUBLE there, BIGINT here — pinned
+    by explicit casts; width_bucket has no DuckDB builtin, so the oracle
+    emulates its bucket arithmetic)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05)                       AS disc_dev,
+               CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+               CAST(floor(l_quantity / 10) AS BIGINT)       AS qty_decile,
+               round(ln(l_extendedprice), 6)                AS price_ln,
+               round(log10(l_extendedprice), 6)             AS price_log10,
+               round(sqrt(l_quantity), 6)                   AS qty_sqrt,
+               round(pow(1 + l_tax, 2), 6)                  AS tax_sq,
+               CAST(sign(l_discount - 0.05) AS INT)         AS disc_sign,
+               CAST(l_orderkey % 7 AS BIGINT)               AS key_mod,
+               greatest(l_discount, l_tax)                  AS rate_hi,
+               least(l_discount, l_tax)                     AS rate_lo,
+               width_bucket(l_quantity, 0, 50, 5)           AS qty_bucket
+        FROM lineitem
+        WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
