@@ -17,7 +17,7 @@ total order (unique tie-break key); column names are identical on both sides.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -10,7 +10,6 @@ per batch, vectorized pandas ops inside) — never row-at-a-time.
 """
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_query_spark.operators.catalog import query, views

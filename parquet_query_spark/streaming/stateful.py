@@ -135,7 +135,6 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     # read back the last epoch (idempotent overwrite semantics)
     import glob
-    import os
 
     epochs = sorted(glob.glob(f"{out_dir}/epoch=*"), key=lambda p: int(p.rsplit("=", 1)[1]))
     return spark.read.parquet(epochs[-1]).orderBy("event_type")

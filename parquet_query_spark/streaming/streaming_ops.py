@@ -183,10 +183,8 @@ def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked up) and joins broadcast — the canonical streaming-enrichment
     pattern; no state is kept for the join itself, only for the windowless
     aggregation."""
-    from parquet_query_spark.sources.registry import load_table as _lt
-
     stream = _events_stream(spark, sf_dir)
-    customer = _lt(spark, sf_dir, "customer").select(
+    customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     agg = (
