@@ -433,3 +433,53 @@ def window_range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("o_custkey", "day_no", "o_orderkey")
     )
+
+
+@query(
+    "array_functions2",
+    oracle="""
+SELECT r_regionkey,
+       [r_regionkey, r_regionkey * 2, r_regionkey * 3] AS triples,
+       list_slice([10, 20, 30, 40, 50], 2, 4)          AS mid,
+       list_position([5, 1, 4, 1], 1)                  AS first_one,
+       list_sort([3, 1, 2], 'DESC')                    AS sorted_desc,
+       flatten([[1, 2], [3], []])                      AS flat,
+       list_contains([1, 2, 3], r_regionkey)           AS has_key,
+       array_to_string([r_regionkey, 9], '-')          AS joined,
+       range(1, r_regionkey + 2)                       AS upto
+FROM region
+ORDER BY r_regionkey
+""",
+    tags=("scalar", "nested"),
+)
+def array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function sweep beyond the higher-order basics: construction,
+    slice, position, sort, flatten, contains, join, sequence.  Name deltas
+    live in the oracle (DuckDB ``list_*``; DuckDB ``range`` is
+    end-exclusive vs Spark ``sequence`` inclusive, adjusted by bounds)."""
+    v = views(spark, sf_dir)
+    return (
+        v["region"]
+        .select(
+            "r_regionkey",
+            F.array(
+                F.col("r_regionkey"),
+                F.col("r_regionkey") * 2,
+                F.col("r_regionkey") * 3,
+            ).alias("triples"),
+            F.slice(F.array(*[F.lit(x) for x in (10, 20, 30, 40, 50)]), 2, 3).alias("mid"),
+            F.array_position(F.array(F.lit(5), F.lit(1), F.lit(4), F.lit(1)), 1).alias("first_one"),
+            F.sort_array(F.array(F.lit(3), F.lit(1), F.lit(2)), asc=False).alias("sorted_desc"),
+            F.flatten(
+                F.array(
+                    F.array(F.lit(1), F.lit(2)),
+                    F.array(F.lit(3)),
+                    F.array().cast("array<int>"),
+                )
+            ).alias("flat"),
+            F.array_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), F.col("r_regionkey")).alias("has_key"),
+            F.array_join(F.array(F.col("r_regionkey"), F.lit(9)), "-").alias("joined"),
+            F.sequence(F.lit(1), F.col("r_regionkey") + 1).alias("upto"),
+        )
+        .orderBy("r_regionkey")
+    )
