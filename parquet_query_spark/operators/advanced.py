@@ -138,7 +138,9 @@ SELECT vec_id,
        len(list_filter(embedding, x -> x > 0))                          AS n_positive,
        CASE WHEN len(list_filter(embedding, x -> x > 2.0)) > 0
             THEN true ELSE false END                                     AS any_gt2,
-       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+       array_to_string(list_transform(embedding[1:3],
+           x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS VARCHAR)),
+           ',')                                                          AS head3,
        round(CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0
              THEN CAST(x AS DOUBLE) ELSE 0.0 END)) AS DOUBLE), 4)        AS pos_sum
 FROM embeddings
@@ -156,8 +158,16 @@ def array_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
             F.exists("embedding", lambda x: x > 2.0).alias("any_gt2"),
-            F.transform(
-                F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+            # stringified (scaled-int) form: array-typed output columns crash
+            # the driver's row canonicalizer, so render "12345,-678,9" instead
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("embedding", 1, 3),
+                    lambda x: F.floor(x.cast("double") * 10000 + 0.5)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
             ).alias("head3"),
             F.round(
                 F.aggregate(
@@ -392,9 +402,12 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_percentile(
-                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
-            ).alias("quantiles")
+            # one scalar column per quantile (array outputs crash the driver
+            # canonicalizer); sketch is built once per group, probed 4×
+            F.approx_percentile("l_extendedprice", F.lit(0.25)).alias("ap25"),
+            F.approx_percentile("l_extendedprice", F.lit(0.50)).alias("ap50"),
+            F.approx_percentile("l_extendedprice", F.lit(0.75)).alias("ap75"),
+            F.approx_percentile("l_extendedprice", F.lit(0.95)).alias("ap95"),
         )
         .orderBy("l_returnflag")
     )
@@ -439,14 +452,14 @@ def window_range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataF
     "array_functions2",
     oracle="""
 SELECT r_regionkey,
-       [r_regionkey, r_regionkey * 2, r_regionkey * 3] AS triples,
-       list_slice([10, 20, 30, 40, 50], 2, 4)          AS mid,
-       list_position([5, 1, 4, 1], 1)                  AS first_one,
-       list_sort([3, 1, 2], 'DESC')                    AS sorted_desc,
-       flatten([[1, 2], [3], []])                      AS flat,
-       list_contains([1, 2, 3], r_regionkey)           AS has_key,
-       array_to_string([r_regionkey, 9], '-')          AS joined,
-       range(1, r_regionkey + 2)                       AS upto
+       array_to_string([r_regionkey, r_regionkey * 2, r_regionkey * 3], ',') AS triples,
+       array_to_string(list_slice([10, 20, 30, 40, 50], 2, 4), ',')          AS mid,
+       list_position([5, 1, 4, 1], 1)                                        AS first_one,
+       array_to_string(list_sort([3, 1, 2], 'DESC'), ',')                    AS sorted_desc,
+       array_to_string(flatten([[1, 2], [3], []]), ',')                      AS flat,
+       list_contains([1, 2, 3], r_regionkey)                                 AS has_key,
+       array_to_string([r_regionkey, 9], '-')                                AS joined,
+       array_to_string(range(1, r_regionkey + 2), ',')                       AS upto
 FROM region
 ORDER BY r_regionkey
 """,
@@ -462,24 +475,36 @@ def array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         v["region"]
         .select(
             "r_regionkey",
-            F.array(
-                F.col("r_regionkey"),
-                F.col("r_regionkey") * 2,
-                F.col("r_regionkey") * 3,
-            ).alias("triples"),
-            F.slice(F.array(*[F.lit(x) for x in (10, 20, 30, 40, 50)]), 2, 3).alias("mid"),
-            F.array_position(F.array(F.lit(5), F.lit(1), F.lit(4), F.lit(1)), 1).alias("first_one"),
-            F.sort_array(F.array(F.lit(3), F.lit(1), F.lit(2)), asc=False).alias("sorted_desc"),
-            F.flatten(
+            # integer arrays rendered "a,b,c" — array-typed output columns
+            # crash the driver canonicalizer; int→string is engine-identical
+            F.array_join(
                 F.array(
-                    F.array(F.lit(1), F.lit(2)),
-                    F.array(F.lit(3)),
-                    F.array().cast("array<int>"),
-                )
+                    F.col("r_regionkey"),
+                    F.col("r_regionkey") * 2,
+                    F.col("r_regionkey") * 3,
+                ),
+                ",",
+            ).alias("triples"),
+            F.array_join(
+                F.slice(F.array(*[F.lit(x) for x in (10, 20, 30, 40, 50)]), 2, 3), ","
+            ).alias("mid"),
+            F.array_position(F.array(F.lit(5), F.lit(1), F.lit(4), F.lit(1)), 1).alias("first_one"),
+            F.array_join(
+                F.sort_array(F.array(F.lit(3), F.lit(1), F.lit(2)), asc=False), ","
+            ).alias("sorted_desc"),
+            F.array_join(
+                F.flatten(
+                    F.array(
+                        F.array(F.lit(1), F.lit(2)),
+                        F.array(F.lit(3)),
+                        F.array().cast("array<int>"),
+                    )
+                ),
+                ",",
             ).alias("flat"),
             F.array_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), F.col("r_regionkey")).alias("has_key"),
             F.array_join(F.array(F.col("r_regionkey"), F.lit(9)), "-").alias("joined"),
-            F.sequence(F.lit(1), F.col("r_regionkey") + 1).alias("upto"),
+            F.array_join(F.sequence(F.lit(1), F.col("r_regionkey") + 1), ",").alias("upto"),
         )
         .orderBy("r_regionkey")
     )

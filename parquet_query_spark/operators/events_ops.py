@@ -122,8 +122,9 @@ WITH gaps AS (
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id,
@@ -164,11 +165,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot_type_by_user",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -199,8 +200,8 @@ WITH hourly AS (
   FROM events
   GROUP BY h, event_type
 )
-SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
-       SUM(n) AS n_events,
+SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
 FROM hourly
 GROUP BY day, event_type
@@ -229,7 +230,9 @@ def events_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hourly.groupBy(
-            F.date_trunc("day", F.col("h")).cast("date").alias("day"), "event_type"
+            # timestamp, not date: date-typed outputs land in pandas as
+            # object(datetime.date) vs DuckDB's datetime64 — driver canon mismatch
+            F.date_trunc("day", F.col("h")).alias("day"), "event_type"
         )
         .agg(
             F.sum("n").alias("n_events"),

@@ -127,7 +127,7 @@ def values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "struct_and_map_constructors",
     oracle="""
 SELECT r_regionkey,
-       {'region': r_name, 'key_sq': r_regionkey * r_regionkey} AS info,
+       to_json({'region': r_name, 'key_sq': r_regionkey * r_regionkey}) AS info,
        to_json(MAP(['name_len', 'key'], [length(r_name), r_regionkey])) AS metrics
 FROM region
 ORDER BY r_regionkey
@@ -142,9 +142,13 @@ def struct_and_map_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
         v["region"]
         .select(
             "r_regionkey",
-            F.struct(
-                F.col("r_name").alias("region"),
-                (F.col("r_regionkey") * F.col("r_regionkey")).alias("key_sq"),
+            # struct crosses the comparison boundary as JSON too — struct-typed
+            # output columns crash the driver canonicalizer
+            F.to_json(
+                F.struct(
+                    F.col("r_name").alias("region"),
+                    (F.col("r_regionkey") * F.col("r_regionkey")).alias("key_sq"),
+                )
             ).alias("info"),
             # maps cross the comparison boundary as JSON — the DuckDB client
             # materializes MAP as {'key': [...], 'value': [...]} otherwise
@@ -202,7 +206,7 @@ WITH RECURSIVE months(m) AS (
   UNION ALL
   SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-07-01'
 )
-SELECT m, COUNT(o_orderkey) AS n_orders
+SELECT CAST(m AS TIMESTAMP) AS m, COUNT(o_orderkey) AS n_orders
 FROM months
 LEFT JOIN orders
   ON year(o_orderdate) * 100 + month(o_orderdate) = year(m) * 100 + month(m)

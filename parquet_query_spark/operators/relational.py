@@ -361,7 +361,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        COUNT(DISTINCT l_suppkey)  AS n_suppliers,
-       SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk_lines
+       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk_lines
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -396,8 +396,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
             # accuracy 1000 ≈ ±0.1% rank error — sketch memory and merge cost
-            # scale with accuracy, and 10k was 4s of pure sketch build at sf0.01
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 1000).alias("price_quantiles"),
+            # scale with accuracy, and 10k was 4s of pure sketch build at sf0.01.
+            # Scalar columns (not one array<double>): array-typed outputs crash
+            # the driver's row canonicalizer.
+            F.percentile_approx("l_extendedprice", F.lit(0.5), 1000).alias("approx_p50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.95), 1000).alias("approx_p95"),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), 1000).alias("approx_p99"),
         )
         .orderBy("l_returnflag")
     )

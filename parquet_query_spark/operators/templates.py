@@ -80,9 +80,9 @@ _T5 = """
 SELECT
   CAST(o_custkey AS STRING)          AS account_id,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mes,
-  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sp_commitment,
-  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sp_effective_cost,
-  CAST(round(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sp_usage_save
+  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sp_commitment,
+  CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sp_effective_cost,
+  CAST(CAST(round(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sp_usage_save
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '2001-05-01' - INTERVAL '90' DAY
@@ -95,9 +95,9 @@ _T6 = """
 SELECT
   CAST(o_custkey AS STRING)          AS account_id,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mes,
-  CAST(round(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS ri_cost,
-  CAST(round(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS ri_usage_cost,
-  CAST(round(SUM(CAST(l_tax * l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS unused_ri
+  CAST(CAST(round(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS ri_cost,
+  CAST(CAST(round(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS ri_usage_cost,
+  CAST(CAST(round(SUM(CAST(l_tax * l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS unused_ri
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '2001-05-01' - INTERVAL '90' DAY

@@ -281,8 +281,8 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' ELSE 'low' END
          AS priority_class,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END)
-         AS late_lines
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90' DAY THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_lines
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY 1
 ORDER BY 1
