@@ -87,6 +87,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline,
             temporal,
             scale_patterns,
+            sink_queries,
             udfs,
         )
         from parquet_query_spark.streaming import (  # noqa: F401

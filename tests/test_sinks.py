@@ -74,3 +74,50 @@ def test_json_csv_round_trip(spark, tmp_path):
     assert cback.count() == region.count()
     assert set(jback.columns) == set(region.columns)
     assert set(cback.columns) == set(region.columns)
+
+
+def test_sink_roundtrip_queries_match_source(spark):
+    """The two driver-facing sink round-trip catalog queries: results match
+    the same aggregate computed directly on the source tables, and the
+    bucketed variant's join runs without a join-side Exchange."""
+    from parquet_query_spark.operators.catalog import load_all
+
+    catalog = load_all()
+    part = catalog["sink_roundtrip_partitioned"].fn(spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders")
+    direct = (
+        o.where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    assert part.collect() == direct.collect()
+
+    bucketed = catalog["sink_roundtrip_bucketed_join"].fn(spark, SF_DIR)
+    plan = _plan(bucketed)
+    # the join of the two bucketed tables must not shuffle its inputs: no
+    # hash-partitioning Exchange on either join key (the remaining
+    # Exchanges belong to the final groupBy/orderBy; a BroadcastExchange
+    # on the tiny-SF side is fine — broadcast is also shuffle-free)
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    li = load_table(spark, SF_DIR, "lineitem")
+    direct_join = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    assert bucketed.collect() == direct_join.collect()
