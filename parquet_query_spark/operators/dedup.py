@@ -250,16 +250,24 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact-Jaccard verification.
 
     Candidates come from an equi-join on (band_id, band_val) — the scalable
-    formulation (shuffle partitions by band hash; no cross join).  Exact
-    n-gram Jaccard then filters false positives.  Pair order doc_a<doc_b."""
+    formulation (shuffle partitions by band hash; no cross join).  The band
+    join carries only slim (doc_id, band_id, band_val) rows: document
+    shingle sets do NOT transit the band-explode/shuffle (which quadruples
+    row count and concentrates in hot-band partitions).  After candidate
+    pairs are deduplicated, shingles are re-attached by two doc_id-keyed
+    joins against the original one-row-per-doc relation — at 100 TB that
+    shuffles each document's shingles at most once per side instead of
+    4×-replicated through skewed band buckets (plan-asserted in
+    tests/test_plans.py: no operator carries shingles alongside band keys).
+    Exact n-gram Jaccard then filters false positives.  Pair order
+    doc_a<doc_b."""
     v = views(spark, sf_dir)
-    sh = _with_shingles(v["documents"])
-    h = sh.select("doc_id", "shingles", F.expr(_SPARK_H12).alias("h12"))
-    mh = h.select("doc_id", "shingles", *_minhash_cols_spark())
-    banded = mh.select("doc_id", "shingles", *_band_cols_spark())
+    sh = _with_shingles(v["documents"]).select("doc_id", "shingles")
+    h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
+    mh = h.select("doc_id", *_minhash_cols_spark())
+    banded = mh.select("doc_id", *_band_cols_spark())
     expl = banded.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -271,10 +279,10 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_id", "band.band_val")
+    ).select("doc_id", "band.band_id", "band.band_val")
     a = expl.alias("a")
     b = expl.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -284,10 +292,15 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))

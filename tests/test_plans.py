@@ -67,6 +67,17 @@ def test_minhash_signatures_no_shuffle_before_sort(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_minhash_candidates_band_join_slim(spark):
+    # the band-key self-join must shuffle only (doc_id, band_id, band_val)
+    # rows: no operator anywhere in the plan may carry the document shingle
+    # arrays alongside band keys (shingles re-attach AFTER pair dedup)
+    from parquet_query_spark.plans import formatted_plan
+
+    plan = formatted_plan(CATALOG["dedup_minhash_candidate_pairs"].fn(spark, SF))
+    for block in plan.split("\n\n"):
+        assert not ("band_val" in block and "shingles" in block), block
+
+
 def test_knn_broadcasts_queries(spark):
     plan = physical_plan(CATALOG["knn_bruteforce_cosine"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
