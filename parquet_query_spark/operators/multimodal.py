@@ -5,10 +5,17 @@ opaque ``binary`` column; decode / feature-extract / resize run as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so each task touches one
 partition's batches and nothing ever lands on the driver.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked deterministic stub (`_fake_decode_meta`) — the Spark plumbing
-(binary schema, batch iteration, UDF signature, partition behavior) is real
-and tested.  Swapping the stub for PIL/ffmpeg is a one-function change.
+The *decode* step is a real pure-Python container parser
+(`functions/image_meta.py`): PNG IHDR with CRC verification, JPEG SOF
+marker walk, GIF screen descriptor — it reads dimensions from any real
+.png/.jpg/.gif file without pixel decode (header-only, which is what a
+100 TB cataloging pass wants anyway).  The container environment has no
+image libraries and the test lake has no binary media, so the *ingest*
+side synthesizes genuine minimal container byte streams (valid
+signatures, chunk CRCs, marker structure) with content-derived
+dimensions; a green oracle row therefore proves the parser extracted the
+dimensions from the actual bytes.  Full pixel decode (PIL/ffmpeg) slots
+into the same mapInPandas worker unchanged.
 """
 
 from __future__ import annotations
@@ -19,11 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parquet_query_spark.functions.image_meta import (
+    GIF_STREAM_BYTES,
+    JPEG_STREAM_BYTES,
+    PNG_STREAM_BYTES,
+    image_dimensions,
+    make_gif,
+    make_jpeg,
+    make_png,
+)
 from parquet_query_spark.operators.catalog import query, views
 
 META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -31,22 +48,48 @@ META_SCHEMA = T.StructType(
     ]
 )
 
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
 
-def _fake_decode_meta(payload: bytes) -> tuple[int, int]:
-    """STUB decode: deterministic pseudo-dimensions from the payload bytes.
 
-    Stands in for an image decoder (PIL ``Image.open(io.BytesIO(b)).size``).
-    Deterministic on content so the DuckDB oracle can reproduce it from the
-    source text column.
-    """
-    first = payload[0] if payload else 0
-    width = 64 + (first * 7 + len(payload)) % 1856
-    height = 64 + (first * 13 + len(payload) * 3) % 1016
+def _content_dims(text_bytes: bytes) -> tuple[int, int]:
+    """Deterministic content→dimension mapping used by the synthetic ingest
+    (so the DuckDB oracle can predict what the parser must read back)."""
+    first = text_bytes[0] if text_bytes else 0
+    width = 64 + (first * 7 + len(text_bytes)) % 1856
+    height = 64 + (first * 13 + len(text_bytes) * 3) % 1016
     return width, height
 
 
+def synthesize_media_batches(batches) -> Iterator:
+    """mapInPandas worker: text rows → real PNG/JPEG/GIF byte streams
+    (format cycles by doc_id % 3), standing in for lake ingest."""
+    import pandas as pd
+
+    writers = (make_png, make_jpeg, make_gif)
+
+    def encode(doc_id: int, text: str) -> bytes:
+        w, h = _content_dims(text.encode("utf-8"))
+        return writers[doc_id % 3](w, h)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode(i, t) for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            }
+        )
+
+
 def decode_meta_batches(batches) -> Iterator:
-    """mapInPandas worker: binary payloads → metadata rows, batch-at-a-time."""
+    """mapInPandas worker: binary payloads → metadata rows via the REAL
+    header parsers, batch-at-a-time."""
     import math
 
     import pandas as pd
@@ -58,23 +101,35 @@ def decode_meta_batches(batches) -> Iterator:
         return math.floor(x * scale + 0.5) / scale
 
     for pdf in batches:
-        dims = pdf["payload"].map(lambda b: _fake_decode_meta(bytes(b)))
+        meta = pdf["payload"].map(lambda b: image_dimensions(bytes(b)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
+                "format": meta.map(lambda m: m[0]),
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "width": dims.map(lambda d: d[0]).astype("int32"),
-                "height": dims.map(lambda d: d[1]).astype("int32"),
-                "aspect": dims.map(lambda d: round_half_up(d[0] / d[1], 4)),
+                "width": meta.map(lambda m: m[1]).astype("int32"),
+                "height": meta.map(lambda m: m[2]).astype("int32"),
+                "aspect": meta.map(lambda m: round_half_up(m[1] / m[2], 4)),
             }
         )
 
 
+def media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary) of real container bytes."""
+    v = views(spark, sf_dir)
+    return v["documents"].select("doc_id", "text").mapInPandas(
+        synthesize_media_batches, PAYLOAD_SCHEMA
+    )
+
+
 @query(
     "multimodal_decode_meta",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       strlen(text)::INTEGER AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       (CASE doc_id % 3 WHEN 0 THEN {PNG_STREAM_BYTES}
+                        WHEN 1 THEN {JPEG_STREAM_BYTES}
+                        ELSE {GIF_STREAM_BYTES} END)::INTEGER AS n_bytes,
        (64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856)::INTEGER  AS width,
        (64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016)::INTEGER AS height,
        round(CAST(64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856 AS DOUBLE)
@@ -85,16 +140,14 @@ ORDER BY doc_id
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary→metadata extraction over mapInPandas.
+    """Binary→metadata extraction over mapInPandas with REAL parsers.
 
-    ``documents.text`` is encoded to a binary payload column (standing in
-    for image bytes), then decoded batch-wise.  The oracle recomputes the
-    stub's arithmetic from the text — proving the binary round-trip and the
-    batch plumbing preserve content exactly."""
-    v = views(spark, sf_dir)
-    media = v["documents"].select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    Ingest synthesizes genuine PNG/JPEG/GIF byte streams whose headers
+    encode content-derived dimensions; decode walks the actual container
+    structure (IHDR + CRC-32 check / SOF marker scan / screen descriptor).
+    The oracle predicts format, exact byte size, and dimensions from the
+    source text — a green row proves the parser read them from the bytes."""
+    media = media_payloads(spark, sf_dir)
     return media.mapInPandas(decode_meta_batches, META_SCHEMA).orderBy("doc_id")
 
 
@@ -178,13 +231,15 @@ ORDER BY doc_id
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: decode dims, fit into a 256x256 box (never upscale),
-    emit target geometry + RGB byte budget.
+    """Resize plumbing: parse real container headers for source dims, fit
+    into a 256x256 box (never upscale), emit target geometry + RGB byte
+    budget.
 
     Runs as the same mapInPandas pipeline a real resizer would (PIL
     ``img.resize((dst_w, dst_h))`` slots in where the arithmetic is); the
-    oracle recomputes the geometry from the stub decode, pinning the
-    batch plumbing end-to-end."""
+    oracle recomputes the geometry from the content→dimension mapping the
+    synthetic ingest wrote into the headers, pinning parse + batch
+    plumbing end-to-end."""
     import math
 
     import pandas as pd
@@ -193,7 +248,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h = _fake_decode_meta(bytes(payload))
+                _, w, h = image_dimensions(bytes(payload))
                 s = min(256.0 / w, 256.0 / h, 1.0)
                 dw, dh = max(1, math.floor(w * s)), max(1, math.floor(h * s))
                 rows.append((doc_id, w, h, dw, dh, dw * dh * 3))
@@ -201,8 +256,5 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h", "dst_bytes"]
             )
 
-    v = views(spark, sf_dir)
-    media = v["documents"].select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    media = media_payloads(spark, sf_dir)
     return media.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
