@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_jaccard_sample",
     "dedup_simhash",
     "dedup_connected_components",
+    "dedup_cluster_pipeline",
     "dedup_minhash_signatures_fast",
     # similarity tier
     "knn_bruteforce_cosine",

@@ -206,10 +206,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.select("doc_id", *_band_cols_spark()).orderBy("doc_id")
 
 
-@query(
-    "dedup_minhash_candidate_pairs",
-    oracle=f"""
-WITH sh AS (
+# Shared oracle CTE chain: documents → shingles → minhash → bands → LSH
+# band-join candidate pairs (with both shingle sets attached for Jaccard
+# verification).  Reused by the candidate-pair query and the full cluster
+# pipeline below.
+_DUCKDB_LSH_PAIR_CTES = f"""sh AS (
   SELECT doc_id, {_DUCKDB_SHINGLES} AS shingles FROM documents
 ),
 h AS (
@@ -235,7 +236,13 @@ pairs AS (
          a.shingles AS sh_a, b.shingles AS sh_b
   FROM expl a JOIN expl b
     ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-)
+)"""
+
+
+@query(
+    "dedup_minhash_candidate_pairs",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES}
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
@@ -244,7 +251,7 @@ WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
 ORDER BY doc_a, doc_b
 """,
-    tags=("dedup", "minhash"),
+    tags=("dedup", "minhash", "bench"),
 )
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact-Jaccard verification.
@@ -261,6 +268,20 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py: no operator carries shingles alongside band keys).
     Exact n-gram Jaccard then filters false positives.  Pair order
     doc_a<doc_b."""
+    jac = F.col("jaccard")
+    return (
+        _lsh_verified_pairs(spark, sf_dir, threshold=0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH band-join candidates that pass exact
+    n-gram Jaccard >= threshold.  Slim band shuffle; see
+    dedup_minhash_candidates for the 100 TB plan-shape rationale."""
     v = views(spark, sf_dir)
     sh = _with_shingles(v["documents"]).select("doc_id", "shingles")
     h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
@@ -305,10 +326,8 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / union
-    return (
-        pairs.where(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return pairs.where(jac >= threshold).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 
@@ -451,9 +470,62 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .where(inter / union >= 0.15)
-        .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    edges = pairs.union(pairs.select(F.col("pb"), F.col("pa"))).toDF("src", "dst").cache()
+    return _components_output(pairs)
+
+
+@query(
+    "dedup_cluster_pipeline",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size
+FROM (SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root)
+ORDER BY doc_id
+""",
+    tags=("dedup", "minhash", "iterative", "bench"),
+)
+def dedup_cluster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup clustering path, end to end: MinHash LSH
+    band-join candidates → exact-Jaccard verification (>= 0.2) → connected
+    components by min-label propagation → (doc_id, component_id,
+    component_size).
+
+    This is the composition a 100 TB dedup actually runs: the edge list
+    comes from the bucketed LSH join (never an all-pairs join — contrast
+    dedup_connected_components, the bounded ground-truth variant), and the
+    CC loop's per-iteration shuffles operate on the pair graph, which is
+    orders of magnitude smaller than the corpus.  Benchmarked so both the
+    LSH join and the iterative loop have wall-clock numbers."""
+    pairs = _lsh_verified_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    return _components_output(pairs)
+
+
+def _min_label_components(edges: DataFrame) -> DataFrame:
+    """(node, lbl) — connected-component labels over a directed edge list by
+    iterative min-label propagation to a fixpoint (DataFrame formulation of
+    large-scale CC, cf. alternating large-star/small-star: every step is a
+    shuffle-join, no driver-side graph; one count() action per iteration is
+    the fixpoint check)."""
+    edges = edges.cache()
 
     # min-label propagation: label(v) <- min(label(v), min over neighbors)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
@@ -483,18 +555,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    return labels
 
+
+def _components_output(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected pair list → (doc_id, component_id,
+    component_size), the dedup-cluster output shape."""
     from pyspark.sql import Window as W
 
-    out = (
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
+    labels = _min_label_components(edges)
+    return (
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
         .withColumn(
             "component_size", F.count("*").over(W.partitionBy("component_id"))
         )
         .orderBy("doc_id")
     )
-    edges.unpersist()
-    return out
 
 
 @query("dedup_minhash_signatures_fast", tags=("dedup", "minhash"))
