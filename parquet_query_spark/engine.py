@@ -43,26 +43,64 @@ class Result:
 
 
 _NUMERIC = re.compile(r"^-?\d+(\.\d+)?$")
-_DATEISH = re.compile(r"[-T:]")
+_DIGIT_RUN = re.compile(r"(\d+)")
 
 
-def _compare_key(value: str):
-    """Comparator semantics of ``compareCells`` (src/App.tsx:456-480):
-    numeric strings compare numerically; date-ish strings by parsed date;
-    empties sort last; else case-insensitive natural-ish compare."""
-    if value == "":
-        return (3, 0, "")
-    if _NUMERIC.match(value):
-        return (0, float(value), "")
-    if _DATEISH.search(value):
-        try:
-            import datetime as _dt
+def _parse_dateish(value: str) -> float | None:
+    """``Date.parse`` stand-in for the formats the workbench renders
+    (ISO dates/timestamps, optional trailing Z)."""
+    import datetime as _dt
 
-            ts = _dt.datetime.fromisoformat(value.rstrip("Z")).timestamp()
-            return (1, ts, "")
-        except ValueError:
-            pass
-    return (2, 0, value.lower())
+    try:
+        return _dt.datetime.fromisoformat(value.rstrip("Z")).timestamp()
+    except ValueError:
+        return None
+
+
+def _natural_parts(value: str) -> list[str | int]:
+    return [
+        int(p) if p.isdigit() else p
+        for p in _DIGIT_RUN.split(value.lower())
+        if p != ""
+    ]
+
+
+def _compare_cells(a_raw: str, b_raw: str) -> int:
+    """Pairwise comparator of ``compareCells`` (src/App.tsx:456-480):
+    values are trimmed first; both-numeric compares numerically;
+    both-date-hinted compares by parsed date; empties sort last; otherwise
+    a case-insensitive natural compare (digit runs as integers, matching
+    ``localeCompare(..., {numeric: true, sensitivity: 'base'})`` — so
+    'a2' sorts before 'a10').  Mixed-type cells fall through the pairwise
+    rules exactly as the reference does, instead of ordering by type class."""
+    a, b = a_raw.strip(), b_raw.strip()
+    if a == "" and b == "":
+        return 0
+    if a == "":
+        return 1
+    if b == "":
+        return -1
+
+    if _NUMERIC.match(a) and _NUMERIC.match(b):
+        an, bn = float(a), float(b)
+        return (an > bn) - (an < bn)
+
+    a_hint = "-" in a or "T" in a or ":" in a
+    b_hint = "-" in b or "T" in b or ":" in b
+    if a_hint and b_hint:
+        at, bt = _parse_dateish(a), _parse_dateish(b)
+        if at is not None and bt is not None:
+            return (at > bt) - (at < bt)
+
+    for pa, pb in zip(_natural_parts(a), _natural_parts(b)):
+        if pa == pb:
+            continue
+        if isinstance(pa, int) and isinstance(pb, int):
+            return (pa > pb) - (pa < pb)
+        sa, sb = str(pa), str(pb)
+        return (sa > sb) - (sa < sb)
+    la, lb = len(_natural_parts(a)), len(_natural_parts(b))
+    return (la > lb) - (la < lb)
 
 
 def filter_rows(rows: list[list[str]], needle: str) -> list[list[str]]:
@@ -76,11 +114,20 @@ def filter_rows(rows: list[list[str]], needle: str) -> list[list[str]]:
 def sort_rows(
     rows: list[list[str]], columns: list[str], column: str, direction: str = "asc"
 ) -> list[list[str]]:
-    """A12 — stable sort of displayed rows by one column (asc/desc)."""
+    """A12 — stable sort of displayed rows by one column (asc/desc).
+
+    Mirrors the reference's sortedTable (src/App.tsx:492-501): the pairwise
+    comparator result is direction-multiplied and ties keep original row
+    order regardless of direction (Python's stable sort gives exactly
+    that)."""
     if column not in columns or direction not in ("asc", "desc"):
         return rows
     idx = columns.index(column)
-    return sorted(rows, key=lambda r: _compare_key(r[idx]), reverse=direction == "desc")
+    import functools
+
+    mul = -1 if direction == "desc" else 1
+    cmp = functools.cmp_to_key(lambda ra, rb: mul * _compare_cells(ra[idx], rb[idx]))
+    return sorted(rows, key=cmp)
 
 
 class Engine:
@@ -104,9 +151,11 @@ class Engine:
 
     # A7 — materializing execute
     def sql(self, statement: str) -> DataFrame:
-        from parquet_query_spark.sources.registry import view_name_for_path
+        from parquet_query_spark.sources.registry import assign_view_names
 
-        registered = {path: view_name_for_path(path) for path in self.registry}
+        # Same insertion-ordered assignment as register_folder, so collided
+        # paths resolve to the suffixed view that was actually registered.
+        registered = assign_view_names(self.registry)
         return self.spark.sql(rewrite_path_tables(statement, self.root, registered))
 
     # A6 + A7 + A10 + A14 — the full run path

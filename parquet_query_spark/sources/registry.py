@@ -152,7 +152,7 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataF
     return out
 
 
-def view_name_for_path(path: str) -> str:
+def view_name_for_path(path: str, taken: set[str] | None = None) -> str:
     """Spark-safe temp-view name for a file's relative path.
 
     The reference keys tables by raw relative path (``src/duckdb.ts:41-44``);
@@ -160,10 +160,40 @@ def view_name_for_path(path: str) -> str:
     path spelling goes through the ``FROM 'path'`` rewrite
     (workbench.statements.rewrite_path_tables) while this sanitized alias
     (``dir/f.parquet`` → ``dir_f_parquet``) is registered as a convenience.
+
+    Sanitization is lossy (``a/b.parquet`` and ``a_b.parquet`` both map to
+    ``a_b_parquet``); when ``taken`` holds names already assigned, a
+    collision appends a short stable hash of the raw path so the second
+    registration cannot silently overwrite the first.
     """
+    import hashlib
     import re
 
-    return re.sub(r"[^A-Za-z0-9_]", "_", path)
+    base = re.sub(r"[^A-Za-z0-9_]", "_", path)
+    if taken is None or base not in taken:
+        return base
+    digest = hashlib.md5(path.encode("utf-8")).hexdigest()
+    n = 8
+    name = f"{base}_{digest[:n]}"
+    while name in taken and n < len(digest):
+        n += 4
+        name = f"{base}_{digest[:n]}"
+    return name
+
+
+def assign_view_names(paths) -> dict[str, str]:
+    """Deterministic path→view-name assignment (first-come keeps the plain
+    sanitized name; later collisions get a hash suffix).  Registration
+    (``register_folder``) and the path-rewrite mapping (``Engine.sql``) both
+    derive names through this, over the same insertion-ordered keys, so the
+    mapping stays authoritative on both sides."""
+    names: dict[str, str] = {}
+    taken: set[str] = set()
+    for p in paths:
+        n = view_name_for_path(p, taken)
+        names[p] = n
+        taken.add(n)
+    return names
 
 
 def register_folder(
@@ -179,6 +209,7 @@ def register_folder(
     (workbench.statements.rewrite_path_tables) or backticked identifiers.
     """
     files = collect_files(root)
+    names = assign_view_names(f.path for f in files)
     registry: dict[str, DataFrame] = {}
     for f in files:
         df = reader_for(spark, f.abs_path)
@@ -186,7 +217,7 @@ def register_folder(
         if ns_cols:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = _fix_nanos(spark.read.parquet(f.abs_path), ns_cols)
-        df.createOrReplaceTempView(view_name_for_path(f.path))
+        df.createOrReplaceTempView(names[f.path])
         registry[f.path] = df
 
     if table_name is not None:

@@ -60,6 +60,45 @@ def test_client_filter_and_sort():
     assert [r[0] for r in s2] == ["gamma", "Beta", "alpha"]
 
 
+def test_sort_natural_and_trim():
+    # localeCompare(..., {numeric: true}): digit runs compare as integers,
+    # so a2 < a10 (reference compareCells, src/App.tsx:479)
+    columns = ["name"]
+    rows = [["a10"], ["a2"], ["a1"]]
+    assert sort_rows(rows, columns, "name") == [["a1"], ["a2"], ["a10"]]
+    # values are trimmed before classification: " 10" is numeric
+    rows = [[" 10"], ["9"], ["  2"]]
+    assert sort_rows(rows, columns, "name") == [["  2"], ["9"], [" 10"]]
+
+
+def test_sort_pairwise_mixed_types():
+    columns = ["v"]
+    # numeric compare only when BOTH cells are numeric; date compare only
+    # when BOTH have a date hint — otherwise the natural-text branch
+    rows = [["10"], ["apple"], ["2024-01-02"], ["3"]]
+    s = [r[0] for r in sort_rows(rows, columns, "v")]
+    # pairwise rules: "10" vs "3" numeric (3 < 10); text branch puts digit
+    # runs before letters; the date string has a '-' but "apple"/"10" don't,
+    # so it compares as text against them
+    assert s.index("3") < s.index("10")
+    assert s.index("2024-01-02") < s.index("apple")
+    # empties first under desc (cmp is direction-multiplied, as in the
+    # reference's sortedTable)
+    rows = [["b"], [""], ["a"]]
+    assert sort_rows(rows, columns, "v", "desc") == [[""], ["b"], ["a"]]
+
+
+def test_view_name_collision_gets_hash_suffix():
+    from parquet_query_spark.sources.registry import assign_view_names
+
+    names = assign_view_names(["a/b.parquet", "a_b.parquet", "c.parquet"])
+    assert names["a/b.parquet"] == "a_b_parquet"
+    assert names["a_b.parquet"].startswith("a_b_parquet_")
+    assert len(set(names.values())) == 3
+    # deterministic across calls
+    assert names == assign_view_names(["a/b.parquet", "a_b.parquet", "c.parquet"])
+
+
 def test_export_csv(tmp_path, spark, sf_dir):
     eng = Engine.open(sf_dir, spark=spark)
     out = tmp_path / "out.csv"
