@@ -531,28 +531,29 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).cache()
+    cached = labels
     while True:
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        # Carry the pre-step label through the projection so the fixpoint
+        # check is a filter over the already-materialized step, not a second
+        # node-keyed join per iteration.
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
+                F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("node", "lbl")
         if changed == 0:
             break
     edges.unpersist()
