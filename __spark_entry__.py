@@ -78,6 +78,8 @@ _DRIVER_PRIORITY = [
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
     # UDF tier
     "udf_registered_token_count",
     "udf_grouped_zscore",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parquet_query_spark.functions.av_meta import MP4_STREAM_BYTES
 from parquet_query_spark.functions.image_meta import (
     GIF_STREAM_BYTES,
     JPEG_STREAM_BYTES,
@@ -258,3 +259,153 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_payloads(spark, sf_dir)
     return media.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# ── audio / video metadata (real WAV + MP4 container parsers) ───────────
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         (1 + doc_id % 2)::INTEGER AS channels,
+         (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)::INTEGER
+           AS sample_rate,
+         16::INTEGER AS bits,
+         (200 + (strlen(text) * 7) % 1800)::BIGINT AS n_frames
+  FROM documents
+)
+SELECT doc_id, channels, sample_rate, bits, n_frames,
+       (n_frames * 1000) // sample_rate AS duration_ms,
+       (44 + n_frames * channels * 2)::BIGINT AS n_bytes
+FROM synth
+ORDER BY doc_id
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio cataloging over opaque binary payloads: synthesize real PCM
+    WAV byte streams (RIFF + fmt + zero data) with content-derived layout,
+    then parse channels/rate/bits/frames back out of the RIFF chunks and
+    derive duration — header-only, no sample decode, the 100 TB shape.
+
+    The oracle predicts every field (including exact byte size, 44-byte
+    header + frames x block-align) from the source row, so a green row
+    proves the parser read the actual chunk structure."""
+    import pandas as pd
+
+    from parquet_query_spark.functions.av_meta import make_wav, wav_info
+
+    RATES = (8000, 16000, 44100)
+
+    def audio_batches(batches) -> Iterator:
+        for pdf in batches:
+            payloads = [
+                make_wav(
+                    1 + doc_id % 2,
+                    RATES[doc_id % 3],
+                    16,
+                    200 + (len(text.encode("utf-8")) * 7) % 1800,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            meta = [wav_info(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "channels": pd.Series(
+                        [m[0] for m in meta], dtype="int32"
+                    ),
+                    "sample_rate": pd.Series(
+                        [m[1] for m in meta], dtype="int32"
+                    ),
+                    "bits": pd.Series([m[2] for m in meta], dtype="int32"),
+                    "n_frames": [m[3] for m in meta],
+                    "duration_ms": [m[3] * 1000 // m[1] for m in meta],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    v = views(spark, sf_dir)
+    return (
+        v["documents"]
+        .select("doc_id", "text")
+        .mapInPandas(audio_batches, AUDIO_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_video_meta",
+    oracle=f"""
+SELECT doc_id,
+       (64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856)::INTEGER  AS width,
+       (64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016)::INTEGER AS height,
+       (1000 + (strlen(text) * 13) % 59000)::BIGINT AS duration_ms,
+       {MP4_STREAM_BYTES}::BIGINT AS n_bytes
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video cataloging over opaque binary payloads: synthesize real ISO
+    BMFF (MP4) byte streams — ftyp + moov(mvhd + trak/tkhd) — with
+    content-derived geometry and duration, then walk the box tree to read
+    width/height (tkhd 16.16 fixed point) and duration (mvhd timescale
+    units → ms).  Header-only box walk; frame decode is codec territory
+    and stays out of the catalog pass."""
+    import pandas as pd
+
+    from parquet_query_spark.functions.av_meta import make_mp4, mp4_info
+
+    def video_batches(batches) -> Iterator:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = _content_dims(text.encode("utf-8"))
+                payloads.append(
+                    make_mp4(w, h, 1000 + (len(text.encode("utf-8")) * 13) % 59000)
+                )
+            meta = [mp4_info(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "duration_ms": [m[2] for m in meta],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    v = views(spark, sf_dir)
+    return (
+        v["documents"]
+        .select("doc_id", "text")
+        .mapInPandas(video_batches, VIDEO_SCHEMA)
+        .orderBy("doc_id")
+    )
