@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "embedding_norms",
     "embedding_label_centroids",
     "embedding_neardup_pairs",
+    "embedding_neardup_clusters",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     # text tier

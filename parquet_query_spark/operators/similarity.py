@@ -280,6 +280,55 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS qv, b.embedding AS ev
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 50 AND b.vec_id < 50
+),
+verified AS (
+  SELECT id_a, id_b FROM pairs WHERE {_DUCKDB_COSINE} >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT vec_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size
+FROM (SELECT root AS vec_id, MIN(node) AS component_id FROM reach GROUP BY root)
+ORDER BY vec_id
+""",
+    tags=("similarity", "dedup", "iterative"),
+)
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: cosine-threshold pairs → connected
+    components (same min-label propagation as the text dedup path —
+    `operators.dedup._components_output` — one CC implementation serves
+    every edge source).
+
+    Pairs here come from the bounded exact-cosine sample so the recursive-
+    CTE oracle can verify the closure; at 100 TB the edge list comes from
+    the LSH bucket join (`ann_lsh_cosine`) and this composition is
+    unchanged — exactly mirroring how `dedup_cluster_pipeline` swaps the
+    bounded all-pairs edges of `dedup_connected_components` for LSH
+    candidates."""
+    from parquet_query_spark.operators.dedup import _components_output
+
+    pairs = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return _components_output(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
 N_IVF_QUERIES = 10
 IVF_NPROBE = 3
 IVF_TOP_K = 5
