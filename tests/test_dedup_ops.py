@@ -74,6 +74,29 @@ def test_simhash_hamming_properties(spark, crafted_dir):
     assert hamming(rows[1], rows[4]) >= 20    # unrelated → far
 
 
+def test_simhash_buckets_find_near_duplicates(spark, crafted_dir):
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in CATALOG["dedup_simhash_buckets"].fn(spark, crafted_dir).collect()
+    }
+    assert rows[(1, 2)] == 0          # exact clones share every band
+    assert (1, 4) not in rows         # unrelated docs never pair
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Pointer halving must collapse a 64-node path graph in O(log n)
+    rounds (plain min-label propagation needs 63)."""
+    import parquet_query_spark.operators.dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a INT, doc_b INT"
+    )
+    out = D._components_output(pairs).collect()
+    assert {r.component_id for r in out} == {0}
+    assert all(r.component_size == 64 for r in out)
+    assert D.LAST_CC_ROUNDS <= 8, f"took {D.LAST_CC_ROUNDS} rounds"
+
+
 def test_fingerprint_normalization(spark, crafted_dir):
     df = CATALOG["text_fingerprint"].fn(spark, crafted_dir)
     rows = {r.doc_id: (r.norm_fingerprint, r.raw_fingerprint) for r in df.collect()}
