@@ -393,21 +393,55 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantiles", tags=("aggregate", "quantile", "approx"))
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       (abs(approx_quantile(l_extendedprice, 0.25)
+            - quantile_cont(l_extendedprice, 0.25))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.25))::INTEGER AS ap25_within_5pct,
+       (abs(approx_quantile(l_extendedprice, 0.50)
+            - quantile_cont(l_extendedprice, 0.50))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.50))::INTEGER AS ap50_within_5pct,
+       (abs(approx_quantile(l_extendedprice, 0.75)
+            - quantile_cont(l_extendedprice, 0.75))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.75))::INTEGER AS ap75_within_5pct,
+       (abs(approx_quantile(l_extendedprice, 0.95)
+            - quantile_cont(l_extendedprice, 0.95))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.95))::INTEGER AS ap95_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "quantile", "approx"),
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles (`approx_percentile`) — the mergeable,
-    single-pass form that replaces the exact sort at cluster scale.  No SQL
-    oracle: approximation algorithms differ across engines by design."""
+    single-pass form that replaces the exact sort at cluster scale.
+
+    Sketch outputs are engine-specific, so the verifiable column is a
+    per-quantile tolerance flag: each engine checks its own sketch against
+    its own exact quantile (both deterministic on fixed input) and emits 1
+    — hash-matchable across engines while still running the real sketch.
+    Note each approx_percentile call builds its own independent sketch
+    (four sketches per group, not one probed 4×); the array form would
+    share one, but array outputs crash the driver canonicalizer."""
     li = views(spark, sf_dir)["lineitem"]
+
+    def flag(p: float, name: str) -> F.Column:
+        exact = F.percentile("l_extendedprice", F.lit(p))
+        approx = F.approx_percentile("l_extendedprice", F.lit(p))
+        return (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias(name)
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            # one scalar column per quantile (array outputs crash the driver
-            # canonicalizer); sketch is built once per group, probed 4×
-            F.approx_percentile("l_extendedprice", F.lit(0.25)).alias("ap25"),
-            F.approx_percentile("l_extendedprice", F.lit(0.50)).alias("ap50"),
-            F.approx_percentile("l_extendedprice", F.lit(0.75)).alias("ap75"),
-            F.approx_percentile("l_extendedprice", F.lit(0.95)).alias("ap95"),
+            F.count("*").alias("n_rows"),
+            flag(0.25, "ap25_within_5pct"),
+            flag(0.50, "ap50_within_5pct"),
+            flag(0.75, "ap75_within_5pct"),
+            flag(0.95, "ap95_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

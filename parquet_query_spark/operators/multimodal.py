@@ -57,12 +57,19 @@ PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-def _content_dims(text_bytes: bytes) -> tuple[int, int]:
+def _content_dims(text: str) -> tuple[int, int]:
     """Deterministic content→dimension mapping used by the synthetic ingest
-    (so the DuckDB oracle can predict what the parser must read back)."""
-    first = text_bytes[0] if text_bytes else 0
-    width = 64 + (first * 7 + len(text_bytes)) % 1856
-    height = 64 + (first * 13 + len(text_bytes) * 3) % 1016
+    (so the DuckDB oracle can predict what the parser must read back).
+
+    Uses the first character's Unicode codepoint mod 256 — NOT the first
+    UTF-8 byte — because the oracle's only per-character accessor is
+    ``ascii()`` (codepoint); ``% 256`` keeps both sides identical for
+    non-ASCII leading characters too.  Length is UTF-8 byte length
+    (DuckDB ``strlen``)."""
+    first = (ord(text[0]) % 256) if text else 0
+    n = len(text.encode("utf-8"))
+    width = 64 + (first * 7 + n) % 1856
+    height = 64 + (first * 13 + n * 3) % 1016
     return width, height
 
 
@@ -74,7 +81,7 @@ def synthesize_media_batches(batches) -> Iterator:
     writers = (make_png, make_jpeg, make_gif)
 
     def encode(doc_id: int, text: str) -> bytes:
-        w, h = _content_dims(text.encode("utf-8"))
+        w, h = _content_dims(text)
         return writers[doc_id % 3](w, h)
 
     for pdf in batches:
@@ -131,10 +138,10 @@ SELECT doc_id,
        (CASE doc_id % 3 WHEN 0 THEN {PNG_STREAM_BYTES}
                         WHEN 1 THEN {JPEG_STREAM_BYTES}
                         ELSE {GIF_STREAM_BYTES} END)::INTEGER AS n_bytes,
-       (64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856)::INTEGER  AS width,
-       (64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016)::INTEGER AS height,
-       round(CAST(64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856 AS DOUBLE)
-             / (64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016), 4) AS aspect
+       (64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856)::INTEGER  AS width,
+       (64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016)::INTEGER AS height,
+       round(CAST(64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856 AS DOUBLE)
+             / (64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016), 4) AS aspect
 FROM documents
 ORDER BY doc_id
 """,
@@ -152,14 +159,41 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(decode_meta_batches, META_SCHEMA).orderBy("doc_id")
 
 
-@query("multimodal_frame_sample", oracle=None, tags=("multimodal", "pandas-udf"))
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(n_chunks / 3.0) AS BIGINT))) AS frame_no
+  FROM f
+)
+SELECT doc_id,
+       CAST(frame_no AS INTEGER) AS frame_no,
+       strlen(substr(text, CAST(frame_no * 192 + 1 AS BIGINT), 64))::INTEGER AS frame_bytes,
+       md5(substr(text, CAST(frame_no * 192 + 1 AS BIGINT), 64)) AS frame_digest
+FROM k
+ORDER BY doc_id, frame_no
+""",
+    tags=("multimodal", "pandas-udf"),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads.
 
     Splits each payload into fixed-size "frames" (stub for keyframe
-    extraction) and emits one row per sampled frame — demonstrating the
-    1→N explode shape of frame sampling with bounded memory per batch.
-    Rows-only check (sampling layout is not SQL-expressible)."""
+    extraction — a real decoder slots into the same worker) and emits one
+    row per sampled frame (every 3rd), demonstrating the 1→N explode shape
+    with bounded memory per batch and a content digest per frame.
+
+    Frames are 64-CHARACTER slices: the oracle engine can slice and md5
+    only VARCHARs (no BLOB substring/digest in DuckDB 1.0), and md5 of a
+    character slice hashes its UTF-8 bytes on both engines — so digests,
+    byte counts, and frame numbering are all content-predicted by the
+    oracle, proving the worker actually sliced and hashed the payload."""
     import pandas as pd
 
     schema = T.StructType(
@@ -174,25 +208,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sample_frames(batches) -> Iterator:
         import hashlib
 
-        FRAME, STRIDE = 64, 3  # 64-byte frames, every 3rd
+        FRAME, STRIDE = 64, 3  # 64-char frames, every 3rd
 
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                frames = [data[i : i + FRAME] for i in range(0, len(data), FRAME)]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [text[i : i + FRAME] for i in range(0, len(text), FRAME)]
                 for n, fr in enumerate(frames[::STRIDE]):
-                    rows.append(
-                        (doc_id, n, len(fr), hashlib.md5(fr).hexdigest())
-                    )
+                    raw = fr.encode("utf-8")
+                    rows.append((doc_id, n, len(raw), hashlib.md5(raw).hexdigest()))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_digest"]
             ).astype({"frame_no": "int32", "frame_bytes": "int32"})
 
     v = views(spark, sf_dir)
-    media = v["documents"].select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    media = v["documents"].select("doc_id", "text")
     return media.mapInPandas(sample_frames, schema).orderBy("doc_id", "frame_no")
 
 
@@ -213,8 +243,8 @@ RESIZE_SCHEMA = T.StructType(
     oracle="""
 WITH meta AS (
   SELECT doc_id,
-         64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856  AS w,
-         64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016 AS h
+         64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856  AS w,
+         64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016 AS h
   FROM documents
 ),
 scaled AS (
@@ -363,8 +393,8 @@ VIDEO_SCHEMA = T.StructType(
     "multimodal_video_meta",
     oracle=f"""
 SELECT doc_id,
-       (64 + (ascii(substr(text, 1, 1)) * 7 + strlen(text)) % 1856)::INTEGER  AS width,
-       (64 + (ascii(substr(text, 1, 1)) * 13 + strlen(text) * 3) % 1016)::INTEGER AS height,
+       (64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856)::INTEGER  AS width,
+       (64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016)::INTEGER AS height,
        (1000 + (strlen(text) * 13) % 59000)::BIGINT AS duration_ms,
        {MP4_STREAM_BYTES}::BIGINT AS n_bytes
 FROM documents
@@ -387,7 +417,7 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w, h = _content_dims(text.encode("utf-8"))
+                w, h = _content_dims(text)
                 payloads.append(
                     make_mp4(w, h, 1000 + (len(text.encode("utf-8")) * 13) % 59000)
                 )

@@ -383,25 +383,62 @@ def agg_distinct_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_exact_orders,
+       (abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+          <= 0.10 * COUNT(DISTINCT l_orderkey))::INTEGER AS orders_within_10pct,
+       (abs(approx_quantile(l_extendedprice, 0.5)
+            - quantile_cont(l_extendedprice, 0.5))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.5))::INTEGER AS p50_within_5pct,
+       (abs(approx_quantile(l_extendedprice, 0.95)
+            - quantile_cont(l_extendedprice, 0.95))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.95))::INTEGER AS p95_within_5pct,
+       (abs(approx_quantile(l_extendedprice, 0.99)
+            - quantile_cont(l_extendedprice, 0.99))
+          <= 0.05 * quantile_cont(l_extendedprice, 0.99))::INTEGER AS p99_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct + approximate quantiles — sketch-based,
-    mergeable, constant memory per partition (the 100 TB path).  No oracle:
-    sketch values are engine-specific (driver does the rows-only check);
-    tests bound the relative error against exact counts instead."""
+    mergeable, constant memory per partition (the 100 TB path).
+
+    Raw sketch values are engine-specific, so the verifiable output is a
+    tolerance boolean per group: EACH engine compares ITS OWN sketch to
+    ITS OWN exact value and emits whether it landed within tolerance —
+    deterministic 1 on both sides (HLL error ~1-2% ≪ 10%; quantile-sketch
+    value error ≪ 5% at these accuracies), hence hash-matchable, while
+    still executing the real sketch aggregates."""
     v = views(spark, sf_dir)
+    exact_orders = F.countDistinct("l_orderkey")
+
+    def q_flag(p: float, name: str) -> F.Column:
+        exact = F.percentile("l_extendedprice", F.lit(p))
+        # accuracy 1000 ≈ ±0.1% rank error — sketch memory and merge cost
+        # scale with accuracy, and 10k was 4s of pure sketch build at sf0.01
+        approx = F.percentile_approx("l_extendedprice", F.lit(p), F.lit(1000))
+        return (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias(name)
+
     return (
         v["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            # accuracy 1000 ≈ ±0.1% rank error — sketch memory and merge cost
-            # scale with accuracy, and 10k was 4s of pure sketch build at sf0.01.
-            # Scalar columns (not one array<double>): array-typed outputs crash
-            # the driver's row canonicalizer.
-            F.percentile_approx("l_extendedprice", F.lit(0.5), 1000).alias("approx_p50"),
-            F.percentile_approx("l_extendedprice", F.lit(0.95), 1000).alias("approx_p95"),
-            F.percentile_approx("l_extendedprice", F.lit(0.99), 1000).alias("approx_p99"),
+            exact_orders.alias("n_exact_orders"),
+            (
+                F.abs(F.approx_count_distinct("l_orderkey") - exact_orders)
+                <= 0.10 * exact_orders
+            )
+            .cast("int")
+            .alias("orders_within_10pct"),
+            q_flag(0.5, "p50_within_5pct"),
+            q_flag(0.95, "p95_within_5pct"),
+            q_flag(0.99, "p99_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -60,8 +60,14 @@ def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle aggregates the source table directly, so a green row proves the
     sink is lossless AND the pruned read is complete.  Money is summed as
     integer cents (order-independent, no float shuffle drift)."""
+    import os
+    import shutil
+
     v = views(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="sink_roundtrip_part_")
+    # Fixed scratch path, delete-then-write: repeated bench/correctness runs
+    # reuse one directory instead of leaking a fresh mkdtemp copy each time.
+    out = os.path.join(tempfile.gettempdir(), "pqs_sink_roundtrip_part")
+    shutil.rmtree(out, ignore_errors=True)
     write_parquet(v["orders"], out, partition_by=["o_orderstatus"])
     back = spark.read.parquet(out).where(F.col("o_orderstatus").isin("F", "O"))
     return (
