@@ -9,34 +9,29 @@ Maps the reference UI surface (SURVEY §2.A) onto a CLI:
 * Results render as the 200-row preview + true-count banner (A10, A14).
 * ``\\export <file.csv> <sql>`` streams the full result to CSV (A13).
 * Scripts persist to ``~/.parquet_query_spark/tabs.json`` — the localStorage
-  tab store (A16) as a plain JSON file: ``\\save NAME`` / ``\\open NAME`` /
-  ``\\tabs``.
+  tab store (A16) with the reference's three categories
+  ``scripts|bookmarks|templates`` (``App.tsx:23-29``): ``\\save NAME
+  [category]`` / ``\\open NAME`` / ``\\tabs [category]``; the six built-in
+  template queries ship pre-seeded and open as script copies.
+* ``\\example [FILE]`` — the reference's one-click example queries:
+  bare = ``SELECT * FROM <table> LIMIT 50`` for the union view
+  (``App.tsx:61-64``), with FILE = ``SELECT * FROM '<path>' LIMIT 100``.
 """
 
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
 from parquet_query_spark.engine import Engine
+from parquet_query_spark.workbench.tabs import (
+    TabStore,
+    file_example_sql,
+    table_example_sql,
+)
 
 TABS_PATH = os.path.expanduser("~/.parquet_query_spark/tabs.json")
-
-
-def load_tabs() -> dict[str, str]:
-    try:
-        with open(TABS_PATH) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {}
-
-
-def save_tabs(tabs: dict[str, str]) -> None:
-    os.makedirs(os.path.dirname(TABS_PATH), exist_ok=True)
-    with open(TABS_PATH, "w") as f:
-        json.dump(tabs, f, indent=2)
 
 
 def render(res) -> str:
@@ -60,9 +55,12 @@ def run_buffer(eng: Engine, buffer: str) -> None:
 
 
 def repl(eng: Engine) -> None:
-    tabs = load_tabs()
+    tabs = TabStore(TABS_PATH)
     buffer: list[str] = []
-    print("parquet_query_spark — ';' runs, \\q quits, \\tabs \\save \\open \\export")
+    print(
+        "parquet_query_spark — ';' runs, \\q quits, "
+        "\\tabs \\save \\open \\example \\export"
+    )
     while True:
         try:
             line = input("pq> " if not buffer else "  > ")
@@ -70,23 +68,49 @@ def repl(eng: Engine) -> None:
             break
         if line.strip() == "\\q":
             break
-        if line.strip() == "\\tabs":
-            for name in sorted(tabs):
-                print(f"  {name}")
+        if line.strip() == "\\tabs" or line.strip().startswith("\\tabs "):
+            cat = line.strip()[5:].strip() or None
+            try:
+                for c, names in tabs.names(cat).items():
+                    print(f"{c}:")
+                    for name in names:
+                        print(f"  {name}")
+            except KeyError:
+                print(f"no category '{cat}'")
             continue
         if line.strip().startswith("\\save "):
-            name = line.strip()[6:].strip()
-            tabs[name] = "\n".join(buffer)
-            save_tabs(tabs)
-            print(f"saved '{name}'")
+            parts = line.strip()[6:].split()
+            name = parts[0] if parts else ""
+            category = parts[1] if len(parts) > 1 else "scripts"
+            try:
+                tabs.save(name, "\n".join(buffer), category)
+                print(f"saved '{name}' to {category}")
+            except ValueError as exc:
+                print(f"error: {exc}")
             continue
         if line.strip().startswith("\\open "):
             name = line.strip()[6:].strip()
-            if name in tabs:
-                buffer = tabs[name].splitlines()
-                print(tabs[name])
-            else:
+            try:
+                sql, category = tabs.open(name)
+            except KeyError:
                 print(f"no tab '{name}'")
+            else:
+                buffer = sql.splitlines()
+                print(f"-- [{category}] {name}")
+                print(sql)
+            continue
+        if line.strip() == "\\example" or line.strip().startswith("\\example "):
+            arg = line.strip()[8:].strip()
+            if arg:
+                sql = file_example_sql(arg)
+            elif getattr(eng, "table_name", None):
+                sql = table_example_sql(eng.table_name)
+            else:
+                print("no union table (start with --table NAME) — "
+                      "use \\example FILE for a per-file query")
+                continue
+            buffer = sql.splitlines()
+            print(sql)
             continue
         if line.strip().startswith("\\export "):
             rest = line.strip()[8:]

@@ -137,6 +137,7 @@ class Engine:
         self.spark = spark or get_spark()
         self.root = root
         self.registry: dict[str, DataFrame] = {}
+        self.table_name: str | None = None
 
     @classmethod
     def open(
@@ -147,6 +148,7 @@ class Engine:
     ) -> "Engine":
         eng = cls(spark=spark, root=folder)
         eng.registry = register_folder(eng.spark, folder, table_name)
+        eng.table_name = table_name
         return eng
 
     # A7 — materializing execute
