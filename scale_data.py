@@ -6,8 +6,14 @@ Big tables are unioned N times with key offsets (so keys stay unique);
 dimension tables are copied as-is.  DuckDB does the heavy lifting — no
 Spark session needed.
 
+``--hot-cluster N`` additionally injects N near-identical documents (one
+giant near-dup cluster): every injected doc shares its MinHash bands, so
+the LSH candidate join gets ONE hot (band_id, band_val) bucket with ~N²/2
+pair expansion — the skew topology that breaks naive LSH joins at corpus
+scale.  Used for the BASELINE.md band-skew/AQE measurement.
+
 Usage:
-  python scale_data.py [--src /root/testdata/sf0.1] [--dst /tmp/scale_x8] [--factor 8]
+  python scale_data.py [--src /root/testdata/sf0.1] [--dst /tmp/scale_x8] [--factor 8] [--hot-cluster 0]
   SPARK_GRAFT_SF_DIR=/tmp/scale_x8 python bench.py
   SPARK_GRAFT_SF_DIR=/tmp/scale_x8 python baseline_duckdb.py
 """
@@ -34,6 +40,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/scale_x8")
     ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument(
+        "--hot-cluster",
+        type=int,
+        default=0,
+        help="inject N near-identical documents (one hot LSH band bucket)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
@@ -50,6 +62,21 @@ def main() -> None:
             f"FROM '{args.src}/{t}.parquet'"
             for i in range(args.factor)
         )
+        if t == "documents" and args.hot_cluster:
+            # N copies of one document, each with a distinct trailing token:
+            # shingle sets still overlap ~fully, so all N land in the same
+            # LSH band buckets AND pass exact-Jaccard verification — the
+            # worst-case hot-band topology.
+            base_off = args.factor * off
+            union += f"""
+ UNION ALL
+ SELECT {base_off} + r.range AS doc_id,
+        b.text || ' hotdup tail token v' || CAST(r.range % 7 AS VARCHAR) AS text,
+        b.lang, 'hot_cluster' AS source, strlen(b.text) + 22 AS n_chars
+ FROM range({args.hot_cluster}) r
+ CROSS JOIN (SELECT text, lang FROM '{args.src}/{t}.parquet'
+             ORDER BY doc_id LIMIT 1) b
+"""
         con.execute(f"COPY ({union}) TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM '{args.dst}/{t}.parquet'").fetchone()[0]
         print(t, n, "rows")
