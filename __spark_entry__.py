@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     # ── new/changed oracles this round ──
     "dedup_simhash_buckets",
     "dedup_simhash",
+    "dedup_cluster_survivors",
     "agg_approx_distinct",
     "multimodal_frame_sample",
     # ── already green; re-confirm high-value rows in remaining slots ──

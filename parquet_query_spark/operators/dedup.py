@@ -671,6 +671,72 @@ def dedup_cluster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 LAST_CC_ROUNDS = 0
 
 
+@query(
+    "dedup_cluster_survivors",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root
+)
+SELECT d.doc_id, d.lang, d.source,
+       (c.doc_id IS NOT NULL)::INTEGER AS was_clustered
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.component_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("dedup", "minhash", "iterative"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned-corpus output of the near-dup pipeline: keep ONE document
+    per near-dup cluster (the min-doc_id keeper) plus every unclustered
+    document — i.e. what a 100 TB dedup actually ships downstream.
+
+    Composition: LSH candidates → Jaccard verify → connected components →
+    keeper selection (label == self) → anti-join-style merge with the
+    corpus.  The keeper rule generalizes (earliest crawl, highest quality
+    score) by swapping the min() in the component labeling."""
+    v = views(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir, threshold=0.2).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
+    labels = _min_label_components(edges)
+    docs = v["documents"].select("doc_id", "lang", "source")
+    lab = labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+    merged = docs.join(lab, "doc_id", "left")
+    return (
+        merged.where(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("component_id").isNotNull().cast("int").alias("was_clustered"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _min_label_components(edges: DataFrame) -> DataFrame:
     """(node, lbl) — connected-component labels over a directed edge list.
 
