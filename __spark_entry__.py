@@ -66,6 +66,10 @@ _DRIVER_PRIORITY = [
     "dedup_simhash_buckets",
     "dedup_simhash",
     "dedup_cluster_survivors",
+    "dedup_decontaminate",
+    "text_tfidf_top_terms",
+    "embedding_quantize_int8",
+    "ann_lsh_cosine",
     "agg_approx_distinct",
     "multimodal_frame_sample",
     # ── already green; re-confirm high-value rows in remaining slots ──
@@ -100,7 +104,6 @@ _DRIVER_PRIORITY = [
 # checks by construction) — forced to the very end of the sample order.
 _DRIVER_LAST = [
     "dedup_minhash_signatures_fast",
-    "ann_lsh_cosine",
 ]
 
 

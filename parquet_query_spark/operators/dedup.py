@@ -326,9 +326,15 @@ def _lsh_verified_pairs(
         sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
         "doc_b",
     )
-    # One array_intersect per pair: Catalyst does not CSE the expression
-    # across the numerator and the union term, so hoist it into its own
-    # projected column before it is referenced twice.
+    # inter_sz is hoisted into one projected column for readability, but note
+    # Catalyst re-inlines it anyway: CollapseProject merges the projection and
+    # predicate-pushdown moves the threshold filter INTO the join condition
+    # (verified in the optimized plan), so the intersect is evaluated in the
+    # join predicate per candidate and once more when projecting survivors.
+    # That trade is correct — filtering inside the join materializes only
+    # passing pairs — and codegen-level subexpression elimination dedups the
+    # repeated subtree within the predicate itself; measured wall-clock is
+    # identical either way at sf0.1.
     scored = pairs.withColumn(
         "inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     )
@@ -819,6 +825,74 @@ def _components_output(pairs: DataFrame) -> DataFrame:
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
         .withColumn(
             "component_size", F.count("*").over(W.partitionBy("component_id"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCKDB_SHINGLES} AS shingles FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, unnest(shingles) AS shingle
+  FROM sh WHERE doc_id < 10
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle
+  FROM sh WHERE doc_id >= 10
+),
+hits AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS shared
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT doc_id,
+       COUNT(*)            AS n_bench_docs,
+       MAX(shared)::BIGINT AS max_shared,
+       MIN(bench_id)       AS worst_bench_id
+FROM hits
+WHERE shared >= 3
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("dedup", "decontamination"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥3 3-token
+    shingles with any held-out benchmark document (here: doc_id < 10
+    stands in for the eval set).
+
+    The canonical pre-training hygiene pass.  Scale shape: real benchmark
+    suites are tiny (10⁵-10⁶ shingles), so the benchmark side BROADCASTS
+    and the 100 TB corpus side streams through a broadcast hash join with
+    zero shuffle of corpus data; the per-(doc, bench) overlap count is a
+    map-side-combinable aggregation on the (small) hit set.  worst_bench_id
+    = the lowest-id matched benchmark doc (deterministic tie-break)."""
+    v = views(spark, sf_dir)
+    sh = _with_shingles(v["documents"])
+    bench = (
+        sh.where(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("shingle"))
+    )
+    corpus = (
+        sh.where(F.col("doc_id") >= 10)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        hits.where(F.col("shared") >= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bench_docs"),
+            F.max("shared").alias("max_shared"),
+            F.min("bench_id").alias("worst_bench_id"),
         )
         .orderBy("doc_id")
     )

@@ -164,26 +164,96 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_planes(n_planes: int, dim: int):
-    """Deterministic random hyperplanes (seeded, reproducible everywhere)."""
-    import numpy as np
+    """Deterministic hyperplanes derived from md5 — uniform in [-1, 1].
 
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((n_planes, dim))
+    md5-derived (not seeded-Gaussian) so the SQL oracle can reproduce the
+    exact same planes: plane[p][d] = (int(md5('plane_p_d')[:8hex]) %
+    2000001 - 10^6) / 10^6.  For sign-projection LSH any symmetric
+    coordinate distribution gives a valid hash family; the recall test
+    (tests/test_similarity_ops.py) holds under the uniform planes."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:8], 16)
+                % 2000001
+                - 1000000
+            )
+            / 1000000.0
+            for d in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-@query("ann_lsh_cosine", oracle=None, tags=("similarity", "ann"))
+_DUCKDB_LSH_PLANES = """pl AS (
+  SELECT pp.p,
+         list_transform(range(1, 65), d ->
+           (CAST('0x' || substr(md5('plane_' || CAST(pp.p AS VARCHAR) || '_'
+                                    || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2000001 - 1000000) / 1000000.0
+         ) AS pw
+  FROM (SELECT unnest(range(16)) AS p) pp
+),
+bits AS (
+  SELECT e.vec_id, p.p,
+         CASE WHEN list_sum(list_transform(list_zip(p.pw, e.embedding),
+                     z -> z[1] * CAST(z[2] AS DOUBLE))) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN pl p
+),
+bands AS (
+  SELECT vec_id, CAST(p // 4 AS INTEGER) AS band_no,
+         SUM(bit * CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                              WHEN 2 THEN 2 ELSE 1 END) AS band_val
+  FROM bits GROUP BY vec_id, p // 4
+)"""
+
+
+@query(
+    "ann_lsh_cosine",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PLANES},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS qid, b.vec_id AS neighbor_id
+  FROM bands qb
+  JOIN bands b ON b.band_no = qb.band_no AND b.band_val = qb.band_val
+              AND b.vec_id <> qb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT c.qid, c.neighbor_id, {_DUCKDB_COSINE} AS cosine
+  FROM cand c
+  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = c.qid
+  JOIN (SELECT vec_id, embedding AS ev FROM embeddings) e ON e.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT qid, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+""",
+    tags=("similarity", "ann"),
+)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH, banded 4 bands x 4 bits.
 
-    Corpus and queries are signed against the same seeded planes; a
+    Corpus and queries are signed against the same md5-derived planes; a
     candidate is any vector sharing AT LEAST ONE 4-bit band with the query
     (equi-join on (band, value) — at scale, a shuffle on band keys instead
     of an O(n·m) cross join), then exact re-scoring and top-k.  Banding is
     what makes this usable on weakly-correlated corpora: a full 16-bit
     match has ~2^-16 collision odds between unrelated vectors, so it finds
     nothing unless near-duplicates exist; one-of-four 4-bit bands recalls
-    moderately-similar neighbors too.  No SQL oracle (plane generation
-    isn't SQL); recall vs brute-force is asserted in tests."""
+    moderately-similar neighbors too.  The DuckDB oracle recomputes the
+    identical planes, signatures, bands, candidates, and rounded cosine
+    ranking in pure SQL (the left-fold list_sum form matches Spark's
+    aggregate() summation order — same pattern the green knn oracle
+    uses), making the full ANN path hash-verifiable."""
     from pyspark.sql import Window as W
 
     v = views(spark, sf_dir)
@@ -461,4 +531,78 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w_rank))
         .where(F.col("rnk") <= IVF_TOP_K)
         .orderBy("qid", "rnk")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH dims AS (
+  SELECT unnest(range(1, 65)) AS idx
+),
+vals AS (
+  SELECT e.vec_id, d.idx, CAST(list_extract(e.embedding, d.idx) AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN dims d
+),
+ranges AS (
+  SELECT idx, MIN(val) AS dmin, MAX(val) AS dmax FROM vals GROUP BY idx
+),
+codes AS (
+  SELECT v.vec_id,
+         CAST(floor((v.val - r.dmin) / (r.dmax - r.dmin) * 255.0 + 0.5) AS BIGINT) AS code,
+         v.val,
+         r.dmin + CAST(floor((v.val - r.dmin) / (r.dmax - r.dmin) * 255.0 + 0.5) AS BIGINT)
+               * (r.dmax - r.dmin) / 255.0 AS dequant
+  FROM vals v JOIN ranges r ON v.idx = r.idx
+)
+SELECT vec_id,
+       COUNT(*)                 AS n_dims,
+       SUM(code)                AS qsum,
+       MIN(code)::INTEGER       AS qmin,
+       MAX(code)::INTEGER       AS qmax,
+       round(AVG(abs(dequant - val)), 6) AS mean_abs_err
+FROM codes
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+    tags=("similarity", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the compression
+    step that shrinks a 100 TB float32 vector corpus 4× before ANN
+    serving.  Per-dimension min/max ranges come from one explode +
+    64-group aggregation (map-side combinable, tiny result broadcast back)
+    and each vector's codes are computed scan-side; the output summarizes
+    code range and reconstruction error per vector so the whole
+    quantize→dequantize loop is oracle-verified.
+
+    floor(x+0.5) is used instead of round() for the code assignment —
+    identical on both engines (round() half-rule on doubles is
+    engine-dependent)."""
+    v = views(spark, sf_dir)
+    vals = v["embeddings"].select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("idx0", "fval"),
+    ).select(
+        "vec_id",
+        (F.col("idx0") + 1).alias("idx"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    ranges = vals.groupBy("idx").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    joined = vals.join(F.broadcast(ranges), "idx")
+    code = F.floor((F.col("val") - F.col("dmin")) / (F.col("dmax") - F.col("dmin")) * 255.0 + 0.5).cast("bigint")
+    dequant = F.col("dmin") + code * (F.col("dmax") - F.col("dmin")) / 255.0
+    return (
+        joined.select("vec_id", "val", code.alias("code"), dequant.alias("dequant"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.sum("code").alias("qsum"),
+            F.min("code").cast("int").alias("qmin"),
+            F.max("code").cast("int").alias("qmax"),
+            F.round(F.avg(F.abs(F.col("dequant") - F.col("val"))), 6).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
     )

@@ -207,3 +207,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, term FROM toks WHERE length(term) > 2
+),
+stats AS (
+  SELECT term,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*)               AS total_tf
+  FROM filtered GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT term, n_docs, total_tf,
+       round(ln(CAST(n_total AS DOUBLE) / n_docs), 4)            AS idf,
+       round(total_tf * ln(CAST(n_total AS DOUBLE) / n_docs), 4) AS score
+FROM stats CROSS JOIN n
+ORDER BY score DESC, term
+LIMIT 25
+""",
+    tags=("text",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: tokenize → per-term document
+    frequency and total term frequency → idf = ln(N/df) → top 25 by
+    tf·idf (deterministic term tie-break).
+
+    Scale shape: explode + one groupBy(term) with map-side partial
+    aggregation (counts are combinable), then a broadcast of the 1-row
+    corpus count — at 100 TB the only full shuffle carries (term, partial
+    counts), never document text."""
+    v = views(spark, sf_dir)
+    toks = v["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw_term"),
+    ).select("doc_id", F.lower(F.col("raw_term")).alias("term"))
+    filtered = toks.where(F.length("term") > 2)
+    stats = filtered.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tf"),
+    )
+    n = v["documents"].agg(F.count("*").alias("n_total"))
+    idf = F.log(F.col("n_total").cast("double") / F.col("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "n_docs",
+            "total_tf",
+            F.round(idf, 4).alias("idf"),
+            F.round(F.col("total_tf") * idf, 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "term")
+        .limit(25)
+    )

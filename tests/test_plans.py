@@ -131,3 +131,20 @@ def test_pipeline_clean_corpus_single_shuffle(spark):
     # filters run scan-side; the only exchange is the dedup window's
     plan = physical_plan(CATALOG["pipeline_clean_corpus"].fn(spark, SF))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the benchmark shingle set is tiny; the corpus side must stream through
+    # a broadcast hash join (zero corpus shuffle before the hit aggregation)
+    plan = physical_plan(CATALOG["dedup_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_buckets_band_join_carries_slim_rows(spark):
+    # band join rows are (doc_id, 8-byte signature, band) — in particular no
+    # text/shingle payload transits the band shuffle
+    from parquet_query_spark.plans import formatted_plan
+
+    plan = formatted_plan(CATALOG["dedup_simhash_buckets"].fn(spark, SF))
+    for block in plan.split("\n\n"):
+        assert not ("band_val" in block and "text" in block), block
