@@ -578,31 +578,68 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor(x+0.5) is used instead of round() for the code assignment —
     identical on both engines (round() half-rule on doubles is
-    engine-dependent)."""
+    engine-dependent).
+
+    Plan shape: the only shuffle is the 64-row range aggregation
+    (map-side combinable min/max); the ranges come back as two 64-element
+    broadcast arrays and every vector's codes + error stats are computed
+    scan-side with array expressions — no per-element row explosion ever
+    transits a shuffle, so at 100 TB this is one pass to build ranges and
+    one pass to quantize."""
     v = views(spark, sf_dir)
     vals = v["embeddings"].select(
         "vec_id",
         F.posexplode(F.col("embedding")).alias("idx0", "fval"),
     ).select(
-        "vec_id",
         (F.col("idx0") + 1).alias("idx"),
         F.col("fval").cast("double").alias("val"),
     )
-    ranges = vals.groupBy("idx").agg(
-        F.min("val").alias("dmin"), F.max("val").alias("dmax")
-    )
-    joined = vals.join(F.broadcast(ranges), "idx")
-    code = F.floor((F.col("val") - F.col("dmin")) / (F.col("dmax") - F.col("dmin")) * 255.0 + 0.5).cast("bigint")
-    dequant = F.col("dmin") + code * (F.col("dmax") - F.col("dmin")) / 255.0
-    return (
-        joined.select("vec_id", "val", code.alias("code"), dequant.alias("dequant"))
-        .groupBy("vec_id")
+    ranges = (
+        vals.groupBy("idx")
+        .agg(F.min("val").alias("dmin"), F.max("val").alias("dmax"))
         .agg(
-            F.count("*").alias("n_dims"),
-            F.sum("code").alias("qsum"),
-            F.min("code").cast("int").alias("qmin"),
-            F.max("code").cast("int").alias("qmax"),
-            F.round(F.avg(F.abs(F.col("dequant") - F.col("val"))), 6).alias("mean_abs_err"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(idx, dmin))), s -> s.dmin)"
+            ).alias("dmins"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(idx, dmax))), s -> s.dmax)"
+            ).alias("dmaxs"),
+        )
+    )
+    per_vec = v["embeddings"].crossJoin(F.broadcast(ranges)).select(
+        "vec_id",
+        F.expr(
+            """
+            transform(sequence(1, size(embedding)), i ->
+              CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(dmins, i))
+                         / (element_at(dmaxs, i) - element_at(dmins, i)) * 255.0 + 0.5)
+                   AS BIGINT))
+            """
+        ).alias("codes"),
+        F.expr(
+            """
+            transform(sequence(1, size(embedding)), i ->
+              abs(element_at(dmins, i)
+                  + CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(dmins, i))
+                               / (element_at(dmaxs, i) - element_at(dmins, i)) * 255.0 + 0.5)
+                         AS BIGINT)
+                    * (element_at(dmaxs, i) - element_at(dmins, i)) / 255.0
+                  - CAST(element_at(embedding, i) AS DOUBLE)))
+            """
+        ).alias("errs"),
+    )
+    return (
+        per_vec.select(
+            "vec_id",
+            F.size("codes").cast("bigint").alias("n_dims"),
+            F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").alias("qsum"),
+            F.array_min("codes").cast("int").alias("qmin"),
+            F.array_max("codes").cast("int").alias("qmax"),
+            F.round(
+                F.expr("aggregate(errs, CAST(0.0 AS DOUBLE), (a, e) -> a + e)")
+                / F.size("errs"),
+                6,
+            ).alias("mean_abs_err"),
         )
         .orderBy("vec_id")
     )

@@ -148,3 +148,11 @@ def test_simhash_buckets_band_join_carries_slim_rows(spark):
     plan = formatted_plan(CATALOG["dedup_simhash_buckets"].fn(spark, SF))
     for block in plan.split("\n\n"):
         assert not ("band_val" in block and "text" in block), block
+
+
+def test_quantize_single_range_shuffle(spark):
+    # the only hash shuffle is the 64-row per-dimension range aggregation;
+    # codes/errors are computed scan-side from broadcast range arrays
+    plan = physical_plan(CATALOG["embedding_quantize_int8"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
