@@ -719,10 +719,7 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     score) by swapping the min() in the component labeling."""
     v = views(spark, sf_dir)
     pairs = _lsh_verified_pairs(spark, sf_dir, threshold=0.2).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
-    labels = _min_label_components(edges)
+    labels = _min_label_components(_both_directions(pairs))
     docs = v["documents"].select("doc_id", "lang", "source")
     lab = labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
@@ -812,14 +809,30 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     return labels
 
 
+def _both_directions(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) → (src, dst) with both orientations via ONE explode.
+
+    A union of `pairs` with its swap references the pair DataFrame twice,
+    and Catalyst recomputes the whole upstream plan for each branch — for
+    LSH-verified pairs that doubles the most expensive stage of the
+    pipeline.  Exploding a 2-element struct array doubles the rows in a
+    single pass instead."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _components_output(pairs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) undirected pair list → (doc_id, component_id,
     component_size), the dedup-cluster output shape."""
     from pyspark.sql import Window as W
 
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
+    edges = _both_directions(pairs)
     labels = _min_label_components(edges)
     return (
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
