@@ -47,13 +47,23 @@ _DIGIT_RUN = re.compile(r"(\d+)")
 
 
 def _parse_dateish(value: str) -> float | None:
-    """``Date.parse`` stand-in for the formats the workbench renders
-    (ISO dates/timestamps, optional trailing Z)."""
+    """``Date.parse`` stand-in (src/App.tsx:466-470).
+
+    Accepts the formats the workbench renders (ISO dates/timestamps,
+    optional trailing Z) plus RFC-2822 strings ("Tue, 01 Nov 2016
+    08:00:00 GMT"), which JS ``Date.parse`` also parses — relevant only
+    to post-preview client sort of string cells that LOOK like dates."""
     import datetime as _dt
 
     try:
         return _dt.datetime.fromisoformat(value.rstrip("Z")).timestamp()
     except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        return parsedate_to_datetime(value).timestamp()
+    except (ValueError, TypeError):
         return None
 
 

@@ -115,3 +115,23 @@ def test_events_nanos_readable(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_sort_parses_rfc2822_dates():
+    # JS Date.parse accepts RFC-2822 strings; the comparator must order
+    # them chronologically when both cells are date-hinted (':' hint)
+    from parquet_query_spark.engine import _parse_dateish
+
+    assert _parse_dateish("Tue, 01 Nov 2016 08:00:00 GMT") is not None
+    columns = ["v"]
+    rows = [
+        ["Wed, 02 Nov 2016 09:00:00 GMT"],
+        ["Tue, 01 Nov 2016 08:00:00 GMT"],
+        ["2016-11-01T10:00:00Z"],
+    ]
+    s = [r[0] for r in sort_rows(rows, columns, "v")]
+    assert s == [
+        "Tue, 01 Nov 2016 08:00:00 GMT",
+        "2016-11-01T10:00:00Z",
+        "Wed, 02 Nov 2016 09:00:00 GMT",
+    ]

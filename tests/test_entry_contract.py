@@ -1,0 +1,54 @@
+"""Driver-contract invariants for __spark_entry__.
+
+The correctness driver samples queries() front-to-back (~50 slots), so
+ordering mistakes (a typo'd name in _DRIVER_PRIORITY, a no-oracle query
+occupying an early slot) silently cost green rows.  These tests pin the
+contract without needing a Spark session.
+"""
+
+import importlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+entry = importlib.import_module("__spark_entry__")
+
+from parquet_query_spark.operators.catalog import load_all  # noqa: E402
+
+CATALOG = load_all()
+
+
+def test_priority_names_all_exist_in_catalog():
+    missing = [n for n in entry._DRIVER_PRIORITY if n not in CATALOG]
+    assert not missing, f"typo'd priority names: {missing}"
+    missing_last = [n for n in entry._DRIVER_LAST if n not in CATALOG]
+    assert not missing_last, f"typo'd _DRIVER_LAST names: {missing_last}"
+
+
+def test_ordering_covers_catalog_exactly_once():
+    order = list(entry._ordered(CATALOG))
+    assert len(order) == len(CATALOG)
+    assert len(set(order)) == len(order)
+
+
+def test_first_fifty_sample_slots_are_all_oracle_backed():
+    order = list(entry._ordered(CATALOG))
+    no_oracle_early = [n for n in order[:50] if not CATALOG[n].oracle]
+    assert not no_oracle_early, (
+        f"no-oracle queries burning sample slots: {no_oracle_early}"
+    )
+
+
+def test_no_oracle_queries_are_last():
+    order = list(entry._ordered(CATALOG))
+    tail = order[-len(entry._DRIVER_LAST):]
+    assert tail == [n for n in entry._DRIVER_LAST if n in CATALOG]
+
+
+def test_oracle_sql_is_subset_of_queries_with_same_names():
+    qs = set(CATALOG)
+    oracles = {n for n, s in CATALOG.items() if s.oracle}
+    assert oracles <= qs
+    # everything except the xxhash64 variant must be oracle-backed
+    assert qs - oracles == {"dedup_minhash_signatures_fast"}
