@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "text_tfidf_top_terms",
     "embedding_quantize_int8",
     "ann_lsh_cosine",
+    "pipeline_quality_threshold",
     "agg_approx_distinct",
     "multimodal_frame_sample",
     # ── already green; re-confirm high-value rows in remaining slots ──

@@ -79,3 +79,44 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pipeline_quality_threshold",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM documents
+),
+t AS (SELECT quantile_cont(n_words, 0.10) AS thr FROM m)
+SELECT m.doc_id, m.lang, m.n_words
+FROM m CROSS JOIN t
+WHERE m.n_words >= t.thr
+ORDER BY m.doc_id
+""",
+    tags=("pipeline", "text"),
+)
+def pipeline_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality filtering: drop documents below the 10th
+    percentile of a quality metric (here word count).
+
+    The pattern that matters at 100 TB: the threshold is ONE aggregated
+    scalar broadcast back over the corpus (scalar-subquery shape), so the
+    filter runs scan-side against a single number — no per-row window, no
+    second shuffle of the data.  At cluster scale you'd swap the exact
+    percentile for approx_percentile (mergeable sketch); exact is used
+    here so the threshold is engine-identical for the oracle."""
+    d = views(spark, sf_dir)["documents"]
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+    )
+    thr = m.agg(F.percentile("n_words", F.lit(0.10)).alias("thr"))
+    return (
+        m.crossJoin(F.broadcast(thr))
+        .where(F.col("n_words") >= F.col("thr"))
+        .select("doc_id", "lang", "n_words")
+        .orderBy("doc_id")
+    )

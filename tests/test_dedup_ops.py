@@ -102,3 +102,42 @@ def test_fingerprint_normalization(spark, crafted_dir):
     rows = {r.doc_id: (r.norm_fingerprint, r.raw_fingerprint) for r in df.collect()}
     assert rows[1] == rows[2]
     assert rows[1][0] != rows[3][0]
+
+
+def test_simhash_python_matches_duckdb_oracle_on_random_text():
+    """The mapInPandas worker and the SQL oracle must agree bit-for-bit on
+    arbitrary token streams, not just the driver corpus (property check of
+    the shared md5-bit signature definition, including the empty-doc and
+    tie->0 rules)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_query_spark.operators.dedup import (
+        _DUCKDB_SIMHASH_SIG_CTES,
+        _simhash_batches,
+    )
+
+    token = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8
+    )
+    doc = st.lists(token, min_size=0, max_size=30).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(texts):
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        py = next(_simhash_batches(iter([pdf])))
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        sql = (
+            "WITH " + _DUCKDB_SIMHASH_SIG_CTES
+            + " SELECT doc_id, simhash FROM sigs ORDER BY doc_id"
+        )
+        want = dict(con.execute(sql).fetchall())
+        con.close()
+        got = dict(zip(py["doc_id"], py["simhash"]))
+        assert got == want
+
+    check()
