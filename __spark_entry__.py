@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8",
     "ann_lsh_cosine",
     "pipeline_quality_threshold",
+    "text_chunk_for_training",
+    "sample_stratified_per_lang",
     "agg_approx_distinct",
     "multimodal_frame_sample",
     # ── already green; re-confirm high-value rows in remaining slots ──

@@ -134,3 +134,41 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sample_stratified_per_lang",
+    oracle="""
+SELECT doc_id, lang, source, rn
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t
+WHERE rn <= 25
+ORDER BY lang, rn
+""",
+    tags=("sample", "pipeline"),
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: a fixed-size (25-doc) deterministic sample per
+    language stratum, ordered by content hash so the draw is uniform,
+    reproducible across engines/runs, and stable under repartitioning.
+
+    The balancing step of corpus construction (equal per-language quotas
+    regardless of raw distribution).  One shuffle on the stratum key; the
+    hash order makes it a random-but-fixed draw without rand()'s
+    engine/run instability."""
+    from pyspark.sql import Window as W
+
+    d = views(spark, sf_dir)["documents"]
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 25)
+        .orderBy("lang", "rn")
+    )

@@ -268,3 +268,56 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "term")
         .limit(25)
     )
+
+
+@query(
+    "text_chunk_for_training",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(floor((len(toks) - 1) / 24.0) AS BIGINT) + 1)) AS chunk_no
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_no AS INTEGER) AS chunk_no,
+       len(list_slice(toks, chunk_no * 24 + 1, chunk_no * 24 + 32))::INTEGER AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_no * 24 + 1, chunk_no * 24 + 32), ' ')) AS chunk_hash
+FROM k
+ORDER BY doc_id, chunk_no
+""",
+    tags=("text", "pipeline"),
+)
+def text_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training-sequence prep: 32-token
+    chunks on a 24-token stride (8-token overlap), one row per chunk with a
+    content hash.
+
+    The 1→N explode runs scan-side from builtin array expressions (no
+    Python, no shuffle until the presentation sort), which is what lets a
+    100 TB corpus chunk at scan speed; a tokenizer UDF slots in where the
+    whitespace split is."""
+    v = views(spark, sf_dir)
+    t = v["documents"].select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    k = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr("sequence(0, CAST(floor((size(toks) - 1) / 24.0) AS BIGINT))")
+        ).alias("chunk_no"),
+    )
+    piece = F.expr("slice(toks, CAST(chunk_no * 24 + 1 AS INT), 32)")
+    return (
+        k.select(
+            "doc_id",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            F.size(piece).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
