@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "pipeline_quality_threshold",
     "text_chunk_for_training",
     "sample_stratified_per_lang",
+    "streaming_corpus_ingest_dedup",
     "agg_approx_distinct",
     "multimodal_frame_sample",
     # ── already green; re-confirm high-value rows in remaining slots ──

@@ -79,16 +79,20 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    import shutil
+
     name = f"stateful_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         totals.writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()
     q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
     # last emission per user wins (update mode may emit once per micro-batch)
     from pyspark.sql import Window as W
 
@@ -118,21 +122,31 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each micro-batch DataFrame is written transactionally by epoch (here:
     overwrite-by-epoch into a temp parquet dir keyed on batch id — the same
     idempotence pattern used for JDBC/object-store sinks)."""
-    out_dir = tempfile.mkdtemp(prefix="febatch_")
+    import os
+    import shutil
+
+    # fixed scratch path (delete-then-write): repeated runs reuse one
+    # directory instead of leaking a mkdtemp copy per invocation; the
+    # output parquet must outlive this call (the returned DF reads it
+    # lazily), so only the checkpoint is removed eagerly
+    out_dir = os.path.join(tempfile.gettempdir(), "pqs_febatch_epochs")
+    shutil.rmtree(out_dir, ignore_errors=True)
     stream = _events_stream(spark, sf_dir)
     counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
+    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
     q = (
         counts.writeStream.outputMode("complete")
         .foreachBatch(write_epoch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_feb_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()
     q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
     # read back the last epoch (idempotent overwrite semantics)
     import glob
 

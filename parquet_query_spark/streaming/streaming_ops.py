@@ -38,18 +38,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_table(result: DataFrame, name_prefix: str) -> str:
-    """Drive the streaming query over the static file to completion."""
+def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -> str:
+    """Drive the streaming query over the static file to completion.
+
+    The checkpoint directory is removed after the query stops — the
+    memory-sink table holds the results, and leaving one ckpt dir per
+    invocation leaks disk across repeated bench/correctness runs."""
+    import shutil
+
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
-        result.writeStream.outputMode("complete")
+        result.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.processAllAvailable()
     q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 
@@ -250,14 +258,38 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
-    name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    name = _run_to_table(joined, "ss_join", mode="append")
     return spark.table(name).orderBy("purchase_id", "view_id")
+
+
+@query(
+    "streaming_corpus_ingest_dedup",
+    oracle="""
+SELECT DISTINCT md5(text) AS text_hash
+FROM documents
+ORDER BY text_hash
+""",
+    tags=("streaming", "dedup", "pipeline"),
+)
+def streaming_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time dedup: documents arriving on a stream are
+    admitted once per content hash (``dropDuplicates`` keyed on md5(text)
+    — the state store holds only 16-byte keys, never text).
+
+    This is the admission-control shape of a continuously-ingesting
+    corpus: exact dedup happens before anything lands downstream.  With
+    an event-time column you'd add ``withWatermark`` so seen-key state
+    ages out; the documents table has no timestamps, so state here is the
+    full key set (bounded by corpus cardinality)."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")  # schema only
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    deduped = stream.select(F.md5("text").alias("text_hash")).dropDuplicates(
+        ["text_hash"]
+    )
+    name = _run_to_table(deduped, "ingest_dedup", mode="append")
+    return spark.table(name).orderBy("text_hash")
