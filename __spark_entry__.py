@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "text_chunk_for_training",
     "sample_stratified_per_lang",
     "streaming_corpus_ingest_dedup",
+    "dedup_cluster_best_keeper",
     "agg_approx_distinct",
     "multimodal_frame_sample",
     # ── already green; re-confirm high-value rows in remaining slots ──

@@ -844,6 +844,87 @@ def _components_output(pairs: DataFrame) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_best_keeper",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id,
+         len(string_split_regex(trim(d.text), '\\s+')) AS n_words,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component_id
+           ORDER BY len(string_split_regex(trim(d.text), '\\s+')) DESC, c.doc_id
+         ) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component_id, doc_id AS keeper_id, n_words AS keeper_words
+FROM ranked WHERE rn = 1
+ORDER BY component_id
+""",
+    tags=("dedup", "minhash", "iterative"),
+)
+def dedup_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based keeper selection per near-dup cluster: instead of the
+    min-doc_id keeper, keep the HIGHEST-QUALITY member (here: most words,
+    doc_id tie-break) of each connected component.
+
+    This is the generalized keep-policy the survivor queries promise —
+    swap the ranking expression for any quality score (crawl recency,
+    perplexity, source trust).  One extra doc_id-keyed join to fetch the
+    quality metric plus a per-component window; the component labels come
+    from the same O(log n) pointer-halving loop."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir, threshold=0.2).select("doc_a", "doc_b")
+    labels = _min_label_components(_both_directions(pairs))
+    quality = v["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+    )
+    ranked = (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+        )
+        .join(quality, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("component_id").orderBy(
+                    F.desc("n_words"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_words").alias("keeper_words"),
+        )
+        .orderBy("component_id")
+    )
+
+
+@query(
     "dedup_decontaminate",
     oracle=f"""
 WITH sh AS (
