@@ -156,3 +156,10 @@ def test_quantize_single_range_shuffle(spark):
     plan = physical_plan(CATALOG["embedding_quantize_int8"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_chunking_is_scan_side(spark):
+    # the 1->N chunk explode must not shuffle: zero hash exchanges (the only
+    # exchange is the presentation orderBy's range partitioning)
+    plan = physical_plan(CATALOG["text_chunk_for_training"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
