@@ -77,6 +77,13 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_best_keeper",
     "agg_approx_distinct",
     "multimodal_frame_sample",
+    # ── new this round (round 3 build): all oracle-backed ──
+    "text_repetition_stats",
+    "dedup_common_spans",
+    "pipeline_pack_sequences",
+    "kmeans_embeddings",
+    "semdedup_prune",
+    "events_funnel",
     # ── already green; re-confirm high-value rows in remaining slots ──
     "template_account_summary",
     "template_service_summary",

@@ -992,6 +992,78 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_common_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(range(1, len(toks) - 3),
+                                   i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram_h
+  FROM t
+),
+freq AS (
+  SELECT gram_h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram_h
+),
+common AS (SELECT gram_h FROM freq WHERE n_docs >= 2)
+SELECT g.doc_id,
+       COUNT(*)                       AS n_5grams,
+       COUNT(c.gram_h)::BIGINT        AS n_common_5grams,
+       round(CAST(COUNT(c.gram_h) AS DOUBLE) / COUNT(*), 4) AS common_span_frac,
+       CASE WHEN CAST(COUNT(c.gram_h) AS DOUBLE) / COUNT(*) > 0.5 THEN 1 ELSE 0 END AS flagged
+FROM g LEFT JOIN common c ON g.gram_h = c.gram_h
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-span detection ("Deduplicating Training Data"
+    at span granularity / CCNet boilerplate pass): flag the fraction of
+    each document's 5-token spans that also appear verbatim in ANOTHER
+    document; documents that are mostly shared spans are boilerplate or
+    near-copies.
+
+    Scale shape: spans never leave the scan as text — each is md5-hashed
+    scan-side, so both shuffles (span-frequency groupBy and the
+    flag-back equi-join) carry 16-byte keys + counters.  The common-span
+    set is corpus-dependent but heavy-tailed; at 100 TB the join stays a
+    plain equi-join on the hash (AQE broadcasts it when small, shuffles
+    when not).  df >= 2 means "appears in any other document" — raise the
+    threshold at production scale to target true boilerplate."""
+    v = views(spark, sf_dir)
+    t = v["documents"].select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> md5(concat_ws(' ', slice(toks, i, 5))))"
+            )
+        ).alias("gram_h"),
+    )
+    freq = g.groupBy("gram_h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    common = freq.where(F.col("n_docs") >= 2).select(
+        "gram_h", F.lit(1).alias("is_common")
+    )
+    joined = g.join(common, "gram_h", "left")
+    frac = F.sum("is_common").cast("double") / F.count("*")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_5grams"),
+            F.coalesce(F.sum("is_common"), F.lit(0)).cast("long").alias("n_common_5grams"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 4).alias("common_span_frac"),
+            F.when(F.coalesce(frac, F.lit(0.0)) > 0.5, 1).otherwise(0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_minhash_signatures_fast", tags=("dedup", "minhash"))
 def dedup_minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-speed MinHash: xxhash64 instead of md5 for the

@@ -240,3 +240,82 @@ def events_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH v1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v1 ON e.user_id = v1.user_id
+  WHERE e.event_type = 'click' AND e.ts > v1.t_view
+  GROUP BY e.user_id
+),
+p1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c1 ON e.user_id = c1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c1.t_click
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM v1) AS n_view,
+         (SELECT COUNT(*) FROM c1) AS n_click,
+         (SELECT COUNT(*) FROM p1) AS n_purchase
+)
+SELECT 1 AS stage, 'view' AS stage_name, n_view AS n_users,
+       round(1.0, 4) AS conversion FROM n
+UNION ALL
+SELECT 2, 'click_after_view', n_click,
+       round(CAST(n_click AS DOUBLE) / n_view, 4) FROM n
+UNION ALL
+SELECT 3, 'purchase_after_click', n_purchase,
+       round(CAST(n_purchase AS DOUBLE) / n_view, 4) FROM n
+ORDER BY stage
+""",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user counts
+    for stage N only with an event strictly AFTER their stage-N-1 time.
+
+    Scale shape: each stage is a filtered scan + groupBy(user_id) min —
+    map-side combinable, shuffling only (user_id, timestamp).  The stage
+    joins are user_id equi-joins whose right side shrinks monotonically
+    (funnels only narrow), and the final counts are three scalar
+    aggregates broadcast into one row — no window over raw events, no
+    per-user event array materialization."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c1 = first_after("click", v1, "t_view", "t_click")
+    p1 = first_after("purchase", c1, "t_click", "t_purchase")
+
+    n = (
+        v1.agg(F.count("*").alias("n_view"))
+        .crossJoin(F.broadcast(c1.agg(F.count("*").alias("n_click"))))
+        .crossJoin(F.broadcast(p1.agg(F.count("*").alias("n_purchase"))))
+    )
+    return n.selectExpr(
+        """stack(3,
+             1, 'view',                 n_view,     round(CAST(1.0 AS DOUBLE), 4),
+             2, 'click_after_view',     n_click,    round(CAST(n_click AS DOUBLE) / n_view, 4),
+             3, 'purchase_after_click', n_purchase, round(CAST(n_purchase AS DOUBLE) / n_view, 4)
+           ) AS (stage, stage_name, n_users, conversion)"""
+    ).orderBy("stage")

@@ -120,3 +120,96 @@ def pipeline_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_words")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS chunk_no,
+         toks
+  FROM t
+),
+sized AS (
+  SELECT doc_id, lang, CAST(chunk_no AS INTEGER) AS chunk_no,
+         len(list_slice(toks, chunk_no * 32 + 1, chunk_no * 32 + 32)) AS n_tokens,
+         md5(array_to_string(list_slice(toks, chunk_no * 32 + 1, chunk_no * 32 + 32), ' ')) AS chunk_hash
+  FROM chunks
+),
+placed AS (
+  SELECT *,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_no
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT lang, bin_id,
+       COUNT(*)                          AS n_chunks,
+       SUM(n_tokens)::BIGINT             AS n_tokens,
+       round(SUM(n_tokens) / 256.0, 4)   AS fill_ratio,
+       md5(string_agg(chunk_hash, '' ORDER BY doc_id, chunk_no)) AS bin_hash
+FROM placed
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+""",
+    tags=("pipeline", "text"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: split documents into 32-token chunks,
+    concatenate per language in (doc_id, chunk_no) order, and cut the
+    stream into 256-token bins (GPT-style packing — chunks may straddle a
+    bin boundary; bin = floor(start_offset / budget)).
+
+    Scale shape: chunking is a scan-side 1→N explode; placement is ONE
+    running-sum window per language partition (shuffle keyed on lang — at
+    production scale partition by (lang, shard) so each window partition
+    fits an executor); the per-bin rollup re-uses the same partitioning.
+    bin_hash fingerprints bin contents order-sensitively so a re-run or a
+    second engine can verify identical packing."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    t = v["documents"].select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    chunks = t.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.explode(
+            F.expr("sequence(0, CAST(ceil(size(toks) / 32.0) AS BIGINT) - 1)")
+        ).alias("chunk_no"),
+    )
+    piece = F.expr("slice(toks, CAST(chunk_no * 32 + 1 AS INT), 32)")
+    sized = chunks.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id", "chunk_no")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256.0).cast("long"),
+    )
+    ordered_hashes = F.expr(
+        "transform(array_sort(collect_list(struct(doc_id, chunk_no, chunk_hash))), x -> x.chunk_hash)"
+    )
+    return (
+        placed.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / 256.0, 4).alias("fill_ratio"),
+            F.md5(F.concat_ws("", ordered_hashes)).alias("bin_hash"),
+        )
+        .orderBy("lang", "bin_id")
+    )

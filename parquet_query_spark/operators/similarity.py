@@ -643,3 +643,187 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ── k-means + SemDeDup ─────────────────────────────────────────────────────
+
+_KM_K = 8        # clusters; init = embeddings of vec_id < K
+_KM_UPDATES = 2  # Lloyd centroid updates (then one final assignment)
+_SEMDEDUP_TAU = 0.35  # within-cluster cosine above this = semantic duplicate
+
+
+def _km_cent_lit(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
+    """K collected centroids as a literal array<struct<cid,c>> column —
+    K·dim doubles, the thing Lloyd's on Spark ships to executors each
+    round (MLlib does the same; centroids are bounded, the corpus isn't)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for cid, c in cent_rows
+        ]
+    )
+
+
+def _km_assign(emb: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment computed entirely scan-side: per row,
+    fold squared distance to each literal centroid (index-order left fold —
+    the same summation order as DuckDB's list_sum, so rounded values
+    hash-match) and take the (dist2, cid)-lexicographic minimum.  No join,
+    no shuffle — the corpus never moves."""
+    best = F.expr(
+        """
+        array_sort(transform(_cents, ct -> named_struct(
+          'dist2', round(aggregate(zip_with(ev, ct.c, (x, y) -> (x - y) * (x - y)),
+                                   CAST(0.0 AS DOUBLE), (a, v) -> a + v), 6),
+          'cid', ct.cid)))[0]
+        """
+    )
+    return (
+        emb.withColumn("_cents", _km_cent_lit(cent_rows))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "ev",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.dist2").alias("dist2"),
+        )
+    )
+
+
+def _km_update_rows(assign: DataFrame) -> list[tuple[int, list[float]]]:
+    """Recompute centroids as the per-dimension member mean (rounded to 6dp
+    on both engines so FP summation order can't diverge the oracle) and
+    collect them — K·dim values, the one driver-side transfer per round."""
+    cd = (
+        assign.select("cid", F.posexplode("ev").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+    )
+    c = cd.groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, cx))), s -> s.cx)").alias("c")
+    )
+    return sorted((r.cid, list(r.c)) for r in c.collect())
+
+
+def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select("vec_id", _as_double("embedding").alias("ev"))
+    init = sorted(
+        (r.cid, list(r.c))
+        for r in emb.where(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("c"))
+        .collect()
+    )
+    assign = _km_assign(emb, init)
+    for _ in range(_KM_UPDATES):
+        assign = _km_assign(emb, _km_update_rows(assign))
+    return assign
+
+
+def _km_oracle_ctes() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs (a0 .. a{UPDATES})."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, ev AS c FROM e WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(_KM_UPDATES + 1):
+        parts.append(f"""s{i} AS (
+  SELECT vec_id, ev, cid,
+         round(list_sum(list_transform(list_zip(ev, c), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+  FROM e CROSS JOIN c{i}
+)""")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, ev, cid, dist2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rnk FROM s{i}
+  ) WHERE rnk = 1
+)""")
+        if i < _KM_UPDATES:
+            parts.append(f"""u{i + 1} AS (
+  SELECT cid, d, round(avg(ev[CAST(d AS INTEGER) + 1]), 6) AS cx
+  FROM a{i} CROSS JOIN range({_DIM}) t(d)
+  GROUP BY cid, d
+)""")
+            parts.append(
+                f"c{i + 1} AS (SELECT cid, list(cx ORDER BY d) AS c FROM u{i + 1} GROUP BY cid)"
+            )
+    return ",\n".join(parts)
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=f"""
+WITH {_km_oracle_ctes()}
+SELECT vec_id, cid AS cluster, dist2
+FROM a{_KM_UPDATES}
+ORDER BY vec_id
+""",
+    tags=("similarity", "clustering"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column: deterministic
+    init (the K lowest vec_ids), _KM_UPDATES centroid updates, final
+    assignment.  The coarse quantizer behind IVF-ANN and the clustering
+    stage of SemDeDup.
+
+    Scale shape: each iteration is one corpus scan × BROADCAST of K
+    centroids (K rows — never a shuffle of the corpus), an argmin via
+    per-vec_id window on (rounded dist, cid), and a centroid update that
+    shuffles only (cid, dim, partial-mean) — 100 TB iterates at scan cost.
+    Distances and means are rounded to 6dp on both engines, making the
+    full iterative algorithm hash-verifiable against the unrolled-SQL
+    oracle (left-fold summation order matches DuckDB's list_sum)."""
+    assign = _km_final_assign(spark, sf_dir)
+    return assign.select("vec_id", F.col("cid").alias("cluster"), "dist2").orderBy("vec_id")
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+WITH {_km_oracle_ctes()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.ev, b.ev), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.ev, x -> x * x)))), 6) AS cosine
+  FROM a{_KM_UPDATES} a JOIN a{_KM_UPDATES} b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= {_SEMDEDUP_TAU})
+SELECT f.vec_id, f.cid AS cluster
+FROM a{_KM_UPDATES} f LEFT JOIN dropped d ON f.vec_id = d.id_b
+WHERE d.id_b IS NULL
+ORDER BY f.vec_id
+""",
+    tags=("similarity", "dedup", "clustering"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    within each cluster drop every vector that has a semantic duplicate
+    (cosine >= _SEMDEDUP_TAU) with a lower vec_id — keeping one
+    representative per near-duplicate group.  Output: the surviving corpus.
+
+    Scale shape: the O(n²) similarity search is confined WITHIN clusters —
+    the equi-join on cluster id shuffles each cluster to one place and
+    compares members only (SemDeDup's entire point vs global pair
+    enumeration); the drop set re-joins by vec_id (slim keys).  At 100 TB
+    raise K so clusters stay executor-sized (n/K² pairs per cluster)."""
+    assign = _km_final_assign(spark, sf_dir)
+    a = assign.select("cid", F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"))
+    b = assign.select("cid", F.col("vec_id").alias("id_b"), F.col("ev").alias("ev"))
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cosine"),
+        )
+    )
+    dropped = pairs.where(F.col("cosine") >= _SEMDEDUP_TAU).select("id_b").distinct()
+    return (
+        assign.join(dropped, assign["vec_id"] == dropped["id_b"], "left_anti")
+        .select("vec_id", F.col("cid").alias("cluster"))
+        .orderBy("vec_id")
+    )

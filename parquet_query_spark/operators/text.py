@@ -271,6 +271,98 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, 2 AS k,
+         unnest(list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, 5 AS k,
+         unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+  FROM t
+),
+counts AS (
+  SELECT doc_id, k, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, k, gram
+),
+per_doc AS (
+  SELECT doc_id, k, SUM(c) AS n_grams, MAX(c) AS top_c, COUNT(*) AS n_distinct
+  FROM counts GROUP BY doc_id, k
+)
+SELECT doc_id,
+       MAX(CASE WHEN k = 2 THEN n_grams END)::BIGINT AS n_2grams,
+       round(MAX(CASE WHEN k = 2 THEN CAST(top_c AS DOUBLE) / n_grams END), 4) AS top_2gram_frac,
+       round(MAX(CASE WHEN k = 2 THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams END), 4) AS dup_2gram_frac,
+       MAX(CASE WHEN k = 5 THEN n_grams END)::BIGINT AS n_5grams,
+       round(MAX(CASE WHEN k = 5 THEN CAST(top_c AS DOUBLE) / n_grams END), 4) AS top_5gram_frac,
+       round(MAX(CASE WHEN k = 5 THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams END), 4) AS dup_5gram_frac
+FROM per_doc
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "pipeline"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition filters):
+    per doc, the fraction of n-grams covered by the single most frequent
+    n-gram and the fraction that are duplicates, for n = 2 and n = 5.
+
+    Scale shape: grams are built scan-side from builtin array expressions
+    (no Python), then ONE shuffle keyed on (doc_id, k, gram) for the
+    within-doc counts and a second keyed on doc_id for the rollup — both
+    carry short gram strings/counters, never full text.  The alternative
+    (higher-order in-array counting) is shuffle-free but O(n_tokens^2) per
+    document, which loses badly on real multi-KB documents."""
+    v = views(spark, sf_dir)
+    t = v["documents"].select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+
+    def grams(k: int) -> DataFrame:
+        return t.select(
+            "doc_id",
+            F.lit(k).alias("k"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}), i -> concat_ws(' ', slice(toks, i, {k})))"
+                )
+            ).alias("gram"),
+        )
+
+    counts = (
+        grams(2).unionAll(grams(5))
+        .groupBy("doc_id", "k", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id", "k").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_c"),
+        F.count("*").alias("n_distinct"),
+    )
+
+    def pick(k: int, col: F.Column) -> F.Column:
+        return F.max(F.when(F.col("k") == k, col))
+
+    dup_frac = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col("n_grams")
+    top_frac = F.col("top_c").cast("double") / F.col("n_grams")
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            pick(2, F.col("n_grams")).cast("long").alias("n_2grams"),
+            F.round(pick(2, top_frac), 4).alias("top_2gram_frac"),
+            F.round(pick(2, dup_frac), 4).alias("dup_2gram_frac"),
+            pick(5, F.col("n_grams")).cast("long").alias("n_5grams"),
+            F.round(pick(5, top_frac), 4).alias("top_5gram_frac"),
+            F.round(pick(5, dup_frac), 4).alias("dup_5gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_chunk_for_training",
     oracle="""
 WITH t AS (

@@ -163,3 +163,30 @@ def test_chunking_is_scan_side(spark):
     # exchange is the presentation orderBy's range partitioning)
     plan = physical_plan(CATALOG["text_chunk_for_training"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_kmeans_assignment_is_scan_side(spark):
+    # final assignment embeds the K collected centroids as literal arrays,
+    # so the plan is a single corpus scan + per-row argmin: no join of any
+    # kind and no hash shuffle (the one Exchange is the presentation sort)
+    plan = physical_plan(CATALOG["kmeans_embeddings"].fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_common_spans_shuffles_hashes_not_text(spark):
+    # both shuffles (span df-count, flag-back join) carry md5 keys; the
+    # document text column must never cross an Exchange
+    from parquet_query_spark.plans import formatted_plan
+
+    plan = formatted_plan(CATALOG["dedup_common_spans"].fn(spark, SF))
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "text#" not in block, block
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    # placement window and per-bin rollup both key on lang: one hash
+    # exchange total (plus the presentation sort's range partitioning)
+    plan = physical_plan(CATALOG["pipeline_pack_sequences"].fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2

@@ -1,0 +1,144 @@
+"""Behavior tests for the round-3 training-pipeline operators on crafted
+corpora: repetition stats, cross-corpus span flagging, sequence packing,
+k-means, SemDeDup pruning, and the event funnel.
+
+The oracle suite proves Spark↔DuckDB agreement; these prove the operators
+compute the RIGHT thing on inputs with known answers.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_query_spark.operators.catalog import load_all
+
+CATALOG = load_all()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "birds fly south for the winter and the farmer tends his field of corn"
+)
+FAR = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and adaptive planning stages"
+)
+
+
+@pytest.fixture(scope="module")
+def text_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("training_text")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a a a a a a a a a a", BASE, BASE, FAR],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [19, len(BASE), len(BASE), len(FAR)],
+        }
+    )
+    docs.to_parquet(os.path.join(str(d), "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_repetition_stats_flag_degenerate_doc(spark, text_dir):
+    rows = {r.doc_id: r for r in CATALOG["text_repetition_stats"].fn(spark, text_dir).collect()}
+    # doc 1 is one word x10: every 2-gram is "a a" (9 of them, 1 distinct)
+    assert rows[1].n_2grams == 9
+    assert rows[1].top_2gram_frac == 1.0
+    assert rows[1].dup_2gram_frac == round(8 / 9, 4)
+    # natural text: top 2-gram far below 1
+    assert rows[2].top_2gram_frac < 0.3
+    assert rows[2].n_5grams == len(BASE.split()) - 4
+
+
+def test_common_spans_flag_cross_doc_copies(spark, text_dir):
+    rows = {r.doc_id: r for r in CATALOG["dedup_common_spans"].fn(spark, text_dir).collect()}
+    # docs 2+3 identical -> every 5-gram shared -> flagged
+    assert rows[2].common_span_frac == 1.0 and rows[2].flagged == 1
+    assert rows[3].common_span_frac == 1.0 and rows[3].flagged == 1
+    # FAR shares no 5-gram with anything
+    assert rows[4].n_common_5grams == 0 and rows[4].flagged == 0
+
+
+def test_pack_sequences_conserves_tokens(spark, text_dir):
+    out = CATALOG["pipeline_pack_sequences"].fn(spark, text_dir).collect()
+    total_packed = sum(r.n_tokens for r in out)
+    total_tokens = 10 + 2 * len(BASE.split()) + len(FAR.split())
+    assert total_packed == total_tokens
+    # bins are dense 0..max per lang and uniquely keyed
+    bins = sorted(r.bin_id for r in out)
+    assert bins == list(range(len(bins)))
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    """10 one-hot float32 vectors; vec 8 duplicates vec 2 exactly."""
+    d = tmp_path_factory.mktemp("training_emb")
+    vecs = []
+    for i in range(10):
+        v = np.zeros(64, dtype=np.float32)
+        v[i if i != 8 else 2] = 1.0
+        vecs.append(v.tolist())
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 10, pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def test_kmeans_assigns_every_vector_once(spark, emb_dir):
+    rows = CATALOG["kmeans_embeddings"].fn(spark, emb_dir).collect()
+    assert len(rows) == 10
+    assert {r.vec_id for r in rows} == set(range(10))
+    assert all(0 <= r.cluster < 8 for r in rows)
+    # the exact duplicate lands in its twin's cluster at distance 0
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[8].cluster == by_id[2].cluster
+    assert by_id[8].dist2 == by_id[2].dist2
+
+
+def test_semdedup_drops_exact_twin_keeps_rest(spark, emb_dir):
+    survivors = {r.vec_id for r in CATALOG["semdedup_prune"].fn(spark, emb_dir).collect()}
+    assert 8 not in survivors  # cosine(vec2, vec8) = 1 >= tau, higher id drops
+    assert survivors == set(range(10)) - {8}
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("training_events")
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 10:00", "2026-01-01 10:05", "2026-01-01 10:10",  # u1 full funnel
+            "2026-01-01 11:00",                                            # u2 view only
+            "2026-01-01 12:00", "2026-01-01 12:05",                        # u3 click BEFORE view
+        ]
+    )
+    ev = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": ts,
+            "user_id": [1, 1, 1, 2, 3, 3],
+            "event_type": ["view", "click", "purchase", "view", "click", "view"],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    ev.to_parquet(os.path.join(str(d), "events.parquet"), index=False)
+    return str(d)
+
+
+def test_funnel_orders_stages_strictly(spark, events_dir):
+    rows = {r.stage_name: r for r in CATALOG["events_funnel"].fn(spark, events_dir).collect()}
+    assert rows["view"].n_users == 3
+    # only u1 clicked AFTER first view (u3's click precedes their view)
+    assert rows["click_after_view"].n_users == 1
+    assert rows["purchase_after_click"].n_users == 1
+    assert rows["click_after_view"].conversion == round(1 / 3, 4)
