@@ -84,6 +84,10 @@ _DRIVER_PRIORITY = [
     "kmeans_embeddings",
     "semdedup_prune",
     "events_funnel",
+    "text_unigram_lm_score",
+    "text_pii_redact",
+    "vocab_top_pairs",
+    "pipeline_source_mixing",
     # ── already green; re-confirm high-value rows in remaining slots ──
     "template_account_summary",
     "template_service_summary",

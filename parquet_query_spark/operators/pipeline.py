@@ -213,3 +213,75 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+@query(
+    "pipeline_source_mixing",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+weighted AS (
+  SELECT *,
+         pow(CAST(n_tokens AS DOUBLE), 0.5) AS raw_w,
+         SUM(n_tokens) OVER ()              AS tot_tokens,
+         SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () AS tot_w
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6)        AS natural_share,
+       round(raw_w / tot_w, 6)                                AS mix_weight,
+       round((raw_w / tot_w) * tot_tokens / n_tokens, 4)      AS epochs
+FROM weighted
+ORDER BY source
+""",
+    tags=("pipeline", "text"),
+)
+def pipeline_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design (temperature-sampled source weighting, the
+    multilingual-LM alpha=0.5 recipe): per source, token counts, the
+    natural share, the temperature-flattened mixing weight, and the implied
+    epoch count (how many passes over that source one training run makes
+    when sampling by weight).  epochs > 1 on small sources = upsampling.
+
+    Scale shape: token counting collapses into a map-side-combined
+    groupBy(source) — the shuffle carries one (source, count, sum) row per
+    source per task.  The normalization terms are window aggregates over
+    the per-SOURCE table (tens of rows), so the unpartitioned window is a
+    one-task no-op, not a corpus-wide single-partition shuffle."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    per_source = (
+        v["documents"]
+        .select("source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    raw_w = F.pow(F.col("n_tokens").cast("double"), 0.5)
+    w_all = W.partitionBy()
+    weighted = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        raw_w.alias("raw_w"),
+        F.sum("n_tokens").over(w_all).alias("tot_tokens"),
+        F.sum(raw_w).over(w_all).alias("tot_w"),
+    )
+    return weighted.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6).alias("natural_share"),
+        F.round(F.col("raw_w") / F.col("tot_w"), 6).alias("mix_weight"),
+        F.round(
+            (F.col("raw_w") / F.col("tot_w")) * F.col("tot_tokens") / F.col("n_tokens"), 4
+        ).alias("epochs"),
+    ).orderBy("source")

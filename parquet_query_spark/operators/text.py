@@ -413,3 +413,171 @@ def text_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_no")
     )
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+total AS (SELECT SUM(c) AS n_total FROM model)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       round(-avg(log2(CAST(m.c AS DOUBLE) / n_total)), 4) AS bits_per_token,
+       CASE
+         WHEN round(-avg(log2(CAST(m.c AS DOUBLE) / n_total)), 4) < 6.0  THEN 'low_entropy'
+         WHEN round(-avg(log2(CAST(m.c AS DOUBLE) / n_total)), 4) < 8.0  THEN 'mid'
+         ELSE 'high_entropy'
+       END AS quality_bucket
+FROM toks t JOIN model m ON t.tok = m.tok CROSS JOIN total
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("text", "pipeline", "quality"),
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter (the CCNet/KenLM pattern with the
+    corpus itself as the LM): build a corpus unigram model, score each
+    document by its cross-entropy in bits/token, and bucket.  Low-entropy
+    docs are repetitive/boilerplate; high-entropy docs are rare-token noise
+    — the classic keep-the-middle heuristic.
+
+    Scale shape: model build is one map-side-combined groupBy(token)
+    carrying (token, count); the total is a one-row aggregate.  Scoring
+    re-joins tokens to the model — the model side is the VOCABULARY
+    (sublinear in corpus size; Heaps' law) so Spark broadcasts it while
+    the token stream never shuffles for the join; the only corpus-sized
+    shuffle is the final groupBy(doc_id) carrying one double per token.
+    Bucket thresholds compare the ROUNDED score so both engines bucket
+    identically."""
+    v = views(spark, sf_dir)
+    toks = v["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    model = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c").alias("n_total"))
+    bits = F.round(
+        -F.avg(F.log2(F.col("c").cast("double") / F.col("n_total"))), 4
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            bits.alias("bits_per_token"),
+            F.when(bits < 6.0, "low_entropy")
+            .when(bits < 8.0, "mid")
+            .otherwise("high_entropy")
+            .alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII patterns: RE2 (DuckDB) and Java (Spark) agree on these constructs —
+# character classes, bounded repeats, alternation; no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_LONGNUM = r"[0-9]{4,}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))   AS n_emails,
+       len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_longnums,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_LONGNUM}', '<NUM>', 'g')) AS redacted_hash,
+       CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}')) > 0
+              OR len(regexp_extract_all(text, '{_PII_LONGNUM}')) > 0
+            THEN 1 ELSE 0 END AS was_redacted
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "pipeline"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email addresses and long digit
+    runs (phone/account/id shapes), emitting a fingerprint of the redacted
+    text so downstream stages can verify they consumed the scrubbed copy.
+
+    Scale shape: pure per-row regexp expressions inside whole-stage codegen
+    — zero shuffles except the presentation sort; sweeps 100 TB at scan
+    speed.  Patterns are restricted to the RE2∩Java common subset so the
+    DuckDB oracle is exact."""
+    v = views(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    n_emails = F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+    n_longnums = F.size(F.expr(f"regexp_extract_all(text, '{_PII_LONGNUM}', 0)"))
+    return (
+        v["documents"]
+        .select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_longnums.alias("n_longnums"),
+            F.md5(redacted).alias("redacted_hash"),
+            F.when((n_emails > 0) | (n_longnums > 0), 1).otherwise(0).alias("was_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "vocab_top_pairs",
+    oracle="""
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM t
+)
+SELECT pair, COUNT(*)::BIGINT AS c
+FROM pairs
+GROUP BY pair
+ORDER BY c DESC, pair
+LIMIT 50
+""",
+    tags=("text", "vocab"),
+)
+def vocab_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining (first iteration of Sennrich et al.
+    tokenizer training): corpus-wide adjacent-token-pair frequencies,
+    top 50 by count with a deterministic lexicographic tie-break.
+
+    Scale shape: pairs are built scan-side from builtin array exprs and
+    aggregated with ONE map-side-combined shuffle keyed on the pair
+    string; the top-k is TakeOrderedAndProject (per-partition heaps →
+    driver merge of 50-row heads), never a global sort.  This exact plan
+    iterated K times with a merge table broadcast back is full BPE
+    training at corpus scale."""
+    v = views(spark, sf_dir)
+    t = v["documents"].select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.desc("c"), "pair")
+        .limit(50)
+    )

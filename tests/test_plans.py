@@ -190,3 +190,23 @@ def test_pack_sequences_single_window_shuffle(spark):
     # exchange total (plus the presentation sort's range partitioning)
     plan = physical_plan(CATALOG["pipeline_pack_sequences"].fn(spark, SF))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_vocab_top_pairs_uses_takeordered(spark):
+    # top-50 must be per-partition heaps + driver merge, never a global sort
+    plan = physical_plan(CATALOG["vocab_top_pairs"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pii_redact_is_pure_scan(spark):
+    # per-row regexp work only: no hash shuffle anywhere in the plan
+    plan = physical_plan(CATALOG["text_pii_redact"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_unigram_lm_model_join_broadcasts(spark):
+    # the vocabulary join must broadcast (token stream never shuffles for
+    # it); only the model build and the per-doc rollup hash-shuffle
+    plan = physical_plan(CATALOG["text_unigram_lm_score"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

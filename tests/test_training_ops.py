@@ -142,3 +142,79 @@ def test_funnel_orders_stages_strictly(spark, events_dir):
     assert rows["click_after_view"].n_users == 1
     assert rows["purchase_after_click"].n_users == 1
     assert rows["click_after_view"].conversion == round(1 / 3, 4)
+
+
+@pytest.fixture(scope="module")
+def mix_dir(tmp_path_factory):
+    """Two sources: 'big' has 4 docs x 25 tokens, 'small' 1 doc x 25."""
+    d = tmp_path_factory.mktemp("training_mix")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [" ".join(["w%d" % i] * 25) for i in range(5)],
+            "lang": ["en"] * 5,
+            "source": ["big", "big", "big", "big", "small"],
+            "n_chars": [75] * 5,
+        }
+    )
+    docs.to_parquet(os.path.join(str(d), "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_source_mixing_upsamples_small_source(spark, mix_dir):
+    rows = {r.source: r for r in CATALOG["pipeline_source_mixing"].fn(spark, mix_dir).collect()}
+    assert rows["big"].n_tokens == 100 and rows["small"].n_tokens == 25
+    assert rows["big"].natural_share == 0.8
+    # sqrt temperature: weights 10:5 -> 2/3 vs 1/3
+    assert rows["big"].mix_weight == round(2 / 3, 6)
+    assert rows["small"].mix_weight == round(1 / 3, 6)
+    # the small source is upsampled past one epoch, the big one below
+    assert rows["small"].epochs > 1 > rows["big"].epochs
+
+
+def test_unigram_lm_score_orders_repetitive_below_rare(spark, text_dir):
+    rows = {r.doc_id: r for r in CATALOG["text_unigram_lm_score"].fn(spark, text_dir).collect()}
+    # doc 1 ("a" x10) is dominated by one frequent token -> lowest entropy
+    assert rows[1].bits_per_token == min(r.bits_per_token for r in rows.values())
+    assert rows[1].quality_bucket == "low_entropy"
+    # identical docs 2 and 3 score identically
+    assert rows[2].bits_per_token == rows[3].bits_per_token
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("training_pii")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "contact alice@example.com or bob.smith@mail.co, card 4111222233334444 ext 12",
+                "nothing sensitive here just words",
+            ],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [80, 33],
+        }
+    )
+    docs.to_parquet(os.path.join(str(d), "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_pii_redact_counts_and_scrubs(spark, pii_dir):
+    rows = {r.doc_id: r for r in CATALOG["text_pii_redact"].fn(spark, pii_dir).collect()}
+    assert rows[1].n_emails == 2
+    assert rows[1].n_longnums == 1  # "12" is below the 4-digit floor
+    assert rows[1].was_redacted == 1
+    assert rows[2].was_redacted == 0
+    import hashlib
+    expect = "contact <EMAIL> or <EMAIL>, card <NUM> ext 12"
+    assert rows[1].redacted_hash == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_vocab_top_pairs_finds_dominant_bigram(spark, text_dir):
+    rows = CATALOG["vocab_top_pairs"].fn(spark, text_dir).collect()
+    # doc 1 contributes 9 copies of "a a" -- nothing else repeats that much
+    assert rows[0].pair == "a a" and rows[0].c == 9
+    # strictly ordered by (c desc, pair asc)
+    keys = [(-r.c, r.pair) for r in rows]
+    assert keys == sorted(keys)
