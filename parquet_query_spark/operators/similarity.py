@@ -809,8 +809,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equi-join on cluster id shuffles each cluster to one place and
     compares members only (SemDeDup's entire point vs global pair
     enumeration); the drop set re-joins by vec_id (slim keys).  At 100 TB
-    raise K so clusters stay executor-sized (n/K² pairs per cluster)."""
-    assign = _km_final_assign(spark, sf_dir)
+    raise K so clusters stay executor-sized (n/K² pairs per cluster).
+
+    The assignment feeds three plan branches (both join sides + the final
+    anti-join probe); a localCheckpoint materializes it once instead of
+    re-running the scan-side argmin per branch."""
+    assign = _km_final_assign(spark, sf_dir).localCheckpoint(eager=True)
     a = assign.select("cid", F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"))
     b = assign.select("cid", F.col("vec_id").alias("id_b"), F.col("ev").alias("ev"))
     pairs = (
