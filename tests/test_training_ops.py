@@ -218,3 +218,48 @@ def test_vocab_top_pairs_finds_dominant_bigram(spark, text_dir):
     # strictly ordered by (c desc, pair asc)
     keys = [(-r.c, r.pair) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_pack_sequences_spec_invariants_on_random_corpora():
+    """The packing SPEC (as written in the oracle SQL — parity ties Spark to
+    it) must conserve tokens, produce dense bin ids, and only exceed the
+    256-token budget by a straddling chunk (<32 tokens), on arbitrary
+    corpora — not just the driver tables."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    oracle = CATALOG["pipeline_pack_sequences"].oracle
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=1, max_size=90).map(" ".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=12), st.sampled_from(["en", "de"]))
+    def check(texts, lang2):
+        langs = ["en" if i % 2 else lang2 for i in range(len(texts))]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": langs,
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        rows = con.execute(oracle).fetchall()
+        con.close()
+        # (lang, bin_id, n_chunks, n_tokens, fill_ratio, bin_hash)
+        total = sum(r[3] for r in rows)
+        expect = sum(len(t.split()) for t in texts)
+        assert total == expect  # token conservation
+        for lg in set(langs):
+            bins = sorted(r[1] for r in rows if r[0] == lg)
+            assert bins == list(range(len(bins)))  # dense per-lang bin ids
+        for r in rows:
+            assert r[3] <= 256 + 31  # budget + max straddle
+            assert r[2] >= 1
+
+    check()
