@@ -560,7 +560,7 @@ SELECT vec_id,
        SUM(code)                AS qsum,
        MIN(code)::INTEGER       AS qmin,
        MAX(code)::INTEGER       AS qmax,
-       round(AVG(abs(dequant - val)), 6) AS mean_abs_err
+       SUM(CAST(floor(abs(dequant - val) * 1e9 + 0.5) AS BIGINT)) AS err_nano_sum
 FROM codes
 GROUP BY vec_id
 ORDER BY vec_id
@@ -578,7 +578,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor(x+0.5) is used instead of round() for the code assignment —
     identical on both engines (round() half-rule on doubles is
-    engine-dependent).
+    engine-dependent).  Reconstruction error is reported as an exact
+    BIGINT sum of per-element nano-unit errors: each element's
+    abs(dequant - val) is a bit-identical IEEE double in both engines,
+    quantized to an integer BEFORE summing, so the comparison is immune
+    to float summation order (a plain AVG hash-mismatched in the driver
+    once: DuckDB's parallel aggregate sums group members in
+    nondeterministic order, flipping the last rounded digit).
 
     Plan shape: the only shuffle is the 64-row range aggregation
     (map-side combinable min/max); the ranges come back as two 64-element
@@ -635,11 +641,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").alias("qsum"),
             F.array_min("codes").cast("int").alias("qmin"),
             F.array_max("codes").cast("int").alias("qmax"),
-            F.round(
-                F.expr("aggregate(errs, CAST(0.0 AS DOUBLE), (a, e) -> a + e)")
-                / F.size("errs"),
-                6,
-            ).alias("mean_abs_err"),
+            F.expr(
+                "aggregate(transform(errs, e -> CAST(floor(e * 1e9 + 0.5) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, e) -> a + e)"
+            ).alias("err_nano_sum"),
         )
         .orderBy("vec_id")
     )
