@@ -27,18 +27,30 @@ def _catalog():
 
 # Driver-facing presentation order.  The correctness harness samples the
 # catalog front-to-back (~50 slots per round), so the queries that still
-# need their FIRST green driver row come first: the 24 oracle-backed
-# queries never sampled in rounds 1-2, then the 3 whose oracles are new
-# this round (previously `no_oracle` rows: sketch tolerance flags, the
-# SQL-defined SimHash, char-frame sampling).  All of these pass the local
-# sf0.01 differential suite.  Queries already green in CORRECTNESS_r01/r02
-# fill the remaining slots for re-confirmation; the 2 genuinely
-# no-oracle entries (engine-specific hash families) go last — a sample
-# slot spent on them can never produce a green row.  Names not present in
-# the catalog are skipped; catalog entries not listed keep registration
-# order.
+# need their FIRST green driver row come first: the 11 round-4 operators
+# plus embedding_quantize_int8 (round-3 hash mismatch, summation-order
+# root cause fixed — the error stat is now an order-free integer sum).
+# All pass the local sf0.01 differential suite.  Queries already green in
+# CORRECTNESS_r01-r03 fill the remaining slots for re-confirmation; the
+# genuinely no-oracle entries (engine-specific hash families) go last — a
+# sample slot spent on them can never produce a green row.  Names not
+# present in the catalog are skipped; catalog entries not listed keep
+# registration order.
 _DRIVER_PRIORITY = [
-    # ── never driver-sampled, oracle-backed (rounds 1-2 gap) ──
+    # ── round-4: new operators + the repaired quantize comparison ──
+    "embedding_quantize_int8",
+    "embedding_pq_codes",
+    "embedding_random_projection",
+    "sink_roundtrip_orc",
+    "maintenance_compact_small_files",
+    "sink_zorder_cluster",
+    "neardup_graph_degrees",
+    "events_retention_cohorts",
+    "pipeline_dataset_card",
+    "incremental_upsert_orders",
+    "events_anomaly_mad",
+    "fuzzy_join_rarest_token",
+    # ── rounds 1-3 catalog, re-confirmation order ──
     "events_sessionize",
     "events_pivot_type_by_user",
     "events_two_level_rollup",
@@ -62,13 +74,11 @@ _DRIVER_PRIORITY = [
     "join_salted_skew",
     "sample_deterministic_hash",
     "sink_roundtrip_bucketed_join",
-    # ── new/changed oracles this round ──
     "dedup_simhash_buckets",
     "dedup_simhash",
     "dedup_cluster_survivors",
     "dedup_decontaminate",
     "text_tfidf_top_terms",
-    "embedding_quantize_int8",
     "ann_lsh_cosine",
     "pipeline_quality_threshold",
     "text_chunk_for_training",
@@ -77,7 +87,6 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_best_keeper",
     "agg_approx_distinct",
     "multimodal_frame_sample",
-    # ── new this round (round 3 build): all oracle-backed ──
     "text_repetition_stats",
     "dedup_common_spans",
     "pipeline_pack_sequences",
@@ -88,7 +97,6 @@ _DRIVER_PRIORITY = [
     "text_pii_redact",
     "vocab_top_pairs",
     "pipeline_source_mixing",
-    # ── already green; re-confirm high-value rows in remaining slots ──
     "template_account_summary",
     "template_service_summary",
     "template_monthly_summary",

@@ -1089,3 +1089,148 @@ def dedup_minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     mh = h.select("doc_id", *_minhash_cols_spark())
     return mh.select("doc_id", *_band_cols_spark()).orderBy("doc_id")
+
+
+@query(
+    "neardup_graph_degrees",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+und AS (
+  SELECT doc_a AS doc_id FROM verified
+  UNION ALL
+  SELECT doc_b AS doc_id FROM verified
+),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM und GROUP BY doc_id)
+SELECT degree, COUNT(*) AS n_docs
+FROM deg
+GROUP BY degree
+ORDER BY degree
+""",
+    tags=("dedup", "graph", "profiling"),
+)
+def neardup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate graph — the QA profile a
+    dedup run ships with: how many documents have exactly d verified
+    near-duplicates.  A heavy tail here means template clusters (one hub
+    duplicated thousands of times) and predicts both the dedup ratio and
+    the skew the connected-components pass must absorb.
+
+    Scale shape: edges come from the same bucketed LSH band join as
+    dedup_minhash_candidate_pairs (slim band keys, never all-pairs);
+    degrees are one groupBy over the (much smaller) edge list and the
+    histogram a second tiny aggregation — profiling cost is edge-bound,
+    not corpus-bound."""
+    verified = _lsh_verified_pairs(spark, sf_dir, threshold=0.2)
+    und = verified.select(F.col("doc_a").alias("doc_id")).unionAll(
+        verified.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = und.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "fuzzy_join_rarest_token",
+    oracle="""
+WITH pref AS (
+  SELECT doc_id,
+         list_sort(list_distinct(string_split(trim(text), ' ')[:8])) AS words
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(words) AS word FROM pref),
+df AS (SELECT word, COUNT(*) AS dfreq FROM w GROUP BY word),
+blocked AS (
+  SELECT doc_id, word AS block_key FROM (
+    SELECT ww.doc_id, ww.word,
+           ROW_NUMBER() OVER (PARTITION BY ww.doc_id
+                              ORDER BY d.dfreq, ww.word) AS rn
+    FROM w ww JOIN df d ON ww.word = d.word
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(pa.words, pb.words)) AS DOUBLE)
+           / (len(pa.words) + len(pb.words)
+              - len(list_intersect(pa.words, pb.words))) AS jac
+  FROM cand c
+  JOIN pref pa ON c.doc_a = pa.doc_id
+  JOIN pref pb ON c.doc_b = pb.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+FROM scored
+WHERE jac >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "fuzzy", "join"),
+)
+def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy similarity self-join with rarest-token blocking — the entity
+    resolution kernel: compare records only within blocks keyed by each
+    record's LOWEST-document-frequency token (here: of its 8-word prefix),
+    then verify word-set Jaccard >= 0.5.
+
+    Why rarest-token blocking scales: every record lands in exactly ONE
+    block, and block sizes are bounded by the rarest token's document
+    frequency — hot common tokens ("the") never become join keys, which
+    is precisely what kills naive token-blocked joins at 100 TB.  The DF
+    table is one word-keyed aggregation; the block assignment is a
+    row_number argmin; the candidate join carries slim (doc_id, key) rows
+    with word sets re-attached afterward by doc_id (the same
+    slim-shuffle discipline as the MinHash LSH join).  Trade-off (single
+    blocking key misses pairs whose rarest tokens differ) is the standard
+    ER recall/cost dial — add the 2nd-rarest token as a second blocking
+    pass to raise recall."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    pref = v["documents"].select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.slice(F.split(F.trim("text"), " "), 1, 8))
+        ).alias("words"),
+    )
+    w = pref.select("doc_id", F.explode("words").alias("word"))
+    dfreq = w.groupBy("word").agg(F.count("*").alias("dfreq"))
+    w_rank = W.partitionBy("doc_id").orderBy("dfreq", "word")
+    blocked = (
+        w.join(F.broadcast(dfreq), "word")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("block_key"))
+    )
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "block_key")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "block_key")
+    cand = a.join(b, "block_key").where(F.col("doc_a") < F.col("doc_b"))
+    scored = (
+        cand.join(
+            pref.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            pref.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("wa", "wb")).cast("double"))
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.size("wa") + F.size("wb") - F.col("inter")),
+        )
+    )
+    return (
+        scored.where(F.col("jac") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

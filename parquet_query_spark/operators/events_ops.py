@@ -319,3 +319,125 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              3, 'purchase_after_click', n_purchase, round(CAST(n_purchase AS DOUBLE) / n_view, 4)
            ) AS (stage, stage_name, n_users, conversion)"""
     ).orderBy("stage")
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+labeled AS (
+  SELECT ev.user_id,
+         CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         CAST(floor(date_diff('day', date_trunc('week', f.first_ts),
+                              date_trunc('week', ev.ts)) / 7) AS INTEGER)
+           AS weeks_since
+  FROM events ev JOIN firsts f ON ev.user_id = f.user_id
+)
+SELECT cohort_week, weeks_since, COUNT(DISTINCT user_id) AS active_users
+FROM labeled
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+""",
+    tags=("events", "window", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the canonical product-analytics rollup:
+    bucket each user by the week of their first event, then count how many
+    of each cohort are still active N weeks later.
+
+    Scale shape: two key-partitioned aggregations (first-event per user,
+    then distinct users per cohort cell) and one join that re-attaches the
+    tiny per-user cohort label to the event stream — the label relation is
+    orders of magnitude smaller than the events and broadcast-joins, so
+    the event table is scanned once and shuffles only into the final
+    (cohort, week) cells.  Week truncation is Monday-aligned on both
+    engines, so cell boundaries agree exactly."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    labeled = ev.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")),
+                F.date_trunc("week", F.col("first_ts")),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("weeks_since"),
+    )
+    return (
+        labeled.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, floor(median(value) * 1e6 + 0.5) / 1e6 AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, floor(median(adev) * 1e6 + 0.5) / 1e6 AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ANY_VALUE(d.med) AS median_value,
+       ANY_VALUE(m.mad) AS mad,
+       SUM(CASE WHEN abs(d.value - d.med) > 3 * m.mad THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    tags=("events", "stats", "anomaly"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: flag values more than
+    3 median-absolute-deviations from the median — the outlier rule that
+    survives heavy-tailed metrics where mean/stddev z-scores break.
+
+    Scale shape: two grouped exact medians (each one shuffle on
+    event_type; swap in percentile_approx at 100 TB for one-pass sketch
+    medians) with the tiny per-type median/MAD relations BROADCAST back
+    onto the event stream — the events table is never reshuffled for the
+    flagging pass.  Medians are floored at 1e-6 before the comparison so
+    both engines threshold on identical doubles."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+    med = ev.groupBy("event_type").agg(
+        (F.floor(F.median("value") * 1e6 + 0.5) / 1e6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.floor(F.median("adev") * 1e6 + 0.5) / 1e6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -285,3 +285,81 @@ def pipeline_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_w") / F.col("tot_w")) * F.col("tot_tokens") / F.col("n_tokens"), 4
         ).alias("epochs"),
     ).orderBy("source")
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         SUM(n_chars) AS total_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS tot_docs FROM per_source),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang) AS rnk
+    FROM documents GROUP BY source, lang
+  ) WHERE rnk = 1
+)
+SELECT s.source,
+       s.n_docs,
+       s.n_langs,
+       CAST(s.total_chars AS BIGINT) AS total_chars,
+       CAST(floor(s.total_chars * 1.0 / s.n_docs) AS BIGINT) AS avg_chars,
+       CAST(floor(s.n_docs * 10000.0 / t.tot_docs) AS BIGINT) AS share_bp,
+       l.top_lang
+FROM per_source s CROSS JOIN tot t JOIN top_lang l ON s.source = l.source
+ORDER BY s.source
+""",
+    tags=("pipeline", "profiling"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generation: the per-source summary a corpus release
+    publishes — document counts, language diversity, size, corpus share
+    (basis points), and dominant language.  This is the profiling pass
+    that runs after every pipeline stage to catch composition drift.
+
+    Scale shape: one corpus scan feeding two key-partitioned aggregations
+    (per-source rollup; per-(source,lang) counts for the argmax), plus a
+    single-row total broadcast back onto the tiny per-source relation —
+    the share computation never reshuffles the corpus.  Ratios are
+    floored at fixed precision so both engines emit identical integers."""
+    v = views(spark, sf_dir)
+    docs = v["documents"]
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    tot = per_source.agg(F.sum("n_docs").alias("tot_docs"))
+    w_top = Window.partitionBy("source").orderBy(F.desc("lang_docs"), F.asc("lang"))
+    top_lang = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("lang_docs"))
+        .withColumn("rnk", F.row_number().over(w_top))
+        .where(F.col("rnk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            F.floor(F.col("total_chars") * 1.0 / F.col("n_docs"))
+            .cast("bigint")
+            .alias("avg_chars"),
+            F.floor(F.col("n_docs") * 10000.0 / F.col("tot_docs"))
+            .cast("bigint")
+            .alias("share_bp"),
+            "top_lang",
+        )
+        .orderBy("source")
+    )

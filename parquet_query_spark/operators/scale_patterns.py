@@ -172,3 +172,82 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 25)
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "incremental_upsert_orders",
+    oracle="""
+WITH base AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < DATE '1997-01-01') WHERE rn = 1
+),
+updates AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate >= DATE '1997-01-01') WHERE rn = 1
+)
+SELECT COUNT(*) AS n_current,
+       SUM(CASE WHEN u.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS n_updated,
+       SUM(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_inserted,
+       SUM(CASE WHEN u.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_carried,
+       SUM(CAST(round(COALESCE(u.o_totalprice, b.o_totalprice) * 100) AS BIGINT))
+         AS state_cents
+FROM base b FULL JOIN updates u ON b.o_custkey = u.o_custkey
+""",
+    tags=("incremental", "merge", "join"),
+)
+def incremental_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (CDC apply): maintain a per-customer current-state
+    table where a batch of newer records overrides the stored state by key
+    — updates win, unmatched updates insert, unmatched state carries over.
+    This is the incremental-maintenance kernel of every lakehouse table
+    (Delta MERGE INTO / Hudi upsert) expressed as a full-outer join.
+
+    Scale shape: both sides reduce to one row per key BEFORE the merge
+    join (window argmax — map-side-friendly), so the full-outer join
+    carries |keys| rows, not |history|; at 100 TB bucket both state and
+    CDC batches on the merge key and the join drops its shuffle entirely
+    (see sink_roundtrip_bucketed_join).  The summary proves row
+    provenance: updated vs inserted vs carried counts plus an exact
+    integer-cents checksum of the merged state."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    orders = v["orders"]
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "o_totalprice")
+        )
+
+    base = latest(orders.where(F.col("o_orderdate") < "1997-01-01"))
+    updates = latest(orders.where(F.col("o_orderdate") >= "1997-01-01"))
+    b = base.select(
+        F.col("o_custkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    u = updates.select(
+        F.col("o_custkey").alias("u_key"), F.col("o_totalprice").alias("u_price")
+    )
+    merged = b.join(u, b["b_key"] == u["u_key"], "full_outer")
+    return merged.agg(
+        F.count("*").alias("n_current"),
+        F.sum(
+            F.when(F.col("u_key").isNotNull() & F.col("b_key").isNotNull(), 1).otherwise(0)
+        ).alias("n_updated"),
+        F.sum(F.when(F.col("b_key").isNull(), 1).otherwise(0)).alias("n_inserted"),
+        F.sum(F.when(F.col("u_key").isNull(), 1).otherwise(0)).alias("n_carried"),
+        F.sum(
+            F.round(F.coalesce("u_price", "b_price") * 100).cast("bigint")
+        ).alias("state_cents"),
+    )

@@ -836,3 +836,179 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cid").alias("cluster"))
         .orderBy("vec_id")
     )
+
+
+# ── product quantization + random projection ───────────────────────────────
+
+_PQ_M = 8      # subspaces
+_PQ_DSUB = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 16     # codebook entries per subspace; init = embeddings of vec_id < K
+
+
+def _pq_oracle() -> str:
+    code_cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN m = {m} THEN cid END) AS INTEGER) AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    dist_chain = " + ".join(
+        f"MAX(CASE WHEN m = {m} THEN dist2 END)" for m in range(_PQ_M)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, ev AS c FROM e WHERE vec_id < {_PQ_K}),
+sub AS (
+  SELECT e.vec_id, t.m, cb.cid,
+         round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), d ->
+           (e.ev[CAST(t.m * {_PQ_DSUB} + d AS INTEGER)]
+            - cb.c[CAST(t.m * {_PQ_DSUB} + d AS INTEGER)])
+           * (e.ev[CAST(t.m * {_PQ_DSUB} + d AS INTEGER)]
+              - cb.c[CAST(t.m * {_PQ_DSUB} + d AS INTEGER)]))), 6) AS dist2
+  FROM e CROSS JOIN range({_PQ_M}) t(m) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, m, cid, dist2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, cid) AS rnk
+    FROM sub
+  ) WHERE rnk = 1
+)
+SELECT vec_id,
+       {code_cols},
+       round({dist_chain}, 6) AS distortion
+FROM best
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("similarity", "quantize", "ann", "bench"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each 64-d vector
+    into 8 subspaces of 8 dims, encode each subspace as the id of its
+    nearest codebook centroid — 8 small codes replace 64 floats, the
+    compression behind IVFPQ-style ANN serving.  Codebook init is
+    deterministic (subvectors of the K lowest vec_ids); output is the code
+    per subspace plus total quantization distortion.
+
+    Scale shape: the codebook is K full-width rows collected once and
+    shipped as a literal (exactly the k-means centroid pattern — bounded,
+    never a corpus shuffle); every vector's 8 argmins are computed
+    scan-side with array expressions, so encoding 100 TB is one pass at
+    scan cost with zero joins.  Per-subspace distances round to 6dp with
+    left-fold summation on both engines, making the argmin (tie-break on
+    centroid id) hash-verifiable."""
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select("vec_id", _as_double("embedding").alias("ev"))
+    cb_rows = sorted(
+        (r.cid, list(r.c))
+        for r in emb.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("c"))
+        .collect()
+    )
+    best = F.expr(
+        f"""
+        transform(sequence(0, {_PQ_M - 1}), m ->
+          array_sort(transform(_cb, ct -> named_struct(
+            'dist2', round(aggregate(transform(sequence(1, {_PQ_DSUB}), d ->
+                (element_at(ev, m * {_PQ_DSUB} + d) - element_at(ct.c, m * {_PQ_DSUB} + d))
+                * (element_at(ev, m * {_PQ_DSUB} + d) - element_at(ct.c, m * {_PQ_DSUB} + d))),
+              CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6),
+            'cid', ct.cid)))[0])
+        """
+    )
+    coded = (
+        emb.withColumn("_cb", _km_cent_lit(cb_rows))
+        .withColumn("_pq", best)
+        .select(
+            "vec_id",
+            *[
+                F.col("_pq")[m]["cid"].cast("int").alias(f"code_{m}")
+                for m in range(_PQ_M)
+            ],
+            F.round(
+                sum(F.col("_pq")[m]["dist2"] for m in range(_PQ_M)), 6
+            ).alias("distortion"),
+        )
+    )
+    return coded.orderBy("vec_id")
+
+
+_RP_J = 8  # projected dimensions
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic Rademacher sign matrix derived from md5 — the j-th
+    projection's i-th sign is +1 iff the first hex digit of
+    md5('rp{j}_{i}') is < '8'.  Recomputable in ANSI SQL, so the oracle
+    derives the identical matrix without any side-channel."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(1, _DIM + 1)
+        ]
+        for j in range(_RP_J)
+    ]
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings
+),
+terms AS (
+  SELECT e.vec_id, tj.j, ti.i,
+         CAST(floor((CASE WHEN substr(md5('rp' || CAST(tj.j AS VARCHAR) || '_'
+                                       || CAST(ti.i AS VARCHAR)), 1, 1) < '8'
+                      THEN 1.0 ELSE -1.0 END)
+                    * e.ev[CAST(ti.i AS INTEGER)] * 1e6) AS BIGINT) AS tu
+  FROM e CROSS JOIN range({_RP_J}) tj(j) CROSS JOIN range(1, {_DIM + 1}) ti(i)
+)
+SELECT vec_id, CAST(j AS INTEGER) AS proj_dim, CAST(SUM(tu) AS BIGINT) AS proj_micro
+FROM terms
+GROUP BY vec_id, j
+ORDER BY vec_id, proj_dim
+""",
+    tags=("similarity", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003 / Johnson–Lindenstrauss):
+    reduce 64-d embeddings to 8 dims with a Rademacher ±1 matrix so
+    downstream clustering/LSH run on 8× less data.  Signs derive from md5
+    (see _rp_signs) so the projection is reproducible anywhere.
+
+    Scale shape: the 8×64 sign matrix is a LITERAL baked into the plan
+    (Spark never recomputes md5 per row — the oracle recomputes it in SQL
+    to prove the matrix matches); each vector's 8 projections are a
+    scan-side fold, then one 1→8 posexplode to long format.  No shuffle
+    before the output sort — 100 TB projects at scan cost.  Each term is
+    quantized to integer micro-units BEFORE summing, so the cross-engine
+    comparison is exact regardless of float summation order."""
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select("vec_id", _as_double("embedding").alias("ev"))
+    signs = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in _rp_signs()]
+    )
+    projs = F.expr(
+        f"""
+        transform(sequence(0, {_RP_J - 1}), j ->
+          aggregate(sequence(1, {_DIM}), CAST(0 AS BIGINT),
+            (a, i) -> a + CAST(floor(element_at(element_at(_signs, j + 1), i)
+                                     * element_at(ev, i) * 1e6) AS BIGINT)))
+        """
+    )
+    return (
+        emb.withColumn("_signs", signs)
+        .withColumn("_p", projs)
+        .select("vec_id", F.posexplode("_p").alias("proj_dim", "proj_micro"))
+        .orderBy("vec_id", "proj_dim")
+    )

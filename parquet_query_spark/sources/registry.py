@@ -23,6 +23,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SUPPORTED_SUFFIXES = (".parquet", ".csv", ".json", ".ndjson")
 
@@ -138,6 +139,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if ns_cols:
         df = _fix_nanos(df, ns_cols)
+    # Parquet TIMESTAMP with isAdjustedToUTC=false surfaces as
+    # TIMESTAMP_NTZ, which Spark refuses to cast to numeric types (several
+    # operators do epoch arithmetic on ts).  The session timezone is pinned
+    # to UTC, so NTZ wall-clock values ARE the UTC instants — cast to the
+    # LTZ TimestampType for uniform semantics with DuckDB's naive reads.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -51,6 +51,13 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed ORC sink — the columnar interchange format for
+    Hive/Trino-adjacent warehouses.  Spark's ORC writer keeps the same
+    predicate-pushdown + column-pruning story as parquet on read-back."""
+    df.write.mode(mode).orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -33,8 +33,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # unadjusted-UTC parquet timestamps surface as NTZ, which watermarks
+        # reject; session TZ is UTC so the cast is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

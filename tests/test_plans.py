@@ -210,3 +210,24 @@ def test_unigram_lm_model_join_broadcasts(spark):
     plan = physical_plan(CATALOG["text_unigram_lm_score"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_codes_scan_side(spark):
+    # PQ encoding is one corpus pass with a literal codebook: zero hash
+    # exchanges (the presentation orderBy range-partitions only)
+    plan = physical_plan(CATALOG["embedding_pq_codes"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_random_projection_scan_side(spark):
+    # the sign matrix is a plan literal; projection folds + posexplode stay
+    # scan-side — zero hash exchanges before the output sort
+    plan = physical_plan(CATALOG["embedding_random_projection"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_retention_cohorts_broadcasts_user_labels(spark):
+    # per-user cohort labels are tiny vs the event stream: the re-attach
+    # join must broadcast, not shuffle the events
+    plan = physical_plan(CATALOG["events_retention_cohorts"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan

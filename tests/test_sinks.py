@@ -121,3 +121,47 @@ def test_sink_roundtrip_queries_match_source(spark):
         .orderBy("o_orderpriority")
     )
     assert bucketed.collect() == direct_join.collect()
+
+
+def test_zorder_write_rowgroup_stats_are_tight(spark):
+    # the z-order clustered copy must give each output file a narrow,
+    # non-overlapping zval range (that's what makes 2-d min/max pruning
+    # work); verify via parquet footer stats
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_query_spark.operators.catalog import CATALOG
+
+    CATALOG["sink_zorder_cluster"].fn(spark, "/root/testdata/sf0.001").collect()
+    out = os.path.join(tempfile.gettempdir(), "pqs_zorder")
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        zi = md.schema.names.index("zval")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(zi).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # file/row-group zval ranges must not overlap (range partition + sort)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+
+
+def test_compaction_reduces_file_count(spark):
+    import os
+    import tempfile
+
+    from parquet_query_spark.operators.catalog import CATALOG
+
+    rows = CATALOG["maintenance_compact_small_files"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    base = os.path.join(tempfile.gettempdir(), "pqs_compact")
+    n_small = sum(1 for f in os.listdir(f"{base}_small") if f.startswith("part-"))
+    n_out = sum(1 for f in os.listdir(f"{base}_out") if f.startswith("part-"))
+    assert (n_small, n_out) == (64, 4)
+    assert all(r.files_small == 64 and r.files_compacted == 4 for r in rows)
