@@ -127,8 +127,56 @@ def _fix_nanos(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def _single_row_group_rows(abs_path: str) -> int:
+    """Rows in the file IF it is a single-row-group parquet, else 0."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+        return md.num_rows if md.num_row_groups == 1 else 0
+    except Exception:
+        return 0
+
+
+_STAGE_PARTITIONS = 32
+_STAGE_MIN_ROWS = 1000
+_staging_root: str | None = None
+
+
+def _stage_path(sf_dir: str, name: str) -> str:
+    """Per-process staging directory for re-laid-out copies of one sf_dir."""
+    global _staging_root
+    if _staging_root is None:
+        import tempfile
+
+        _staging_root = tempfile.mkdtemp(prefix="pqs_ingest_stage_")
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_staging_root, key, name)
+
+
+def _restage(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Ingest-time re-layout: rewrite a pathological single-row-group input
+    into a multi-row-group copy and read THAT.
+
+    Spark's parquet scan parallelizes at row-group granularity — a table
+    packed into one row group serializes every scan-side computation onto
+    one core no matter how many executors exist.  Real 100 TB tables have
+    thousands of row groups so this never arises at scale; when a small
+    input arrives badly laid out, the warehouse answer is the same one
+    `maintenance_compact_small_files` applies in reverse: pay one layout
+    rewrite at ingest, then every subsequent query scans in parallel.
+    The staged copy holds identical rows (only layout changes; repairs
+    above are already applied); it is per-process, under the system temp
+    dir, and reused across queries in the session."""
+    out = _stage_path(sf_dir, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df.repartition(_STAGE_PARTITIONS).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; transparently repairs nanosecond timestamps."""
+    """Load one driver table; transparently repairs nanosecond timestamps
+    and restages single-row-group files for scan parallelism."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
@@ -147,6 +195,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if (
+        os.environ.get("SPARK_GRAFT_NO_STAGE") != "1"
+        and _single_row_group_rows(path) >= _STAGE_MIN_ROWS
+    ):
+        df = _restage(spark, df, sf_dir, name)
     return df
 
 
