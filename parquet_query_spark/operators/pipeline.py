@@ -363,3 +363,97 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pipeline_gopher_rules",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_sym
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(len(list_filter(words, w -> w IN ('the','a','of','to','and')))
+              AS DOUBLE) / len(words) AS stop_frac,
+         CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_frac,
+         CAST(n_chars - len(words) + 1 AS DOUBLE) / len(words) AS mean_wlen,
+         CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio
+  FROM m
+)
+SELECT doc_id, n_words,
+       n_words BETWEEN 20 AND 5000       AS rule_length,
+       mean_wlen BETWEEN 3 AND 10        AS rule_word_length,
+       sym_ratio <= 0.1                  AS rule_symbols,
+       stop_frac >= 0.02                 AS rule_stopwords,
+       distinct_frac >= 0.3              AS rule_diversity,
+       (n_words BETWEEN 20 AND 5000) AND (mean_wlen BETWEEN 3 AND 10)
+         AND sym_ratio <= 0.1 AND stop_frac >= 0.02 AND distinct_frac >= 0.3
+         AS keep
+FROM r
+ORDER BY doc_id
+""",
+    tags=("pipeline", "quality", "filter"),
+)
+def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1,
+    adapted thresholds): the rule battery a pretraining corpus pass
+    applies per document — length bounds, mean word length, symbol ratio,
+    function-word floor (real prose contains them), and lexical-diversity
+    floor (kills boilerplate/repetition).  Emits every rule verdict plus
+    the conjunction, so downstream audits see WHY a document fell.
+
+    Scale shape: pure scan-side codegen expressions on one corpus pass —
+    no UDFs, no shuffle before the presentation sort; at 100 TB this
+    filter is I/O-bound, which is the point (quality rules must not cost
+    more than reading the data)."""
+    v = views(spark, sf_dir)
+    m = v["documents"].select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("words"),
+        F.length("text").alias("n_chars"),
+        F.size(F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)")).alias(
+            "n_sym"
+        ),
+    )
+    r = m.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        (
+            F.size(
+                F.filter(
+                    "words",
+                    lambda w: w.isin("the", "a", "of", "to", "and"),
+                )
+            ).cast("double")
+            / F.size("words")
+        ).alias("stop_frac"),
+        (F.size(F.array_distinct("words")).cast("double") / F.size("words")).alias(
+            "distinct_frac"
+        ),
+        (
+            (F.col("n_chars") - F.size("words") + 1).cast("double") / F.size("words")
+        ).alias("mean_wlen"),
+        (F.col("n_sym").cast("double") / F.col("n_chars")).alias("sym_ratio"),
+    )
+    rule_length = F.col("n_words").between(20, 5000)
+    rule_word_length = F.col("mean_wlen").between(3, 10)
+    rule_symbols = F.col("sym_ratio") <= 0.1
+    rule_stopwords = F.col("stop_frac") >= 0.02
+    rule_diversity = F.col("distinct_frac") >= 0.3
+    return r.select(
+        "doc_id",
+        "n_words",
+        rule_length.alias("rule_length"),
+        rule_word_length.alias("rule_word_length"),
+        rule_symbols.alias("rule_symbols"),
+        rule_stopwords.alias("rule_stopwords"),
+        rule_diversity.alias("rule_diversity"),
+        (
+            rule_length & rule_word_length & rule_symbols & rule_stopwords & rule_diversity
+        ).alias("keep"),
+    ).orderBy("doc_id")

@@ -1012,3 +1012,189 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("_p").alias("proj_dim", "proj_micro"))
         .orderBy("vec_id", "proj_dim")
     )
+
+
+def _ivfpq_oracle() -> str:
+    dsub, m_n, k_n = _PQ_DSUB, _PQ_M, _PQ_K
+    sub_d2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), d -> "
+        f"({{v}}[CAST({{m}} * {dsub} + d AS INTEGER)] - cb.c[CAST({{m}} * {dsub} + d AS INTEGER)]) "
+        f"* ({{v}}[CAST({{m}} * {dsub} + d AS INTEGER)] - cb.c[CAST({{m}} * {dsub} + d AS INTEGER)])))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, ev AS c FROM e WHERE vec_id < {k_n}),
+best AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT e.vec_id, t.m, cb.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.m
+                              ORDER BY round({sub_d2.format(v="e.ev", m="t.m")}, 6), cb.cid) AS rnk
+    FROM e CROSS JOIN range({m_n}) t(m) CROSS JOIN cb
+  ) WHERE rnk = 1
+),
+cent_elems AS (
+  SELECT label, i, round(AVG(ev[i]), 6) AS v
+  FROM e, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(v ORDER BY i) AS cv FROM cent_elems GROUP BY label),
+assigned AS (
+  SELECT vec_id, c_label FROM (
+    SELECT e.vec_id, c.label AS c_label,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DUCKDB_COSINE_RAW.format(a="e.ev", b="c.cv")} DESC, c.label) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, c_label FROM (
+    SELECT q.vec_id AS qid, c.label AS c_label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_DUCKDB_COSINE_RAW.format(a="q.ev", b="c.cv")} DESC, c.label) AS rn
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < {N_IVF_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+qlut AS (
+  SELECT q.vec_id AS qid, t.m, cb.cid,
+         CAST(floor({sub_d2.format(v="q.ev", m="t.m")} * 1e6 + 0.5) AS BIGINT) AS lu
+  FROM e q CROSS JOIN range({m_n}) t(m) CROSS JOIN cb
+  WHERE q.vec_id < {N_IVF_QUERIES}
+),
+adist AS (
+  SELECT p.qid, a.vec_id AS neighbor_id, CAST(SUM(l.lu) AS BIGINT) AS approx_d2_micro
+  FROM probes p
+  JOIN assigned a ON a.c_label = p.c_label
+  JOIN best b ON b.vec_id = a.vec_id
+  JOIN qlut l ON l.qid = p.qid AND l.m = b.m AND l.cid = b.cid
+  WHERE a.vec_id <> p.qid
+  GROUP BY p.qid, a.vec_id
+)
+SELECT qid, neighbor_id, approx_d2_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT qid, neighbor_id, approx_d2_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY approx_d2_micro, neighbor_id) AS rnk
+  FROM adist
+) WHERE rnk <= {IVF_TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+@query(
+    "ann_ivfpq_adc",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "quantize"),
+)
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with asymmetric distance computation (Jégou et al. 2011) —
+    the production ANN serving stack: coarse IVF cells bound WHICH vectors
+    each query touches, PQ codes bound what scoring a candidate COSTS.
+    Each query precomputes an 8×16 lookup table of subspace distances to
+    the codebook; a candidate's approximate distance is then 8 integer
+    table lookups over its codes — no float math per candidate, and the
+    full-precision corpus is never read at query time.
+
+    Scale shape: the corpus is encoded once scan-side (codes + cell id,
+    broadcast codebook/centroids — the embedding_pq_codes/ann_ivf plans);
+    query LUTs are tiny literals carried through the broadcast probe
+    relation; the candidate join shuffles nothing but (cell, codes) rows.
+    LUT entries are floored to integer micro-units so the ADC sum is an
+    exact BIGINT on both engines — the whole approximate pipeline is
+    hash-verifiable, argmins included."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select(
+        "vec_id", "label", _as_double("embedding").alias("ev")
+    )
+    cb_rows = sorted(
+        (r.cid, list(r.c))
+        for r in emb.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("c"))
+        .collect()
+    )
+
+    # corpus: PQ codes (same rounded-argmin rule as embedding_pq_codes)
+    codes_expr = F.expr(
+        f"""
+        transform(sequence(0, {_PQ_M - 1}), m ->
+          array_sort(transform(_cb, ct -> named_struct(
+            'dist2', round(aggregate(transform(sequence(1, {_PQ_DSUB}), d ->
+                (element_at(ev, m * {_PQ_DSUB} + d) - element_at(ct.c, m * {_PQ_DSUB} + d))
+                * (element_at(ev, m * {_PQ_DSUB} + d) - element_at(ct.c, m * {_PQ_DSUB} + d))),
+              CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6),
+            'cid', ct.cid)))[0].cid)
+        """
+    )
+
+    # coarse cells: per-label mean centroids (shared shape with ann_ivf_cosine)
+    cent = (
+        emb.select("label", F.posexplode("ev").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    cos_cv = F.round(_dot("ev", "cv") / (_norm("ev") * _norm("cv")), 6)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    corpus = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "ev", "c_label", cos_cv.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .withColumn("_cb", _km_cent_lit(cb_rows))
+        .select("vec_id", "c_label", codes_expr.alias("codes"))
+    )
+
+    # queries: NPROBE cells + integer-micro LUT, all computed on 10 rows
+    q = emb.where(F.col("vec_id") < N_IVF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    cos_q = F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+    w_probe = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("c_label"))
+    lut_expr = F.expr(
+        f"""
+        transform(sequence(0, {_PQ_M - 1}), m -> transform(_cb, ct ->
+          CAST(floor(aggregate(transform(sequence(1, {_PQ_DSUB}), d ->
+              (element_at(qv, m * {_PQ_DSUB} + d) - element_at(ct.c, m * {_PQ_DSUB} + d))
+              * (element_at(qv, m * {_PQ_DSUB} + d) - element_at(ct.c, m * {_PQ_DSUB} + d))),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x) * 1e6 + 0.5) AS BIGINT)))
+        """
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "c_label", cos_q.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .withColumn("_cb", _km_cent_lit(cb_rows))
+        .select("qid", "c_label", lut_expr.alias("lut"))
+    )
+
+    adc = F.expr(
+        f"""
+        aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT), (a, m) ->
+          a + element_at(element_at(lut, m + 1), element_at(codes, m + 1) + 1))
+        """
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "c_label")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("approx_d2_micro"),
+        )
+    )
+    w_rank = W.partitionBy("qid").orderBy("approx_d2_micro", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= IVF_TOP_K)
+        .orderBy("qid", "rnk")
+    )

@@ -231,3 +231,10 @@ def test_retention_cohorts_broadcasts_user_labels(spark):
     # join must broadcast, not shuffle the events
     plan = physical_plan(CATALOG["events_retention_cohorts"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gopher_rules_scan_side(spark):
+    # the quality-rule battery is pure codegen on one pass: zero hash
+    # exchanges (only the presentation orderBy range-partitions)
+    plan = physical_plan(CATALOG["pipeline_gopher_rules"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
