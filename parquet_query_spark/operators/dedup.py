@@ -525,8 +525,14 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole), so recall is structural, not sampled.  The shuffle rows
     carry only (doc_id, 8-byte signature, 2-byte band) — at 100 TB the
     band join moves a few bytes per document, and the signature pass
-    itself is the zero-shuffle scan above."""
-    sig = _simhash_signatures(spark, sf_dir)
+    itself is the zero-shuffle scan above.
+
+    The signature relation feeds BOTH sides of the band self-join; without
+    materialization Spark re-executes the Python mapInPandas signature
+    pass once per side.  A localCheckpoint pins the (doc_id, simhash)
+    rows (10 bytes/doc) so the corpus crosses the Python boundary exactly
+    once."""
+    sig = _simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -59,3 +59,38 @@ def test_neardup_pairs_symmetric_clones(spark, vec_dir):
     assert pairs.get((0, 20)) == 1.0
     assert pairs.get((0, 21), 0) > 0.99
     assert all(a < b for a, b in pairs)
+
+
+def test_rp_sign_matrix_matches_sql_derivation():
+    # the Spark-side literal sign matrix must equal what the oracle derives
+    # from md5 in SQL — recompute a sample of cells with DuckDB
+    import duckdb
+
+    from parquet_query_spark.operators.similarity import _DIM, _RP_J, _rp_signs
+
+    signs = _rp_signs()
+    assert len(signs) == _RP_J and all(len(r) == _DIM for r in signs)
+    con = duckdb.connect()
+    for j in (0, _RP_J - 1):
+        for i in (1, 17, _DIM):
+            (sql_sign,) = con.execute(
+                "SELECT CASE WHEN substr(md5('rp' || CAST(? AS VARCHAR) || '_' "
+                "|| CAST(? AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END",
+                [j, i],
+            ).fetchone()
+            assert signs[j][i - 1] == sql_sign, (j, i)
+
+
+def test_pq_codes_within_codebook_range(spark):
+    from parquet_query_spark.operators.catalog import CATALOG
+    from parquet_query_spark.operators.similarity import _PQ_K, _PQ_M
+
+    rows = CATALOG["embedding_pq_codes"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for m in range(_PQ_M):
+            assert 0 <= r[f"code_{m}"] < _PQ_K
+        assert r.distortion >= 0
+    # codebook members must encode to themselves with zero distortion
+    self_rows = [r for r in rows if r.vec_id < _PQ_K]
+    assert self_rows and all(r.distortion == 0.0 for r in self_rows)

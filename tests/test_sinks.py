@@ -165,3 +165,19 @@ def test_compaction_reduces_file_count(spark):
     n_out = sum(1 for f in os.listdir(f"{base}_out") if f.startswith("part-"))
     assert (n_small, n_out) == (64, 4)
     assert all(r.files_small == 64 and r.files_compacted == 4 for r in rows)
+
+
+def test_zorder_bit_interleave_roundtrip():
+    # the z-value expression must interleave losslessly: decoding even/odd
+    # bits recovers (x, y) for every corner and random-ish value
+    from parquet_query_spark.operators.sink_queries import _Z_BITS, _z_expr
+
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [(0, 0), (1, 0), (0, 1), (1023, 1023), (511, 512), (123, 987)]
+    for x, y in cases:
+        (z,) = con.execute(f"SELECT {_z_expr(str(x), str(y))}").fetchone()
+        dx = sum(((z >> (2 * b)) & 1) << b for b in range(_Z_BITS))
+        dy = sum(((z >> (2 * b + 1)) & 1) << b for b in range(_Z_BITS))
+        assert (dx, dy) == (x, y), (x, y, z)
