@@ -251,3 +251,48 @@ def incremental_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("u_price", "b_price") * 100).cast("bigint")
         ).alias("state_cents"),
     )
+
+
+@query(
+    "orders_scd2_history",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current,
+       o_totalprice AS state_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, valid_from, o_orderkey
+""",
+    tags=("incremental", "scd", "window"),
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: turn an event-ordered fact stream into
+    validity-interval rows — each state valid from its own date until the
+    next state's date, the open interval marking the current row.  This is
+    the dimension-history layout every warehouse derives before as-of
+    joins (and the batch twin of CDC apply in incremental_upsert_orders).
+
+    Scale shape: one window over (key, date) — a single key-partitioned
+    shuffle, no self-join (the naive formulation joins the table to itself
+    on "next date", doubling the shuffle and exploding on date ties).
+    At 100 TB this is the cheapest possible interval build: shuffle once,
+    LEAD within partitions."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        v["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+            F.col("o_totalprice").alias("state_price"),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )
