@@ -1240,3 +1240,83 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "pipeline_dedup_report",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root)
+SELECT (SELECT COUNT(*) FROM documents)                     AS n_docs,
+       (SELECT COUNT(*) FROM verified)                      AS n_pairs,
+       (SELECT COUNT(*) FROM comp)                          AS n_clustered_docs,
+       (SELECT COUNT(DISTINCT component_id) FROM comp)      AS n_clusters,
+       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)
+         + (SELECT COUNT(DISTINCT component_id) FROM comp)  AS n_survivors,
+       CAST(floor(((SELECT COUNT(*) FROM comp)
+                   - (SELECT COUNT(DISTINCT component_id) FROM comp))
+                  * 10000.0 / (SELECT COUNT(*) FROM documents)) AS BIGINT)
+         AS removed_bp
+""",
+    tags=("dedup", "pipeline", "profiling"),
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row run report a production dedup job publishes: corpus
+    size, verified near-dup pairs, clustered documents, cluster count,
+    surviving documents (one keeper per cluster + everything unclustered),
+    and the removal rate in basis points.  This is the number a data lead
+    reads before signing off a corpus release.
+
+    Scale shape: the expensive stages are the same bucketed LSH verify and
+    iterative components the pipeline queries use; the pair list is
+    materialized once (localCheckpoint) and every report statistic is a
+    single-row aggregate broadcast-joined onto the others — nothing
+    corpus-sized moves after the edge list exists."""
+    v = views(spark, sf_dir)
+    pairs = (
+        _lsh_verified_pairs(spark, sf_dir, threshold=0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = _components_output(pairs).select("doc_id", "component_id")
+    n_docs = v["documents"].agg(F.count("*").alias("n_docs"))
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    comp_stats = comp.agg(
+        F.count("*").alias("n_clustered_docs"),
+        F.countDistinct("component_id").alias("n_clusters"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(comp_stats))
+        .select(
+            "n_docs",
+            "n_pairs",
+            "n_clustered_docs",
+            "n_clusters",
+            (
+                F.col("n_docs") - F.col("n_clustered_docs") + F.col("n_clusters")
+            ).alias("n_survivors"),
+            F.floor(
+                (F.col("n_clustered_docs") - F.col("n_clusters"))
+                * 10000.0
+                / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("removed_bp"),
+        )
+    )

@@ -441,3 +441,52 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) AS p
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+""",
+    tags=("events", "window", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | previous event type) — the behavioral model behind
+    next-action prediction, anomaly scoring (improbable transitions), and
+    funnel leak analysis.
+
+    Scale shape: one window shuffle on user_id to order each user's
+    stream, then a (prev, next)-keyed aggregation whose output is
+    |event types|² rows — the row-normalizing window runs on that tiny
+    matrix, not the event stream.  The probability is a ratio of counts
+    rounded at fixed precision, so both engines emit identical values."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = v["events"].select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = W.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 4)
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -238,3 +238,10 @@ def test_gopher_rules_scan_side(spark):
     # exchanges (only the presentation orderBy range-partitions)
     plan = physical_plan(CATALOG["pipeline_gopher_rules"].fn(spark, SF))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_ivfpq_probes_broadcast(spark):
+    # candidates come from a broadcast of the tiny probe/LUT relation onto
+    # the encoded corpus — the corpus must never shuffle for the ADC join
+    plan = physical_plan(CATALOG["ann_ivfpq_adc"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
