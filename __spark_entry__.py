@@ -27,7 +27,7 @@ def _catalog():
 
 # Driver-facing presentation order.  The correctness harness samples the
 # catalog front-to-back (~50 slots per round), so the queries that still
-# need their FIRST green driver row come first: the 16 round-4 operators
+# need their FIRST green driver row come first: the 18 round-4 operators
 # plus embedding_quantize_int8 (round-3 hash mismatch, summation-order
 # root cause fixed — the error stat is now an order-free integer sum).
 # All pass the local sf0.01 differential suite.  Queries already green in
@@ -55,6 +55,8 @@ _DRIVER_PRIORITY = [
     "orders_scd2_history",
     "events_markov_transitions",
     "pipeline_dedup_report",
+    "events_gapfill_hourly",
+    "events_concurrency_sweep",
     # ── rounds 1-3 catalog, re-confirmation order ──
     "events_sessionize",
     "events_pivot_type_by_user",

@@ -490,3 +490,135 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_gapfill_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, h.hour FROM types t CROSS JOIN hours h),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY event_type, hour
+)
+SELECT g.event_type, g.hour, COALESCE(a.n, 0) AS n
+FROM grid g LEFT JOIN actual a ON g.event_type = a.event_type AND g.hour = a.hour
+ORDER BY g.event_type, g.hour
+""",
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (event_type × hour) grid with
+    zero-filled empty cells — the densification step every downstream
+    forecaster/alerting rule needs, since a missing bucket and a zero
+    bucket mean different things to an aggregate but the same thing to a
+    time series.
+
+    Scale shape: the hour spine is GENERATED from a one-row bounds
+    aggregate (sequence + explode — never materialized wider than
+    types × hours), the per-bucket counts are one keyed aggregation of
+    the stream, and the spine join is broadcast-sized by construction.
+    The pattern extends to carry-forward fills by swapping COALESCE for a
+    last_value window over the same grid."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(actual, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@query(
+    "events_concurrency_sweep",
+    oracle="""
+WITH iv AS (
+  SELECT ts AS t_start, ts + INTERVAL 30 MINUTE AS t_end FROM events
+),
+pts AS (
+  SELECT t_start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT t_end AS t, -1 AS delta FROM iv
+),
+sweep AS (
+  SELECT t, CAST(SUM(SUM(delta)) OVER (ORDER BY t) AS BIGINT) AS concurrent
+  FROM pts GROUP BY t
+)
+SELECT t, concurrent FROM sweep ORDER BY t
+""",
+    tags=("events", "timeseries", "sweepline"),
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency profile via a sweep line: treat each event as
+    a 30-minute activity interval, emit +1/-1 boundary points, and the
+    running sum over time IS the number of concurrent intervals — the
+    classic peak-load / capacity-planning query.
+
+    Scale shape: a naive ``SUM() OVER (ORDER BY t)`` is a GLOBAL ordered
+    window — Spark plans it as a single partition, the one shape that
+    cannot scale.  This implementation is the distributed two-phase
+    prefix sum: per-day partial running sums (window partitioned by day),
+    plus per-day totals cumulated on the tiny day relation and broadcast
+    back as offsets.  Identical result, no single-partition stage; the
+    global window survives only in the oracle."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    pts = v["events"].select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("interval 30 minutes")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.t", "p.delta")
+    per_t = pts.groupBy("t").agg(F.sum("delta").alias("d"))
+    day = F.date_trunc("day", F.col("t")).alias("b")
+    keyed = per_t.select("t", "d", day)
+    w_in = (
+        W2.partitionBy("b")
+        .orderBy("t")
+        .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    in_sum = keyed.withColumn("in_sum", F.sum("d").over(w_in))
+    bucket_tot = keyed.groupBy("b").agg(F.sum("d").alias("tot"))
+    w_b = (
+        W2.orderBy("b").rowsBetween(W2.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.withColumn(
+        "off", F.coalesce(F.sum("tot").over(w_b), F.lit(0))
+    ).select("b", "off")
+    return (
+        in_sum.join(F.broadcast(offsets), "b")
+        .select(
+            "t",
+            (F.col("in_sum") + F.col("off")).cast("bigint").alias("concurrent"),
+        )
+        .orderBy("t")
+    )

@@ -245,3 +245,11 @@ def test_ivfpq_probes_broadcast(spark):
     # the encoded corpus — the corpus must never shuffle for the ADC join
     plan = physical_plan(CATALOG["ann_ivfpq_adc"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_concurrency_sweep_avoids_global_window_on_stream(spark):
+    # the big running sum must be a day-partitioned window (two-phase
+    # prefix sum); only the tiny per-day offset relation may use a global
+    # ordered window
+    plan = physical_plan(CATALOG["events_concurrency_sweep"].fn(spark, SF))
+    assert re.search(r"hashpartitioning\(b", plan), plan
