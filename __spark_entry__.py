@@ -27,7 +27,7 @@ def _catalog():
 
 # Driver-facing presentation order.  The correctness harness samples the
 # catalog front-to-back (~50 slots per round), so the queries that still
-# need their FIRST green driver row come first: the 18 round-4 operators
+# need their FIRST green driver row come first: the 21 round-4 operators
 # plus embedding_quantize_int8 (round-3 hash mismatch, summation-order
 # root cause fixed — the error stat is now an order-free integer sum).
 # All pass the local sf0.01 differential suite.  Queries already green in
@@ -57,6 +57,9 @@ _DRIVER_PRIORITY = [
     "pipeline_dedup_report",
     "events_gapfill_hourly",
     "events_concurrency_sweep",
+    "profile_value_histogram",
+    "customers_rfm_segmentation",
+    "events_rate_limited_sample",
     # ── rounds 1-3 catalog, re-confirmation order ──
     "events_sessionize",
     "events_pivot_type_by_user",

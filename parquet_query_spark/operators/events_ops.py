@@ -622,3 +622,49 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@query(
+    "events_rate_limited_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, hour,
+       COUNT(*) AS n_seen,
+       SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS n_kept
+FROM ranked
+GROUP BY user_id, hour
+ORDER BY user_id, hour
+""",
+    tags=("events", "sampling", "ratelimit"),
+)
+def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting: keep at most 3 events per (user, hour) —
+    the ingestion-throttling / hot-key-capping pass that protects a
+    pipeline from one runaway producer drowning the corpus.  Output
+    reports seen-vs-kept per cell so the drop rate is auditable.
+
+    Scale shape: one window + the summary aggregation share the same
+    (user, hour) partitioning, so Catalyst plans a single shuffle; the
+    deterministic (ts, event_id) order makes the kept set reproducible —
+    re-running the limiter on the same data keeps the same events."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("user_id", "hour").orderBy("ts", "event_id")
+    ranked = v["events"].select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("user_id", "hour")
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("user_id", "hour")
+    )

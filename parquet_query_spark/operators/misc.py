@@ -275,3 +275,111 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.col", "s.n_rows", "s.n_non_null", "s.n_distinct")
         .orderBy("col")
     )
+
+
+@query(
+    "profile_value_histogram",
+    oracle="""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+         AS bucket,
+       COUNT(*) AS n
+FROM orders CROSS JOIN b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("profiling", "histogram"),
+)
+def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of a numeric column — the data
+    profiler's distribution sketch (and the stats a cost-based optimizer
+    collects).  Bucket edges derive from a one-row min/max aggregate
+    broadcast back over the scan; the top edge folds into the last bucket.
+
+    Scale shape: two passes (bounds, then bucketed count), each a
+    map-side-combinable aggregation; the histogram itself is 20 rows no
+    matter the input size.  Both engines evaluate the identical bucket
+    expression on identical doubles, so edges land identically."""
+    v = views(spark, sf_dir)
+    o = v["orders"]
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 20.0)
+        ).cast("bigint"),
+        F.lit(19).cast("bigint"),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "customers_rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), DATE '1998-12-31') AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INTEGER) AS m_score
+FROM rfm
+ORDER BY o_custkey
+""",
+    tags=("analytics", "window", "segmentation"),
+)
+def customers_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse scoring pass: one aggregate per customer, then
+    quintile scores per dimension.  Low r_score = recently active; high
+    f/m quintile 1 = the most frequent / highest-spend customers.
+
+    Scale shape: one key-partitioned aggregation reduces the fact table
+    to one row per customer; the three NTILE windows then run over the
+    customer relation (orders of magnitude smaller than the facts).
+    Global ordered windows on the customer table are the accepted cost of
+    exact quantile ranks; at extreme customer counts swap NTILE for
+    percent_rank over range-partitioned sorts.  All three windows
+    tie-break on the key, so quintile boundaries are deterministic."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    rfm = v["orders"].groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-12-31").cast("date"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("m_score"),
+    ).orderBy("o_custkey")
