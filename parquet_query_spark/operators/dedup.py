@@ -1211,8 +1211,12 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = pref.select("doc_id", F.explode("words").alias("word"))
     dfreq = w.groupBy("word").agg(F.count("*").alias("dfreq"))
     w_rank = W.partitionBy("doc_id").orderBy("dfreq", "word")
+    # dfreq is vocabulary-sized (one row per distinct prefix token) and
+    # grows with the corpus — no broadcast hint; AQE picks broadcast only
+    # while the vocabulary actually fits, and falls back to a shuffle join
+    # at 100 TB vocabularies instead of OOMing the driver.
     blocked = (
-        w.join(F.broadcast(dfreq), "word")
+        w.join(dfreq, "word")
         .withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("word").alias("block_key"))

@@ -396,8 +396,8 @@ SELECT d.event_type,
        COUNT(*) AS n_events,
        ANY_VALUE(d.med) AS median_value,
        ANY_VALUE(m.mad) AS mad,
-       SUM(CASE WHEN abs(d.value - d.med) > 3 * m.mad THEN 1 ELSE 0 END)
-         AS n_outliers
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m ON d.event_type = m.event_type
 GROUP BY d.event_type
 ORDER BY d.event_type
@@ -635,7 +635,7 @@ WITH ranked AS (
 )
 SELECT user_id, hour,
        COUNT(*) AS n_seen,
-       SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM ranked
 GROUP BY user_id, hour
 ORDER BY user_id, hour

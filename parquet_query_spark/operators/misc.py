@@ -281,7 +281,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_value_histogram",
     oracle="""
 WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
-SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+SELECT LEAST(CAST(floor((o_totalprice - lo)
+                        / (GREATEST(hi - lo, 1e-12) / 20.0)) AS BIGINT), 19)
          AS bucket,
        COUNT(*) AS n
 FROM orders CROSS JOIN b
@@ -305,11 +306,12 @@ def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # greatest(hi - lo, eps): a constant column otherwise makes the bucket
+    # width 0 and double div-by-zero differs across engines (Spark NULL vs
+    # DuckDB inf) — with the guard every value lands in bucket 0 on both.
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / 20.0
     bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo"))
-            / ((F.col("hi") - F.col("lo")) / 20.0)
-        ).cast("bigint"),
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("bigint"),
         F.lit(19).cast("bigint"),
     )
     return (
@@ -328,7 +330,8 @@ WITH rfm AS (
   SELECT o_custkey,
          date_diff('day', MAX(o_orderdate), DATE '1998-12-31') AS recency_days,
          COUNT(*) AS frequency,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, recency_days, frequency, monetary_cents,

@@ -192,12 +192,14 @@ updates AS (
     FROM orders WHERE o_orderdate >= DATE '1997-01-01') WHERE rn = 1
 )
 SELECT COUNT(*) AS n_current,
-       SUM(CASE WHEN u.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
-                THEN 1 ELSE 0 END) AS n_updated,
-       SUM(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_inserted,
-       SUM(CASE WHEN u.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_carried,
-       SUM(CAST(round(COALESCE(u.o_totalprice, b.o_totalprice) * 100) AS BIGINT))
-         AS state_cents
+       CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(SUM(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       CAST(SUM(CASE WHEN u.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_carried,
+       CAST(SUM(CAST(round(COALESCE(u.o_totalprice, b.o_totalprice) * 100)
+                     AS BIGINT)) AS BIGINT) AS state_cents
 FROM base b FULL JOIN updates u ON b.o_custkey = u.o_custkey
 """,
     tags=("incremental", "merge", "join"),

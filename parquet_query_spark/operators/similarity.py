@@ -557,10 +557,11 @@ codes AS (
 )
 SELECT vec_id,
        COUNT(*)                 AS n_dims,
-       SUM(code)                AS qsum,
+       CAST(SUM(code) AS BIGINT)  AS qsum,
        MIN(code)::INTEGER       AS qmin,
        MAX(code)::INTEGER       AS qmax,
-       SUM(CAST(floor(abs(dequant - val) * 1e9 + 0.5) AS BIGINT)) AS err_nano_sum
+       CAST(SUM(CAST(floor(abs(dequant - val) * 1e9 + 0.5) AS BIGINT))
+            AS BIGINT) AS err_nano_sum
 FROM codes
 GROUP BY vec_id
 ORDER BY vec_id
@@ -1036,7 +1037,9 @@ best AS (
   ) WHERE rnk = 1
 ),
 cent_elems AS (
-  SELECT label, i, round(AVG(ev[i]), 6) AS v
+  SELECT label, i,
+         round((SUM(CAST(floor(ev[i] * 1e9 + 0.5) AS BIGINT)) / COUNT(*)) / 1e9, 6)
+           AS v
   FROM e, (SELECT unnest(range(1, 65)) AS i)
   GROUP BY label, i
 ),
@@ -1129,11 +1132,21 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
-    # coarse cells: per-label mean centroids (shared shape with ann_ivf_cosine)
+    # coarse cells: per-label mean centroids (shared shape with ann_ivf_cosine).
+    # Elements are quantized to integer nano-units BEFORE the sum so the
+    # aggregation is order-free (exact BIGINT arithmetic under any parallel
+    # summation order); one double division + round(6) at the end.  A plain
+    # AVG can land on a 6dp rounding boundary and flip a digit between
+    # engines/runs — the root cause behind the round-3 quantize mismatch.
     cent = (
         emb.select("label", F.posexplode("ev").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .agg(
+            F.round(
+                (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.count("*")) / 1e9,
+                6,
+            ).alias("v")
+        )
         .groupBy("label")
         .agg(
             F.transform(

@@ -155,16 +155,20 @@ ORDER BY doc_id
     tags=("text", "bench"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality signals (Gopher/C4-style length & symbol filters)."""
+    """Heuristic quality signals (Gopher/C4-style length & symbol filters).
+
+    Match counting uses ``regexp_count`` — it counts matches without
+    materializing an array of every matched substring per document the way
+    ``size(regexp_extract_all(...))`` does; same regex scan, no per-match
+    allocation (the allocation made this the one compute-gapped query at
+    the 8x scale check)."""
     v = views(spark, sf_dir)
     m = v["documents"].select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias("n_punct"),
-        F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_pat("en")), F.lit(0))
-        ).alias("n_stop"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_stop_pat("en"))).alias("n_stop"),
     )
     return m.select(
         "doc_id",

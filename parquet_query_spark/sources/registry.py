@@ -144,14 +144,25 @@ _staging_root: str | None = None
 
 
 def _stage_path(sf_dir: str, name: str) -> str:
-    """Per-process staging directory for re-laid-out copies of one sf_dir."""
+    """Per-process staging directory for re-laid-out copies of one sf_dir.
+
+    The leaf directory is keyed by the source file's (mtime_ns, size) so a
+    regenerated input (the driver rewrites testdata between rounds)
+    invalidates the staged copy instead of silently serving stale rows
+    from a long-lived session."""
     global _staging_root
     if _staging_root is None:
         import tempfile
 
         _staging_root = tempfile.mkdtemp(prefix="pqs_ingest_stage_")
     key = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(_staging_root, key, name)
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{name}-{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        fingerprint = name
+    return os.path.join(_staging_root, key, fingerprint)
 
 
 def _restage(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
