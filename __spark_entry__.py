@@ -137,11 +137,11 @@ _DRIVER_PRIORITY = [
     # (everything else keeps catalog registration order here)
 ]
 
-# Genuinely no-oracle entries (engine-specific hash families; rows-only
-# checks by construction) — forced to the very end of the sample order.
-_DRIVER_LAST = [
-    "dedup_minhash_signatures_fast",
-]
+# Genuinely no-oracle entries — forced to the very end of the sample
+# order (a slot spent on them can never produce a green row).  Empty
+# since round 5: dedup_minhash_signatures_fast gained a generated
+# pure-SQL XXH64 oracle (functions/xxh64_sql.py).
+_DRIVER_LAST: list[str] = []
 
 
 def _ordered(catalog):

@@ -42,7 +42,7 @@ def test_first_fifty_sample_slots_are_all_oracle_backed():
 
 def test_no_oracle_queries_are_last():
     order = list(entry._ordered(CATALOG))
-    tail = order[-len(entry._DRIVER_LAST):]
+    tail = order[-len(entry._DRIVER_LAST):] if entry._DRIVER_LAST else []
     assert tail == [n for n in entry._DRIVER_LAST if n in CATALOG]
 
 
@@ -50,5 +50,7 @@ def test_oracle_sql_is_subset_of_queries_with_same_names():
     qs = set(CATALOG)
     oracles = {n for n, s in CATALOG.items() if s.oracle}
     assert oracles <= qs
-    # everything except the xxhash64 variant must be oracle-backed
-    assert qs - oracles == {"dedup_minhash_signatures_fast"}
+    # every catalog entry is oracle-backed (the xxhash64 fast path gained
+    # a generated pure-SQL XXH64 oracle in round 5 — unverifiable set is
+    # empty and must stay empty)
+    assert qs == oracles, f"entries without an oracle: {qs - oracles}"
