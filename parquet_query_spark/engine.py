@@ -16,11 +16,16 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_query_spark.session import get_spark
 from parquet_query_spark.sources.registry import register_folder
 from parquet_query_spark.workbench.csv_sink import export_csv, write_csv_distributed
+from parquet_query_spark.workbench.dialect import (
+    rewrite_duckdb_dialect,
+    rewrite_duckdb_dialect_fallbacks,
+)
 from parquet_query_spark.workbench.formatting import format_cell
 from parquet_query_spark.workbench.statements import (
     has_executable_text,
@@ -167,8 +172,26 @@ class Engine:
 
         # Same insertion-ordered assignment as register_folder, so collided
         # paths resolve to the suffixed view that was actually registered.
+        # The dialect shim runs first (QUALIFY / * EXCLUDE / strftime —
+        # DuckDB conveniences the reference gets for free from its
+        # pass-through, src/duckdb.ts:46-49), then the path-literal
+        # rewrite re-lexes the transformed text.
         registered = assign_view_names(self.registry)
-        return self.spark.sql(rewrite_path_tables(statement, self.root, registered))
+        primary = rewrite_duckdb_dialect(statement)
+        try:
+            return self.spark.sql(rewrite_path_tables(primary, self.root, registered))
+        except AnalysisException:
+            # QUALIFY has two valid shapes (alias-visible vs base-column-
+            # visible predicates); retry the alternate before surfacing
+            # the original analysis error.
+            for alt in rewrite_duckdb_dialect_fallbacks(statement):
+                try:
+                    return self.spark.sql(
+                        rewrite_path_tables(alt, self.root, registered)
+                    )
+                except AnalysisException:
+                    pass
+            raise
 
     # A6 + A7 + A10 + A14 — the full run path
     def run(

@@ -1,0 +1,364 @@
+"""DuckDB-dialect shim for the pass-through SQL tier.
+
+The reference product forwards user SQL to DuckDB untouched
+(``/root/reference/src/duckdb.ts:46-49``), so DuckDB-dialect conveniences
+"just work" there.  ``Engine.run`` hands the same text to Spark SQL; this
+module closes the dialect gap for the constructs a DuckDB-habituated user
+hits first:
+
+- ``GROUP BY ALL`` / ``ORDER BY ALL`` — **native** in Spark 4.x, no
+  rewrite needed (pinned by tests so a regression would surface).
+- ``SELECT * EXCLUDE (col, ...)`` — rewritten to Spark's native
+  ``* EXCEPT (col, ...)``.
+- ``QUALIFY <pred>`` — Spark has no QUALIFY; the predicate is appended
+  to the select list as a ``__qualify`` column (window functions are
+  legal there, and Spark's lateral column aliases let the predicate
+  reference select-list aliases like DuckDB does), the query is wrapped,
+  and the outer query filters on it and drops it with ``* EXCEPT``.
+- ``strftime(ts, '%Y-%m-%d')`` — rewritten to
+  ``date_format(ts, 'yyyy-MM-dd')`` with a C-to-Java pattern translation
+  (letter literals quoted per Spark datetime-pattern rules).
+
+Every rewrite is lexer-aware (single/double/backtick quotes, ``--`` and
+``/* */`` comments — the A6 lexer's rules) so occurrences inside strings,
+identifiers, or comments are never touched, mirroring how
+``statements.rewrite_path_tables`` treats path literals.
+
+Scope notes: one top-level QUALIFY per statement (QUALIFY inside a
+subquery/CTE body is at paren depth > 0 and handled when that text is a
+statement of its own — which is how the workbench runs nested text);
+unknown ``%`` codes in strftime raise a clear error instead of silently
+producing a wrong Java pattern.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ── shared lexing ────────────────────────────────────────────────────────
+
+
+def _code_mask(sql: str) -> list[bool]:
+    """True for characters that are plain SQL code — outside single-quoted
+    strings, double-quoted / backtick-quoted identifiers, and comments.
+    Quote/comment delimiter characters themselves count as non-code."""
+    n = len(sql)
+    mask = [True] * n
+    i = 0
+    state = None  # None | 'sq' | 'dq' | 'bq' | 'line' | 'block'
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "line":
+            mask[i] = False
+            if ch == "\n":
+                state = None
+                mask[i] = True
+        elif state == "block":
+            mask[i] = False
+            if ch == "*" and nxt == "/":
+                mask[i + 1] = False
+                i += 1
+                state = None
+        elif state == "sq":
+            mask[i] = False
+            if ch == "'" and nxt == "'":
+                mask[i + 1] = False
+                i += 1
+            elif ch == "'":
+                state = None
+        elif state == "dq":
+            mask[i] = False
+            if ch == '"' and nxt == '"':
+                mask[i + 1] = False
+                i += 1
+            elif ch == '"':
+                state = None
+        elif state == "bq":
+            mask[i] = False
+            if ch == "`" and nxt == "`":
+                mask[i + 1] = False
+                i += 1
+            elif ch == "`":
+                state = None
+        elif ch == "-" and nxt == "-":
+            mask[i] = mask[i + 1] = False
+            state = "line"
+            i += 1
+        elif ch == "/" and nxt == "*":
+            mask[i] = mask[i + 1] = False
+            state = "block"
+            i += 1
+        elif ch == "'":
+            mask[i] = False
+            state = "sq"
+        elif ch == '"':
+            mask[i] = False
+            state = "dq"
+        elif ch == "`":
+            mask[i] = False
+            state = "bq"
+        i += 1
+    return mask
+
+
+def _depths(sql: str, mask: list[bool]) -> list[int]:
+    """Paren depth at each position (code parens only)."""
+    depths = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depths.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    return depths
+
+
+def _keyword_matches(sql: str, mask: list[bool], pattern: str) -> list[re.Match]:
+    """Regex matches lying entirely in code regions."""
+    return [
+        m
+        for m in re.finditer(pattern, sql, re.IGNORECASE)
+        if all(mask[i] for i in range(m.start(), m.end()))
+    ]
+
+
+# ── SELECT * EXCLUDE → SELECT * EXCEPT ───────────────────────────────────
+
+_IDENT = r'(?:`(?:[^`]|``)+`|"(?:[^"]|"")+"|[A-Za-z_][\w$]*)'
+
+
+def _rewrite_exclude(sql: str) -> str:
+    mask = _code_mask(sql)
+    out = sql
+    # right-to-left so earlier offsets stay valid
+    for m in reversed(_keyword_matches(sql, mask, r"\bEXCLUDE\b")):
+        # must follow a star (possibly alias.*), else it's an identifier
+        j = m.start() - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0 or sql[j] != "*":
+            continue
+        k = m.end()
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if k < len(sql) and sql[k] == "(":
+            out = out[: m.start()] + "EXCEPT" + out[m.end() :]
+        else:
+            # bare single column: EXCLUDE col → EXCEPT (col)
+            im = re.match(_IDENT, sql[k:])
+            if not im:
+                continue
+            col = im.group(0)
+            out = (
+                out[: m.start()]
+                + f"EXCEPT ({col})"
+                + out[k + im.end() :]
+            )
+    return out
+
+
+# ── strftime → date_format ───────────────────────────────────────────────
+
+_STRF_TO_JAVA = {
+    "Y": "yyyy",
+    "y": "yy",
+    "m": "MM",
+    "d": "dd",
+    "H": "HH",
+    "I": "hh",
+    "M": "mm",
+    "S": "ss",
+    "f": "SSSSSS",
+    "g": "SSS",
+    "p": "a",
+    "j": "DDD",
+    "a": "EEE",
+    "A": "EEEE",
+    "b": "MMM",
+    "B": "MMMM",
+}
+
+
+def strftime_format_to_java(fmt: str) -> str:
+    """C-style strftime pattern → Spark datetime pattern.  Literal runs
+    containing letters (or quotes) are single-quoted per Java rules."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        text = "".join(lit)
+        if re.search(r"[A-Za-z']", text):
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+        lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            code = fmt[i + 1] if i + 1 < len(fmt) else ""
+            if code == "%":
+                lit.append("%")
+            elif code in _STRF_TO_JAVA:
+                flush()
+                out.append(_STRF_TO_JAVA[code])
+            else:
+                raise ValueError(
+                    f"strftime code %{code or '<end>'} has no Spark "
+                    f"date_format equivalent (supported: "
+                    f"{', '.join('%' + c for c in sorted(_STRF_TO_JAVA))}, %%)"
+                )
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _split_call_args(sql: str, mask: list[bool], open_paren: int) -> tuple[list[str], int] | None:
+    """Top-level comma-split of a call's arguments; returns (args, close_idx)."""
+    depth = 0
+    args: list[str] = []
+    start = open_paren + 1
+    for i in range(open_paren, len(sql)):
+        if not mask[i]:
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[start:i])
+                return args, i
+        elif ch == "," and depth == 1:
+            args.append(sql[start:i])
+            start = i + 1
+    return None
+
+
+_SQ_LITERAL = re.compile(r"^\s*'((?:[^']|'')*)'\s*$")
+
+
+def _rewrite_strftime(sql: str) -> str:
+    mask = _code_mask(sql)
+    out = sql
+    for m in reversed(_keyword_matches(sql, mask, r"\bstrftime\s*\(")):
+        open_paren = m.end() - 1
+        parsed = _split_call_args(sql, mask, open_paren)
+        if parsed is None:
+            continue
+        args, close = parsed
+        if len(args) != 2:
+            continue
+        # DuckDB: strftime(timestamp, format); tolerate the swapped order
+        fmt_idx = next(
+            (i for i, a in enumerate(args) if _SQ_LITERAL.match(a)), None
+        )
+        if fmt_idx is None:
+            continue
+        ts_expr = args[1 - fmt_idx].strip()
+        fmt = _SQ_LITERAL.match(args[fmt_idx]).group(1).replace("''", "'")
+        java = strftime_format_to_java(fmt)
+        sql_lit = "'" + java.replace("'", "''") + "'"
+        out = out[: m.start()] + f"date_format({ts_expr}, {sql_lit})" + out[close + 1 :]
+    return out
+
+
+# ── QUALIFY ──────────────────────────────────────────────────────────────
+
+_QUALIFY_TAIL = r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b"
+
+
+def _qualify_parts(sql: str) -> tuple[str, str, str, str] | None:
+    """Split ``<head> FROM <body> QUALIFY <pred> <tail>`` at top level.
+    Returns (head, body, pred, tail) or None when no top-level QUALIFY."""
+    mask = _code_mask(sql)
+    depths = _depths(sql, mask)
+    quals = [
+        m
+        for m in _keyword_matches(sql, mask, r"\bQUALIFY\b")
+        if depths[m.start()] == 0
+    ]
+    if not quals:
+        return None
+    m = quals[-1]
+    froms = [
+        f
+        for f in _keyword_matches(sql, mask, r"\bFROM\b")
+        if depths[f.start()] == 0 and f.start() < m.start()
+    ]
+    if not froms:
+        return None
+    from_pos = froms[-1].start()
+    # predicate runs to the first top-level ORDER BY / LIMIT / OFFSET
+    tails = [
+        t
+        for t in _keyword_matches(sql, mask, _QUALIFY_TAIL)
+        if depths[t.start()] == 0 and t.start() > m.end()
+    ]
+    pred_end = tails[0].start() if tails else len(sql)
+    return (
+        sql[:from_pos].rstrip(),
+        sql[from_pos : m.start()].rstrip(),
+        sql[m.end() : pred_end].strip(),
+        sql[pred_end:].strip(),
+    )
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """Primary QUALIFY rewrite: evaluate the predicate one layer OUT —
+    the original query becomes a subquery, so select-list aliases are
+    real columns the predicate's window functions may reference (Spark
+    forbids lateral alias references inside window expressions).  DuckDB
+    additionally lets the predicate reference non-projected base columns;
+    that variant needs the predicate INSIDE the original select list —
+    ``_rewrite_qualify_inject`` — which Engine.sql retries on analysis
+    failure."""
+    parts = _qualify_parts(sql)
+    if parts is None:
+        return sql
+    head, body, pred, tail = parts
+    rewritten = (
+        f"SELECT * EXCEPT (__qualify) FROM ("
+        f"SELECT *, ({pred}) AS __qualify FROM ({head} {body}) __qualify_inner"
+        f") __qualify_sub WHERE __qualify"
+    )
+    if tail:
+        rewritten += " " + tail
+    return rewritten
+
+
+def _rewrite_qualify_inject(sql: str) -> str:
+    """Fallback QUALIFY rewrite: append the predicate to the original
+    select list (base columns visible to its windows; lateral aliases NOT
+    usable inside window frames — the complementary coverage)."""
+    parts = _qualify_parts(sql)
+    if parts is None:
+        return sql
+    head, body, pred, tail = parts
+    rewritten = (
+        f"SELECT * EXCEPT (__qualify) FROM ("
+        f"{head}, ({pred}) AS __qualify {body}) __qualify_sub WHERE __qualify"
+    )
+    if tail:
+        rewritten += " " + tail
+    return rewritten
+
+
+def rewrite_duckdb_dialect(sql: str) -> str:
+    """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
+    return _rewrite_qualify(_rewrite_strftime(_rewrite_exclude(sql)))
+
+
+def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
+    """Alternate rewrites to retry when the primary form fails analysis
+    (e.g. a QUALIFY window referencing a non-projected base column)."""
+    alt = _rewrite_qualify_inject(_rewrite_strftime(_rewrite_exclude(sql)))
+    primary = rewrite_duckdb_dialect(sql)
+    return [alt] if alt != primary else []

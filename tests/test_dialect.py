@@ -1,0 +1,225 @@
+"""DuckDB-dialect shim (workbench/dialect.py).
+
+The reference forwards user SQL to DuckDB untouched
+(src/duckdb.ts:46-49), so GROUP BY ALL / QUALIFY / * EXCLUDE / strftime
+work there out of the box.  These tests pin (a) the pure-string rewrites,
+(b) that each construct executes end-to-end through Engine.run, and
+(c) that Spark-native constructs (GROUP BY ALL, ORDER BY ALL, * EXCEPT)
+keep working untouched.
+"""
+
+import pytest
+
+from parquet_query_spark.workbench.dialect import (
+    rewrite_duckdb_dialect,
+    strftime_format_to_java,
+)
+
+
+# ── pure-string rewrites ─────────────────────────────────────────────────
+
+
+def test_exclude_with_parens():
+    out = rewrite_duckdb_dialect("SELECT * EXCLUDE (a, b) FROM t")
+    assert out == "SELECT * EXCEPT (a, b) FROM t"
+
+
+def test_exclude_bare_column():
+    out = rewrite_duckdb_dialect("SELECT * EXCLUDE a FROM t")
+    assert out == "SELECT * EXCEPT (a) FROM t"
+
+
+def test_exclude_after_qualified_star():
+    out = rewrite_duckdb_dialect("SELECT t.* EXCLUDE (a) FROM t")
+    assert out == "SELECT t.* EXCEPT (a) FROM t"
+
+
+def test_exclude_as_identifier_untouched():
+    sql = "SELECT exclude FROM t WHERE exclude > 1"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_exclude_inside_string_untouched():
+    sql = "SELECT '* EXCLUDE (a)' AS s FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_exclude_inside_comment_untouched():
+    sql = "SELECT * FROM t -- * EXCLUDE (a)"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_strftime_rewrite():
+    out = rewrite_duckdb_dialect("SELECT strftime(ts, '%Y-%m-%d') FROM t")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+
+
+def test_strftime_literal_letters_quoted():
+    # the literal T must be Java-quoted, then SQL-escaped inside the literal
+    out = rewrite_duckdb_dialect("SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S')")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss')"
+
+
+def test_strftime_swapped_args():
+    out = rewrite_duckdb_dialect("SELECT strftime('%H:%M', ts) FROM t")
+    assert out == "SELECT date_format(ts, 'HH:mm') FROM t"
+
+
+def test_strftime_unknown_code_raises():
+    with pytest.raises(ValueError, match="%-"):
+        rewrite_duckdb_dialect("SELECT strftime(ts, '%-d')")
+
+
+def test_strftime_format_table():
+    assert strftime_format_to_java("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert strftime_format_to_java("%d %b %Y") == "dd MMM yyyy"
+    assert strftime_format_to_java("%I:%M %p") == "hh:mm a"
+    assert strftime_format_to_java("100%% %Y") == "100% yyyy"
+
+
+def test_qualify_basic():
+    out = rewrite_duckdb_dialect(
+        "SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__qualify) FROM (SELECT *, "
+        "(row_number() OVER (PARTITION BY k ORDER BY v) = 1) AS __qualify "
+        "FROM (SELECT k, v FROM t) __qualify_inner) __qualify_sub WHERE __qualify"
+    )
+
+
+def test_qualify_fallback_injects_into_select_list():
+    from parquet_query_spark.workbench.dialect import rewrite_duckdb_dialect_fallbacks
+
+    alts = rewrite_duckdb_dialect_fallbacks(
+        "SELECT k FROM t QUALIFY row_number() OVER (ORDER BY v) = 1"
+    )
+    assert alts == [
+        "SELECT * EXCEPT (__qualify) FROM (SELECT k, "
+        "(row_number() OVER (ORDER BY v) = 1) AS __qualify "
+        "FROM t) __qualify_sub WHERE __qualify"
+    ]
+
+
+def test_qualify_preserves_order_by_and_limit():
+    out = rewrite_duckdb_dialect(
+        "SELECT k, v FROM t QUALIFY rank() OVER (ORDER BY v) <= 2 ORDER BY k LIMIT 5"
+    )
+    assert out.endswith("WHERE __qualify ORDER BY k LIMIT 5")
+
+
+def test_qualify_inside_string_untouched():
+    sql = "SELECT 'QUALIFY x' AS s FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_qualify_in_subquery_untouched():
+    # depth > 0 — left for when the inner text itself is executed
+    sql = "SELECT * FROM (SELECT k FROM t) q WHERE k IN (SELECT 1)"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_plain_sql_unchanged():
+    sql = "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+# ── end-to-end through Engine.run ────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def engine(sf_dir):
+    from parquet_query_spark.engine import Engine
+
+    return Engine.open(sf_dir, table_name="alldata")
+
+
+def test_engine_group_by_all_native(engine):
+    r = engine.run(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM 'orders.parquet' "
+        "GROUP BY ALL ORDER BY ALL"
+    )
+    assert r.columns == ["o_orderstatus", "n"]
+    assert r.num_rows >= 2
+
+
+def test_engine_exclude(engine):
+    r = engine.run("SELECT * EXCLUDE (o_custkey, o_totalprice) FROM 'orders.parquet' LIMIT 5")
+    assert "o_custkey" not in r.columns
+    assert "o_totalprice" not in r.columns
+    assert "o_orderkey" in r.columns
+
+
+def test_engine_qualify(engine):
+    r = engine.run(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM 'orders.parquet' "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1 "
+        "ORDER BY o_custkey LIMIT 10"
+    )
+    assert r.columns == ["o_custkey", "o_orderkey", "o_totalprice"]
+    assert r.num_rows == 10
+    # one row per customer
+    assert len({row[0] for row in r.rows}) == len(r.rows)
+
+
+def test_engine_qualify_alias_reference(engine):
+    # DuckDB allows QUALIFY to reference a select-list alias
+    r = engine.run(
+        "SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) AS rn FROM 'orders.parquet' QUALIFY rn <= 2 "
+        "ORDER BY o_custkey, rn LIMIT 6"
+    )
+    assert r.columns == ["o_custkey", "rn"]
+    assert all(int(row[1]) <= 2 for row in r.rows)
+
+
+def test_engine_strftime(engine):
+    r = engine.run(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n "
+        "FROM 'orders.parquet' GROUP BY ALL ORDER BY ym LIMIT 3"
+    )
+    assert r.columns == ["ym", "n"]
+    assert all(len(row[0]) == 7 and row[0][4] == "-" for row in r.rows)
+
+
+def test_engine_qualify_alias_in_window(engine):
+    # rank() OVER (ORDER BY n): n is a select alias — Spark forbids
+    # lateral aliases inside windows, so this needs the outer-eval form
+    r = engine.run(
+        "SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n "
+        "FROM 'orders.parquet' GROUP BY ALL "
+        "QUALIFY rank() OVER (PARTITION BY o_orderstatus ORDER BY n DESC) = 1 "
+        "ORDER BY ALL"
+    )
+    assert r.columns == ["o_orderstatus", "ym", "n"]
+    assert r.num_rows >= 2
+
+
+def test_engine_qualify_nonprojected_base_column(engine):
+    # window references o_totalprice which is NOT in the select list —
+    # DuckDB allows it; needs the inject-into-select fallback
+    r = engine.run(
+        "SELECT o_custkey, o_orderkey FROM 'orders.parquet' "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1 "
+        "ORDER BY o_custkey LIMIT 5"
+    )
+    assert r.columns == ["o_custkey", "o_orderkey"]
+    assert r.num_rows == 5
+
+
+def test_engine_strftime_matches_duckdb(engine, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        expected = con.execute(
+            f"SELECT strftime(o_orderdate, '%Y-%m-%dT%H') AS s "
+            f"FROM '{sf_dir}/orders.parquet' ORDER BY o_orderkey LIMIT 5"
+        ).fetchall()
+        r = engine.run(
+            "SELECT strftime(o_orderdate, '%Y-%m-%dT%H') AS s "
+            "FROM 'orders.parquet' ORDER BY o_orderkey LIMIT 5"
+        )
+        assert [row[0] for row in r.rows] == [e[0] for e in expected]
+    finally:
+        con.close()
