@@ -45,6 +45,15 @@ _DRIVER_PRIORITY = [
     "customers_rfm_segmentation",
     "embedding_quantize_int8",
     "dedup_minhash_signatures_fast",
+    # ── round-5: full TPC-H closure ──
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q20_dominant_part_suppliers",
+    "q21_suppliers_kept_waiting",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",
     "embedding_random_projection",

@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
     if not _LOADED:
         from parquet_query_spark.operators import (  # noqa: F401
             tpch,
+            tpch_full,
             relational,
             advanced,
             templates,
