@@ -54,6 +54,10 @@ _DRIVER_PRIORITY = [
     "q16_part_supplier_counts",
     "q20_dominant_part_suppliers",
     "q21_suppliers_kept_waiting",
+    # ── round-5: new scale/pipeline operators ──
+    "bloom_prune_join",
+    "pipeline_shard_assignment",
+    "text_script_profile",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",
     "embedding_random_projection",

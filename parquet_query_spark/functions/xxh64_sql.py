@@ -188,6 +188,24 @@ def spark_xxhash64_int1_sql(str_expr: str) -> str:
     return _let(spark_xxhash64_sql(str_expr), "hs", hash_int_sql(1, "hs"))
 
 
+def hash_long_sql(long_expr: str, seed: int = 42) -> str:
+    """Spark ``XXH64.hashLong(long_expr, seed)`` — the closed-form 8-byte
+    path Spark's ``xxhash64`` takes for a BIGINT column.  No stripe loop:
+    one lane round + merge + avalanche.  Returns u64 HUGEINT (negative
+    inputs wrap to their two's-complement u64 value, as in Spark)."""
+    u = _m(f"CAST(({long_expr}) AS HUGEINT)")
+    h0 = f"CAST({(seed + P5 + 8) & MASK64} AS HUGEINT)"
+    k1 = _mul64_const(_rotl(_mul64_const(u, P2), 31), P1)
+    merged = _m(_mul64_const(_rotl(_xor(h0, k1), 27), P1) + f" + {P4}")
+    return _fmix(merged)
+
+
+def spark_xxhash64_long1_sql(long_expr: str) -> str:
+    """DuckDB expression for Spark's ``xxhash64(long_col, 1)`` as u64 —
+    hashLong once, then the closed-form int fold."""
+    return _let(hash_long_sql(long_expr), "hL", hash_int_sql(1, "hL"))
+
+
 MASK56 = (1 << 56) - 1
 
 

@@ -457,3 +457,62 @@ def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             rule_length & rule_word_length & rule_symbols & rule_stopwords & rule_diversity
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+def _shard_oracle() -> str:
+    """Oracle for pipeline_shard_assignment — reproduces Spark's
+    xxhash64(doc_id) via the closed-form hashLong SQL
+    (functions/xxh64_sql.py), so shard membership matches bit-for-bit."""
+    from parquet_query_spark.functions.xxh64_sql import MASK56, hash_long_sql
+
+    h56 = f"CAST(({hash_long_sql('doc_id')}) & {MASK56} AS BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars, {h56} AS h56, {h56} % 16 AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(bit_xor(h56) AS BIGINT) AS content_fingerprint
+FROM hashed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("pipeline_shard_assignment", oracle=_shard_oracle(), tags=("pipeline", "scale"))
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every document maps to one
+    of 16 output shards by content-independent key hash — the layout step
+    before a sharded corpus write (`df.repartition(N, shard).write`), where
+    reproducibility across engines, runs, and repartitioning is the whole
+    point (retries and backfills must land each doc in the SAME shard).
+
+    The report is the shard manifest a writer publishes: per-shard doc
+    count, character volume (balance check — hash sharding keeps shards
+    within a few percent of each other), id range, and an ORDER-FREE
+    content fingerprint (bit_xor of the 56-bit key hashes) that lets an
+    auditor verify shard membership without reading the data.  All
+    integer aggregates; the shard hash is Spark's xxhash64, reproduced
+    closed-form in the DuckDB oracle."""
+    d = views(spark, sf_dir)["documents"]
+    from parquet_query_spark.functions.xxh64_sql import MASK56
+
+    h56 = F.xxhash64("doc_id").bitwiseAND(F.lit(MASK56))
+    hashed = d.select(
+        "doc_id", "n_chars", h56.alias("h56"), (h56 % 16).alias("shard")
+    )
+    return (
+        hashed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr("bit_xor(h56)").alias("content_fingerprint"),
+        )
+        .orderBy("shard")
+    )

@@ -298,3 +298,149 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     )
+
+
+# ── Bloom-filter semi-join pruning ──────────────────────────────────────────
+
+_BLOOM_M = 16384  # filter bits (2 KiB) — sized for ~300 keys at sf0.01
+_BLOOM_K = 5      # probes per key
+_MASK56 = (1 << 56) - 1
+
+
+def _bloom_oracle() -> str:
+    """DuckDB oracle replicating the Spark Bloom filter BIT-FOR-BIT.
+
+    Both engines derive the k probe positions with Kirsch-Mitzenmacher
+    double hashing over Spark's xxhash64 of the BIGINT key — the DuckDB
+    side uses the generated closed-form ``hash_long_sql`` /
+    ``spark_xxhash64_long1_sql`` (functions/xxh64_sql.py), so false
+    positives (not just true matches) agree exactly across engines.
+    """
+    from parquet_query_spark.functions.xxh64_sql import (
+        hash_long_sql,
+        spark_xxhash64_long1_sql,
+    )
+
+    def h12(col: str) -> str:
+        return (
+            f"CAST({hash_long_sql(col)} & {_MASK56} AS BIGINT) AS h1, "
+            f"CAST(({spark_xxhash64_long1_sql(col)}) & {_MASK56} AS BIGINT) * 2 + 1 AS h2"
+        )
+
+    probe_join = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.w = ((h1 + {i} * h2) % {_BLOOM_M}) // 64 "
+        f"AND (w{i}.word & (CAST(1 AS HUGEINT) << ((h1 + {i} * h2) % {_BLOOM_M}) % 64)) <> 0"
+        for i in range(_BLOOM_K)
+    )
+    pass_cond = " AND ".join(f"w{i}.w IS NOT NULL" for i in range(_BLOOM_K))
+    return f"""
+WITH keys AS (
+  SELECT c_custkey, {h12('c_custkey')}
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  SELECT DISTINCT ((h1 + r.range * h2) % {_BLOOM_M}) AS pos
+  FROM keys CROSS JOIN range({_BLOOM_K}) r
+),
+words AS (
+  SELECT pos // 64 AS w, bit_or(CAST(1 AS HUGEINT) << (pos % 64)) AS word
+  FROM bits GROUP BY 1
+),
+probe AS (
+  SELECT o_custkey, o_totalprice, {h12('o_custkey')}
+  FROM orders
+),
+flagged AS (
+  SELECT probe.*, ({pass_cond}) AS bloom_pass,
+         EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = probe.o_custkey) AS exact_match
+  FROM probe {probe_join}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(COUNT(*) FILTER (exact_match) AS BIGINT) AS n_exact,
+       CAST(COUNT(*) FILTER (bloom_pass AND NOT exact_match) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN exact_match
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS matched_cents
+FROM flagged
+"""
+
+
+@query("bloom_prune_join", oracle=_bloom_oracle(), tags=("join", "skew", "scale"))
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: prune a fact scan with a tiny
+    bit-array filter built from the dimension's qualifying keys BEFORE the
+    exact join — the manual form of what runtime row-group filters /
+    dynamic partition pruning do, and the 100 TB pattern for cutting a
+    shuffle's input when the build side is selective.
+
+    Build: qualifying keys → k=5 probe positions via double hashing
+    (h1 + i*h2 mod m, both halves from Spark's xxhash64 of the key) →
+    per-word OR-reduction → a 2 KiB word array collected to the driver
+    (bounded by m/64 = 256 words — the legitimate broadcast-scalar
+    pattern, like the k-means codebooks).  Probe: scan-side boolean over
+    the embedded word literals; only surviving rows reach the exact
+    semi-join that removes false positives.  The summary row carries the
+    filter's observed selectivity and false-positive count, and the
+    whole construction is hash-verified against a DuckDB oracle that
+    rebuilds the identical filter (closed-form XXH64 SQL).
+    """
+    v = views(spark, sf_dir)
+    h1 = F.xxhash64("c_custkey").bitwiseAND(F.lit(_MASK56)).alias("h1")
+    h2 = (F.xxhash64("c_custkey", F.lit(1)).bitwiseAND(F.lit(_MASK56)) * 2 + 1).alias("h2")
+    keys = v["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", h1, h2)
+
+    words_df = (
+        keys.select(F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"), "h1", "h2")
+        .withColumn("pos", (F.col("h1") + F.col("i") * F.col("h2")) % _BLOOM_M)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    # Bounded driver transfer: ≤ m/64 = 256 longs (2 KiB), independent of
+    # fact-table size — the filter itself is the reduction.
+    words = [0] * (_BLOOM_M // 64)
+    for r in words_df.collect():
+        words[r["w"]] = r["word"]
+    warr = F.array(*[F.lit(int(w)) for w in words])
+
+    oh1 = F.xxhash64("o_custkey").bitwiseAND(F.lit(_MASK56))
+    oh2 = F.xxhash64("o_custkey", F.lit(1)).bitwiseAND(F.lit(_MASK56)) * 2 + 1
+    probe = v["orders"].select(
+        "o_custkey",
+        "o_totalprice",
+        oh1.alias("h1"),
+        oh2.alias("h2"),
+    ).withColumn("warr", warr)
+    checks = None
+    for i in range(_BLOOM_K):
+        c = F.expr(
+            f"(element_at(warr, CAST((h1 + {i} * h2) % {_BLOOM_M} DIV 64 + 1 AS INT)) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST((h1 + {i} * h2) % {_BLOOM_M} % 64 AS INT))) <> 0"
+        )
+        checks = c if checks is None else (checks & c)
+    flagged = probe.withColumn("bloom_pass", checks).drop("warr")
+    matched = (
+        flagged.join(
+            F.broadcast(keys.select("c_custkey")),
+            flagged.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .withColumn("exact_match", F.col("c_custkey").isNotNull())
+        .drop("c_custkey")
+    )
+    return matched.agg(
+        F.count("*").alias("n_orders"),
+        F.count_if("bloom_pass").alias("n_bloom_pass"),
+        F.count_if("exact_match").alias("n_exact"),
+        F.count_if(F.col("bloom_pass") & ~F.col("exact_match")).alias("n_false_pos"),
+        F.sum(
+            F.when(
+                F.col("exact_match"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("matched_cents"),
+    )

@@ -585,3 +585,73 @@ def vocab_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "pair")
         .limit(50)
     )
+
+
+@query(
+    "text_script_profile",
+    oracle=r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_ws,
+         CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_alpha) AS BIGINT) AS n_alpha,
+       CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+       CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+       CAST(SUM(n_non_ascii) AS BIGINT) AS n_non_ascii,
+       round(CAST(SUM(n_non_ascii) AS DOUBLE) / SUM(n_chars), 6) AS non_ascii_ratio
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text", "pipeline"),
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / script profile per language: ASCII-letter, digit,
+    whitespace, and non-ASCII counts — the charset-sanity report a corpus
+    audit runs before training (mojibake, wrong-language, and
+    encoding-damage cohorts all show up as non-ASCII-ratio outliers).
+
+    Everything is integer character counts summed per language (order-free,
+    cross-engine exact); the single ratio divides the two exact totals
+    once.  Counting is length-arithmetic on ``regexp_replace`` (one regex
+    scan per class, no per-match array materialization — the
+    ``text_quality_score`` lesson), entirely scan-side codegen before a
+    25-group aggregation."""
+    d = views(spark, sf_dir)["documents"]
+
+    def n_of(pat: str) -> F.Column:
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    per = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_of("[A-Za-z]").alias("n_alpha"),
+        n_of("[0-9]").alias("n_digit"),
+        n_of("[ \t\n\r]").alias("n_ws"),
+        F.length(F.regexp_replace("text", "[\\x00-\\x7F]", "")).cast("bigint").alias("n_non_ascii"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_alpha").alias("n_alpha"),
+            F.sum("n_digit").alias("n_digit"),
+            F.sum("n_ws").alias("n_ws"),
+            F.sum("n_non_ascii").alias("n_non_ascii"),
+            F.round(
+                F.sum("n_non_ascii").cast("double") / F.sum("n_chars"), 6
+            ).alias("non_ascii_ratio"),
+        )
+        .orderBy("lang")
+    )

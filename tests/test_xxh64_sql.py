@@ -115,3 +115,29 @@ def test_h12_struct_matches_fast_path_masking(spark, con):
     }
     for s, h12 in rows:
         assert (h12["h1"], h12["h2"]) == expected[s]
+
+
+def test_hash_long_matches_spark_bigints(spark, con):
+    """Closed-form hashLong (the Bloom-prune probe hash) must match Spark's
+    xxhash64 over BIGINT bit-for-bit, including negatives and extremes."""
+    from parquet_query_spark.functions.xxh64_sql import (
+        hash_long_sql,
+        spark_xxhash64_long1_sql,
+    )
+
+    vals = [0, 1, 42, -1, -42, 2**62, -(2**62), 123456789012345,
+            -987654321098765, 2**63 - 1, -(2**63), 7, 1500, 999999]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    expected = {
+        r.x: (_unsigned(r.h), _unsigned(r.h1))
+        for r in df.select(
+            "x",
+            F.xxhash64("x").alias("h"),
+            F.xxhash64("x", F.lit(1)).alias("h1"),
+        ).collect()
+    }
+    for v in vals:
+        got = con.execute(
+            f"SELECT {hash_long_sql(str(v))}, {spark_xxhash64_long1_sql(str(v))}"
+        ).fetchone()
+        assert (int(got[0]), int(got[1])) == expected[v], v
