@@ -58,6 +58,8 @@ _DRIVER_PRIORITY = [
     "bloom_prune_join",
     "pipeline_shard_assignment",
     "text_script_profile",
+    "neardup_pagerank",
+    "neardup_triangles",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",
     "embedding_random_projection",

@@ -90,6 +90,7 @@ def load_all() -> dict[str, QuerySpec]:
             scale_patterns,
             sink_queries,
             udfs,
+            graph,
         )
         from parquet_query_spark.streaming import (  # noqa: F401
             stateful,
