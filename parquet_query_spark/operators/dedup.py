@@ -1246,9 +1246,59 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("word").alias("block_key"))
     )
-    a = blocked.select(F.col("doc_id").alias("doc_a"), "block_key")
-    b = blocked.select(F.col("doc_id").alias("doc_b"), "block_key")
-    cand = a.join(b, "block_key").where(F.col("doc_a") < F.col("doc_b"))
+    # Tiled self-join: a block's pairs grow quadratically in its size, and
+    # a plain equi-join on block_key puts the WHOLE hot block's pair
+    # explosion in one task (join-key skew by output, which AQE's
+    # input-size-based skew split never sees — observed at 8× scale:
+    # a 9,000-doc block = 40M pairs in a single task).  Chunk each block
+    # into runs of C docs (row_number order) and emit one join key per
+    # (ca ≤ cb) chunk tile: every pair lands in exactly one tile, each
+    # task verifies ≤ C² pairs, and the hot block fans out over
+    # k(k+1)/2 tile keys instead of one.
+    chunk_c = 2048
+    w_chunk = W.partitionBy("block_key").orderBy("doc_id")
+    sized = (
+        blocked.withColumn("rn", F.row_number().over(w_chunk))
+        .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
+    )
+    chunks = sized.select("block_key", "chunk").distinct()
+    tiles = (
+        chunks.alias("ta")
+        .join(
+            chunks.alias("tb"),
+            (F.col("ta.block_key") == F.col("tb.block_key"))
+            & (F.col("ta.chunk") <= F.col("tb.chunk")),
+        )
+        .select(
+            F.col("ta.block_key").alias("block_key"),
+            F.col("ta.chunk").alias("ca"),
+            F.col("tb.chunk").alias("cb"),
+        )
+    )
+    a_rep = (
+        sized.join(F.broadcast(tiles), ["block_key"])
+        .where(F.col("chunk") == F.col("ca"))
+        .select("block_key", "ca", "cb", F.col("doc_id").alias("doc_a"), F.col("rn").alias("rn_a"))
+    )
+    b_rep = (
+        sized.join(F.broadcast(tiles), ["block_key"])
+        .where(F.col("chunk") == F.col("cb"))
+        .select("block_key", "ca", "cb", F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b"))
+    )
+    # Explicit fixed-count repartition on the tile key: the tile INPUTS are
+    # a few MB, so AQE's input-size-based coalesce would fold every tile
+    # back into one post-shuffle partition — re-serializing the explosion
+    # it was built to avoid.  A user repartition with an explicit count is
+    # never coalesced, and the join reuses the partitioning (no extra
+    # exchange).
+    n_part = spark.sparkContext.defaultParallelism * 2
+    a_rep = a_rep.repartition(n_part, "block_key", "ca", "cb")
+    b_rep = b_rep.repartition(n_part, "block_key", "ca", "cb")
+    cand = (
+        a_rep.join(b_rep, ["block_key", "ca", "cb"])
+        .where(F.col("rn_a") < F.col("rn_b"))
+        .select("doc_a", "doc_b")
+    )
     scored = (
         cand.join(
             pref.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa")),
