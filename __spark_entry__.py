@@ -60,6 +60,9 @@ _DRIVER_PRIORITY = [
     "text_script_profile",
     "neardup_pagerank",
     "neardup_triangles",
+    "events_hourly_ohlc",
+    "events_session_paths",
+    "fuzzy_join_rarest_token",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",
     "embedding_random_projection",

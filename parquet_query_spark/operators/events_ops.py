@@ -668,3 +668,138 @@ def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "events_hourly_ohlc",
+    oracle="""
+SELECT event_type,
+       date_trunc('hour', ts) AS bar_hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS open,
+       round(MAX(value), 4) AS high,
+       round(MIN(value), 4) AS low,
+       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS close,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS volume_e4
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bar_hour
+""",
+    tags=("aggregate", "events"),
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the time-series downsampling every
+    metrics/market pipeline runs: open/close via arg-min/arg-max on a
+    zero-padded (epoch_us, event_id) string key — a total order, so the
+    result is deterministic under ts ties (unlike bare first()/last(),
+    which are partition-order-dependent in Spark) and the key shape is
+    accepted by both engines' arg_min/min_by.  High/low are plain
+    MIN/MAX; volume is an order-free integer sum.
+
+    Scale shape: pure single-pass aggregation — partial min_by/max_by
+    combine map-side like any algebraic aggregate, so the shuffle carries
+    one row per (type, hour) group, not the raw stream.  No window, no
+    sort, no self-join."""
+    v = views(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        v["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("volume_e4"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         COUNT(*) AS path_len
+  FROM sess
+  GROUP BY 1, 2
+  HAVING COUNT(*) <= 6
+)
+SELECT path, CAST(path_len AS BIGINT) AS path_len,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path, path_len
+ORDER BY n_sessions DESC, path
+LIMIT 25
+""",
+    tags=("events", "window", "topk"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most common session journeys: sessionize (same lag-gap +
+    running-sum kernel as events_sessionize), concatenate each session's
+    event types in (ts, event_id) order into a path string, and rank
+    paths by frequency — the product-analytics "user flows" report.
+    Paths longer than 6 steps are dropped (long tails are unique anyway
+    and explode the distinct-path space).
+
+    Scale shape: the two windows and the per-session aggregation all run
+    on the single user_id shuffle (partitioning reuse); the path count is
+    a second, much smaller shuffle keyed by path string; the final top-25
+    is TakeOrdered — no global sort.  The path string uses an explicit
+    in-aggregation ORDER BY (Spark: sort the collected struct list) so
+    the concatenation order is a total order, not arrival order."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        v["events"]
+        .select("user_id", "ts", "event_id", "event_type", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("path_len"),
+        )
+        .where(F.col("path_len") <= 6)
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
