@@ -351,14 +351,100 @@ def _rewrite_qualify_inject(sql: str) -> str:
     return rewritten
 
 
+# ── DuckDB function names Spark spells differently ──────────────────────
+#
+# Conservative, unambiguous 1:1 renames only (same argument order and
+# semantics).  Deliberately NOT mapped: ``len`` (DuckDB uses it for both
+# strings and lists; Spark splits that into length/size and the right
+# target depends on the argument type), ``epoch`` (fractional-seconds
+# semantics differ), ``list_aggregate`` (higher-order shim required).
+
+_FN_MAP = {
+    "string_split": "split",
+    "str_split": "split",
+    "string_split_regex": "split",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_distinct": "array_distinct",
+    "list_sort": "sort_array",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_value": "array",
+    "list": "collect_list",
+    "regexp_matches": "rlike",
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+}
+
+_FN_CALL = re.compile(
+    r"\b(" + "|".join(_FN_MAP) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_function_names(sql: str) -> str:
+    """Rename DuckDB-spelled function calls to their Spark equivalents.
+    Only bare identifiers immediately followed by ``(`` are touched —
+    qualified names (``schema.fn``) and quoted identifiers are left
+    alone, and the code mask skips strings/comments."""
+    mask = _code_mask(sql)
+    repls: list[tuple[int, int, str]] = []
+    for m in _FN_CALL.finditer(sql):
+        s, e = m.start(1), m.end(1)
+        if not all(mask[s:e]):
+            continue
+        prev = sql[s - 1] if s > 0 else ""
+        if prev in ".@:":  # qualified / parameter reference
+            continue
+        repls.append((s, e, _FN_MAP[m.group(1).lower()]))
+    for s, e, new in reversed(repls):
+        sql = sql[:s] + new + sql[e:]
+    return sql
+
+
+# ── USING SAMPLE → TABLESAMPLE ──────────────────────────────────────────
+
+_USING_SAMPLE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(sql: str) -> str:
+    """DuckDB ``USING SAMPLE 10%`` / ``... 100 ROWS`` / bare ``... 100``
+    (rows) → Spark ``TABLESAMPLE (10 PERCENT)`` / ``(100 ROWS)``.  Both
+    dialects place the clause right after the table reference, so the
+    rewrite is positional.  Method-qualified DuckDB forms
+    (``reservoir(10%)`` etc.) are left untouched — Spark's own error
+    message then names the unsupported syntax."""
+    mask = _code_mask(sql)
+    repls: list[tuple[int, int, str]] = []
+    for m in _USING_SAMPLE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        num, unit = m.group(1), (m.group(2) or "").upper().rstrip()
+        kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
+        repls.append((m.start(), m.end(), f"TABLESAMPLE ({num} {kind})"))
+    for s, e, new in reversed(repls):
+        sql = sql[:s] + new + sql[e:]
+    return sql
+
+
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    return _rewrite_qualify(_rewrite_strftime(_rewrite_exclude(sql)))
+    return _rewrite_qualify(
+        _rewrite_strftime(
+            _rewrite_exclude(_rewrite_using_sample(_rewrite_function_names(sql)))
+        )
+    )
 
 
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     """Alternate rewrites to retry when the primary form fails analysis
     (e.g. a QUALIFY window referencing a non-projected base column)."""
-    alt = _rewrite_qualify_inject(_rewrite_strftime(_rewrite_exclude(sql)))
+    alt = _rewrite_qualify_inject(
+        _rewrite_strftime(
+            _rewrite_exclude(_rewrite_using_sample(_rewrite_function_names(sql)))
+        )
+    )
     primary = rewrite_duckdb_dialect(sql)
     return [alt] if alt != primary else []

@@ -223,3 +223,82 @@ def test_engine_strftime_matches_duckdb(engine, sf_dir):
         assert [row[0] for row in r.rows] == [e[0] for e in expected]
     finally:
         con.close()
+
+
+# ── function-name mapping + USING SAMPLE (round 5) ───────────────────────
+
+
+def test_fn_map_string_split():
+    out = rewrite_duckdb_dialect("SELECT string_split(text, ' ') FROM t")
+    assert out == "SELECT split(text, ' ') FROM t"
+
+
+def test_fn_map_list_functions():
+    out = rewrite_duckdb_dialect(
+        "SELECT list_contains(xs, 1), list_distinct(xs), list_sort(xs) FROM t"
+    )
+    assert out == "SELECT array_contains(xs, 1), array_distinct(xs), sort_array(xs) FROM t"
+
+
+def test_fn_map_list_aggregate_and_epoch():
+    out = rewrite_duckdb_dialect("SELECT list(x), epoch_ms(ts), epoch_us(ts) FROM t GROUP BY ALL")
+    assert out == "SELECT collect_list(x), unix_millis(ts), unix_micros(ts) FROM t GROUP BY ALL"
+
+
+def test_fn_map_regexp_matches():
+    out = rewrite_duckdb_dialect("SELECT * FROM t WHERE regexp_matches(s, 'a+')")
+    assert out == "SELECT * FROM t WHERE rlike(s, 'a+')"
+
+
+def test_fn_map_qualified_name_untouched():
+    sql = "SELECT db.list_sort(xs) FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_fn_map_inside_string_untouched():
+    sql = "SELECT 'call list_sort(xs) here' FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_fn_map_bare_identifier_untouched():
+    sql = "SELECT list_sort FROM t"  # column named list_sort, no call parens
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_using_sample_percent():
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 10%")
+    assert out == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 10 PERCENT")
+    assert out == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+
+
+def test_using_sample_rows():
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 100 ROWS")
+    assert out == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 100")
+    assert out == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+
+
+def test_using_sample_inside_string_untouched():
+    sql = "SELECT 'USING SAMPLE 10%' FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_engine_fn_map_and_sample(engine):
+    r = engine.run(
+        "SELECT list_contains(string_split(trim(o_orderpriority), '-'), '1') AS has1 "
+        "FROM 'orders.parquet' LIMIT 5"
+    )
+    assert r.columns == ["has1"]
+    assert r.num_rows == 5
+    r2 = engine.run("SELECT count(*) AS n FROM (SELECT * FROM 'orders.parquet' USING SAMPLE 100 ROWS)")
+    assert r2.rows[0][0] == "100"
+
+
+def test_engine_list_aggregate(engine):
+    r = engine.run(
+        "SELECT o_orderstatus, sort_array(list(o_orderpriority)) AS ps "
+        "FROM (SELECT * FROM 'orders.parquet' LIMIT 50) GROUP BY ALL ORDER BY ALL"
+    )
+    assert r.columns == ["o_orderstatus", "ps"]
+    assert r.num_rows >= 1
