@@ -463,12 +463,15 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping >60 days after the order date. The classic EXISTS /
     NOT-EXISTS pair over lineitem (two correlated subqueries → two
     extra fact scans) is re-expressed as ONE grouped pass: per
-    (order, supplier) a late flag, per order the supplier/late counts,
-    then the filter ``is_late AND n_suppliers > 1 AND n_late = 1`` —
-    exactly "others exist, none of the others late". The second
-    grouping runs on the already-reduced per-pair rows, and the
-    re-attach join keys on orderkey, which AQE plans off the same
-    exchange. At 100 TB this is 1 fact shuffle vs the textbook plan's 3.
+    (order, supplier) a late flag, then the per-order supplier/late
+    counts as WINDOW aggregates over that same reduced relation, then
+    the filter ``is_late AND n_suppliers > 1 AND n_late = 1`` — exactly
+    "others exist, none of the others late".  The window (vs a second
+    groupBy + join back) matters: re-joining onto ``flagged`` makes
+    Spark recompute the lineitem⋈orders branch twice (6 parquet scans
+    observed; test_plans.py pins ≤4), while the window form scans each
+    fact table once.  At 100 TB: one fact shuffle + one per-order window
+    repartition vs the textbook correlated plan's three fact scans.
     """
     v = views(spark, sf_dir)
     li = v["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -488,8 +491,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    order_stats = flagged.groupBy("orderkey").agg(
-        F.count("*").alias("n_suppliers"), F.sum("is_late").alias("n_late")
+    w_ord = Window.partitionBy("orderkey")
+    stats = flagged.withColumn("n_suppliers", F.count("*").over(w_ord)).withColumn(
+        "n_late", F.sum("is_late").over(w_ord)
     )
     nat_sup = (
         v["supplier"]
@@ -498,8 +502,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        flagged.join(order_stats, "orderkey")
-        .where((F.col("is_late") == 1) & (F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
+        stats.where((F.col("is_late") == 1) & (F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(nat_sup), F.col("suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -253,3 +253,54 @@ def test_concurrency_sweep_avoids_global_window_on_stream(spark):
     # ordered window
     plan = physical_plan(CATALOG["events_concurrency_sweep"].fn(spark, SF))
     assert re.search(r"hashpartitioning\(b", plan), plan
+
+
+# ── round-5: the adapted TPC-H tier ──────────────────────────────────────
+
+
+def test_q9_broadcasts_dims_and_pushes_part_filter(spark):
+    """Part (name-filtered) and supplier×nation broadcast; the p_name LIKE
+    filter prunes before the orders join; only one fact-fact join remains."""
+    plan = physical_plan(CATALOG["q9_product_type_profit"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q13_left_join_preserves_customers(spark):
+    """Q13's LEFT join must not degrade to inner (zero-order customers
+    count), and the two aggregations stay separate (the second runs on
+    one row per customer)."""
+    plan = physical_plan(CATALOG["q13_customer_order_distribution"].fn(spark, SF))
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two groupings
+
+
+def test_q15_revenue_computed_without_global_sort(spark):
+    """The argmax filter is a broadcast of the 1-row max against the
+    grouped revenue — no sort of the full revenue relation."""
+    plan = physical_plan(CATALOG["q15_top_supplier"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q21_single_fact_shuffle_formulation(spark):
+    """The one-pass rewrite of Q21's EXISTS/NOT-EXISTS pair: the lineitem
+    relation is scanned once (plus the broadcast dims), not three times as
+    in the textbook correlated plan."""
+    plan = physical_plan(CATALOG["q21_suppliers_kept_waiting"].fn(spark, SF))
+    # lineitem + orders + supplier + nation, each ONCE (the groupBy+rejoin
+    # formulation recomputes the fact join and shows 6)
+    assert plan.count("FileScan parquet") <= 4
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_q2_single_partkey_window_no_self_join(spark):
+    """The correlated MIN lowers to a window over the already-shuffled
+    part key — the derived part-supplier relation must not be joined to
+    itself."""
+    plan = physical_plan(CATALOG["q2_min_cost_supplier"].fn(spark, SF))
+    # 5 scans = one per table (lineitem, part, supplier, nation, region);
+    # a ps self-join for the correlated MIN would scan lineitem twice
+    assert plan.count("FileScan parquet") <= 5
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan

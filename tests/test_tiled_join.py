@@ -124,3 +124,16 @@ def test_bloom_prune_join_plan_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_filter_never_false_negative(spark):
+    """The Bloom invariant: every order whose key IS in the build set must
+    pass the filter (n_exact rows are a subset of n_bloom_pass rows), and
+    the summary must be internally consistent."""
+    from parquet_query_spark.operators.catalog import load_all
+
+    row = load_all()["bloom_prune_join"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_bloom_pass >= row.n_exact
+    assert row.n_false_pos == row.n_bloom_pass - row.n_exact
+    assert row.n_orders >= row.n_bloom_pass
+    assert row.n_exact > 0
