@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = [
     "neardup_triangles",
     "events_hourly_ohlc",
     "events_session_paths",
+    "events_first_touch_attribution",
+    "events_incremental_agg_merge",
     "fuzzy_join_rarest_token",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",

@@ -803,3 +803,123 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+@query(
+    "events_first_touch_attribution",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+touched AS (
+  SELECT *,
+         first_value(event_type) OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_touch
+  FROM sess
+)
+SELECT first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS attributed_e4
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY first_touch
+ORDER BY first_touch
+""",
+    tags=("events", "window", "pipeline"),
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: credit each purchase to the event type that
+    OPENED its session — the marketing-analytics kernel (which acquisition
+    channel do conversions trace back to?).
+
+    Three windows (lag-gap, running session id, session first_value) all
+    share the single user_id-prefixed sort order, so Catalyst plans ONE
+    shuffle + one sort for the whole chain; the attribution rollup then
+    groups the (tiny) purchase subset.  Revenue is an order-free integer
+    sum.  first_value over the full-session frame (not default) makes the
+    attribution deterministic under the (ts, event_id) total order."""
+    v = views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        v["events"]
+        .select("user_id", "ts", "event_id", "event_type", "value", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    w_sess = (
+        W.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    touched = sess.withColumn("first_touch", F.first("event_type").over(w_sess))
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("attributed_e4"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+@query(
+    "events_incremental_agg_merge",
+    oracle="""
+WITH full_agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS v_e4
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, h, n, v_e4 FROM full_agg
+ORDER BY event_type, h
+""",
+    tags=("aggregate", "pipeline", "scale"),
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the base aggregate (all
+    events before a cutoff) merges with a delta aggregate (events at or
+    after the cutoff) by summing partials — COUNT and integer-SUM form a
+    commutative monoid, so merge(old_state, agg(delta)) ≡ agg(all).  The
+    oracle IS the full recompute, so the driver hash-check proves the
+    incremental algebra exact — the property that lets a 100 TB pipeline
+    refresh an hourly rollup by touching only the new partition instead
+    of re-scanning history.
+
+    Plan shape: two partial aggregations (each pruned to its time slice
+    at the scan by the cutoff predicate) and one merge groupBy over
+    rollup-sized rows — the merge shuffle carries (type, hour) partials,
+    never raw events."""
+    v = views(spark, sf_dir)
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+
+    def agg_slice(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v_e4"),
+        )
+
+    base = agg_slice(v["events"].where(F.col("ts") < cutoff))
+    delta = agg_slice(v["events"].where(F.col("ts") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("event_type", "h")
+        .agg(F.sum("n").alias("n"), F.sum("v_e4").alias("v_e4"))
+        .orderBy("event_type", "h")
+    )
