@@ -64,6 +64,9 @@ _DRIVER_PRIORITY = [
     "events_session_paths",
     "events_first_touch_attribution",
     "events_incremental_agg_merge",
+    "agg_hll_mergeable_sketches",
+    "events_value_winsorize",
+    "dedup_cross_source_matrix",
     "fuzzy_join_rarest_token",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",

@@ -1399,3 +1399,59 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removed_bp"),
         )
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM verified
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+""",
+    tags=("dedup", "profiling"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which sources near-duplicate into
+    which — the contamination report a corpus audit runs before mixing
+    (a heavy off-diagonal cell means one source scraped/mirrors another,
+    so their sampling weights double-count the same text).
+
+    The (source, source) key is canonicalized with least/greatest so the
+    matrix is upper-triangular and engine-order-independent.  Edges come
+    from the shared LSH-verified kernel; the doc→source attachment is a
+    broadcast of the slim (doc_id, source) projection; the final
+    aggregation runs on the (tiny) labeled edge list — cost stays
+    edge-bound, like the degree profile."""
+    v = views(spark, sf_dir)
+    verified = _lsh_verified_pairs(spark, sf_dir, threshold=0.2)
+    src = v["documents"].select("doc_id", "source")
+    labeled = (
+        verified.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

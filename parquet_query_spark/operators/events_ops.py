@@ -923,3 +923,62 @@ def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.sum("v_e4").alias("v_e4"))
         .orderBy("event_type", "h")
     )
+
+
+@query(
+    "events_value_winsorize",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS p01,
+         round(quantile_cont(value, 0.99), 6) AS p99
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(p01, 4) AS p01, round(p99, 4) AS p99,
+       CAST(COUNT(*) FILTER (value < p01) AS BIGINT) AS n_clip_lo,
+       CAST(COUNT(*) FILTER (value > p99) AS BIGINT) AS n_clip_hi,
+       CAST(SUM(CAST(ROUND(least(greatest(value, p01), p99) * 10000) AS BIGINT))
+            AS BIGINT) AS winsorized_e4
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, p01, p99
+ORDER BY e.event_type
+""",
+    tags=("events", "aggregate", "pipeline"),
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (robust clipping at the exact p01/p99 per group) — the
+    outlier guard every feature/metrics pipeline applies before averaging.
+
+    The thresholds are exact interpolated percentiles rounded to 6 dp
+    BEFORE clipping in both engines, so a last-ulp interpolation
+    difference between implementations can never flip a boundary
+    comparison (the int8-quantization lesson).  Two passes: a tiny
+    per-group threshold aggregate broadcast back onto the stream, then
+    one clip-and-sum scan — never a per-row sort.  The winsorized sum is
+    an order-free integer."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+    b = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("p01"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count_if(F.col("value") < F.col("p01")).alias("n_clip_lo"),
+            F.count_if(F.col("value") > F.col("p99")).alias("n_clip_hi"),
+            F.sum(F.round(clipped * 10000).cast("bigint")).alias("winsorized_e4"),
+        )
+        .select(
+            "event_type",
+            F.round("p01", 4).alias("p01"),
+            F.round("p99", 4).alias("p99"),
+            "n_clip_lo",
+            "n_clip_hi",
+            "winsorized_e4",
+        )
+        .orderBy("event_type")
+    )

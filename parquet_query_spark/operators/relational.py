@@ -873,3 +873,72 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "agg_hll_mergeable_sketches",
+    oracle="""
+WITH per AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+         (abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+            <= 0.05 * COUNT(DISTINCT user_id))::INTEGER AS est_within_5pct
+  FROM events GROUP BY 1
+),
+allr AS (
+  SELECT 'ALL' AS event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+         (abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+            <= 0.05 * COUNT(DISTINCT user_id))::INTEGER AS est_within_5pct
+  FROM events
+)
+SELECT * FROM per
+UNION ALL
+SELECT * FROM allr
+ORDER BY event_type
+""",
+    tags=("aggregate", "approx", "scale"),
+)
+def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, ``hll_sketch_agg``):
+    per-group sketches of distinct users, with the ALL row's estimate
+    produced by ``hll_union_agg`` over the per-group SKETCHES — never by
+    re-scanning raw events.  That merge step is the distributed-counting
+    architecture at 100 TB: partial sketches roll up across partitions /
+    days / sources in constant memory, exactly like the incremental-agg
+    monoid but for DISTINCT.
+
+    Sketch bytes are engine-specific, so (as with agg_approx_distinct)
+    the verifiable output is each engine's own estimate-vs-exact
+    tolerance flag plus the exact counts; the DuckDB oracle's ALL
+    estimate comes from a raw re-aggregation because DuckDB SQL cannot
+    union sketch partials — which is rather the point of this entry."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users"),
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    per_flags = per.select(
+        "event_type",
+        "n_exact_users",
+        (
+            F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("n_exact_users"))
+            <= 0.05 * F.col("n_exact_users")
+        )
+        .cast("int")
+        .alias("est_within_5pct"),
+    )
+    merged = per.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    all_exact = ev.agg(F.countDistinct("user_id").alias("n_exact_users"))
+    all_row = (
+        all_exact.crossJoin(F.broadcast(merged))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_exact_users",
+            (F.abs(F.col("est") - F.col("n_exact_users")) <= 0.05 * F.col("n_exact_users"))
+            .cast("int")
+            .alias("est_within_5pct"),
+        )
+    )
+    return per_flags.unionAll(all_row).orderBy("event_type")
