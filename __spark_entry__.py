@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "agg_hll_mergeable_sketches",
     "events_value_winsorize",
     "dedup_cross_source_matrix",
+    "crossmodal_lang_label_profile",
     "fuzzy_join_rarest_token",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",

@@ -92,9 +92,25 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cosine"),
         )
     )
+    # Two-phase exact top-k (the TakeOrdered-per-group pattern): rank within
+    # (qid, physical partition) first — that shuffle spreads over
+    # n_queries × n_partitions keys instead of hot-spotting n_queries keys —
+    # then keep ≤ K rows per (qid, partition), so the final per-qid ranking
+    # shuffles at most n_partitions × K rows per query instead of the whole
+    # scored corpus.  The global top-K is always contained in the union of
+    # per-partition top-Ks, and the (cosine DESC, neighbor_id) order is
+    # total, so the result is identical to the single-window plan.
+    pid = F.spark_partition_id().alias("pid")
+    w_part = W.partitionBy("qid", "pid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    partial = (
+        scored.select("qid", "neighbor_id", "cosine", pid)
+        .withColumn("prnk", F.row_number().over(w_part))
+        .where(F.col("prnk") <= TOP_K)
+        .drop("pid", "prnk")
+    )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
         .orderBy("qid", "rnk")
     )
@@ -1210,4 +1226,58 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w_rank))
         .where(F.col("rnk") <= IVF_TOP_K)
         .orderBy("qid", "rnk")
+    )
+
+
+@query(
+    "crossmodal_lang_label_profile",
+    oracle="""
+WITH joined AS (
+  SELECT d.lang, e.label,
+         CAST(ROUND(sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
+              AS BIGINT) AS norm_u
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT lang, label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(norm_u) AS BIGINT) AS norm_sum_u,
+       round(CAST(SUM(norm_u) AS DOUBLE) / 1000000.0 / COUNT(*), 4) AS mean_norm
+FROM joined
+GROUP BY lang, label
+ORDER BY lang, label
+""",
+    tags=("similarity", "pipeline", "join"),
+)
+def crossmodal_lang_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: join the text table to its embedding table
+    (doc_id = vec_id) and profile embedding norms per (language, cluster
+    label) — the consistency check a multimodal corpus runs to catch
+    modality drift (a language whose embeddings have systematically
+    shorter norms usually means the embedder saw truncated or
+    wrong-encoding text).
+
+    The join is fact×fact on the shared id: at 100 TB both tables would
+    be BUCKETED by id at write time (see sink_roundtrip_bucketed_join)
+    making this a zero-Exchange merge; here the ids arrive aligned and
+    AQE picks the join side.  Norms quantize to integer micro-units
+    before the group sum (order-free, cross-engine exact); the one mean
+    divides two exact integers."""
+    v = views(spark, sf_dir)
+    norm_u = F.round(_norm("embedding") * 1_000_000).cast("bigint")
+    emb = v["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    ).select("vec_id", "label", norm_u.alias("norm_u"))
+    docs = v["documents"].select("doc_id", "lang")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("norm_u").alias("norm_sum_u"),
+            F.round(F.sum("norm_u").cast("double") / 1_000_000.0 / F.count("*"), 4).alias(
+                "mean_norm"
+            ),
+        )
+        .orderBy("lang", "label")
     )
