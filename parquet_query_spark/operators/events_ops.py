@@ -781,6 +781,13 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "event_type", is_new.alias("is_new"))
         .withColumn("session_id", F.sum("is_new").over(run))
     )
+    # Filter long sessions BEFORE collecting: collect_list materializes a
+    # session's whole event array in one reducer, so a bot mega-session
+    # would build an unbounded array just to be thrown away by the length
+    # cut.  The size window runs on the same user_id shuffle (no extra
+    # exchange), so only ≤6-event sessions ever reach the collector.
+    w_size = W.partitionBy("user_id", "session_id")
+    sess = sess.withColumn("sess_n", F.count("*").over(w_size)).where(F.col("sess_n") <= 6)
     paths = (
         sess.groupBy("user_id", "session_id")
         .agg(
