@@ -18,6 +18,12 @@ hits first:
 - ``strftime(ts, '%Y-%m-%d')`` — rewritten to
   ``date_format(ts, 'yyyy-MM-dd')`` with a C-to-Java pattern translation
   (letter literals quoted per Spark datetime-pattern rules).
+- ``ASOF [LEFT] JOIN`` — rewritten to an equi-join against a LEAD/LAG
+  validity window (strictly scoped; unsupported forms raise
+  ``AsofRewriteError`` rather than risk wrong results).
+- ``USING SAMPLE`` → ``TABLESAMPLE``; DuckDB-spelled function names
+  (``string_split``, ``list_*``, ``list``, ``regexp_matches``,
+  ``epoch_ms``/``epoch_us``) → their Spark equivalents.
 
 Every rewrite is lexer-aware (single/double/backtick quotes, ``--`` and
 ``/* */`` comments — the A6 lexer's rules) so occurrences inside strings,
@@ -351,6 +357,190 @@ def _rewrite_qualify_inject(sql: str) -> str:
     return rewritten
 
 
+# ── ASOF JOIN → equi-join against a LEAD/LAG validity window ────────────
+#
+# DuckDB: ``FROM a ASOF [LEFT] JOIN b ON a.k = b.k AND a.ts >= b.ts`` —
+# each left row matches the single right row with the LARGEST b.ts not
+# exceeding a.ts (backward; ``<=``/``<`` are the forward mirror).  Spark
+# has no ASOF syntax.  The rewrite wraps the right side in a subquery
+# that adds the NEXT (or PREVIOUS) timestamp per key via LEAD/LAG, so
+# "the closest match" becomes a plain range predicate::
+#
+#   JOIN (SELECT *, LEAD(ts) OVER (PARTITION BY k ORDER BY ts)
+#           AS __asof_nxt FROM b_tbl) b
+#     ON a.k = b.k AND a.ts >= b.ts
+#    AND (a.ts < b.__asof_nxt OR b.__asof_nxt IS NULL)
+#
+# — the same single-shuffle formulation as the catalog's DataFrame as-of
+# operator.  STRICTLY SCOPED: one top-level ASOF JOIN per statement, a
+# named/quoted right table (no subquery), every ON term either
+# ``<expr> = <expr>`` or the ONE inequality, and the right side of each
+# term a simple ``alias.col``.  Anything else raises AsofRewriteError
+# naming what's unsupported — never a silent wrong-results rewrite.
+
+_ASOF_HELPER = "__asof_nxt"
+
+
+class AsofRewriteError(ValueError):
+    """An ASOF JOIN form this shim deliberately does not rewrite."""
+
+
+_ASOF_KW = re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.IGNORECASE)
+_ASOF_RTABLE = re.compile(
+    rf"\s*('(?:[^']|'')+'|{_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+ON\b",
+    re.IGNORECASE,
+)
+_ASOF_CLAUSE_END = re.compile(
+    r"\b(WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|QUALIFY|WINDOW|UNION|INTERSECT|EXCEPT"
+    r"|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|ASOF)\b",
+    re.IGNORECASE,
+)
+_ASOF_INEQ = re.compile(r"(<=|>=|<|>)")
+
+
+def _split_top_and(text: str) -> list[str]:
+    mask = _code_mask(text)
+    depths = _depths(text, mask)
+    parts, last = [], 0
+    for m in re.finditer(r"\bAND\b", text, re.IGNORECASE):
+        if all(mask[i] for i in range(m.start(), m.end())) and depths[m.start()] == 0:
+            parts.append(text[last : m.start()])
+            last = m.end()
+    parts.append(text[last:])
+    return parts
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    mask = _code_mask(sql)
+    depths = _depths(sql, mask)
+    hits = [
+        m for m in _keyword_matches(sql, mask, _ASOF_KW.pattern) if depths[m.start()] == 0
+    ]
+    if not hits:
+        return sql
+    if len(hits) > 1:
+        raise AsofRewriteError("multiple ASOF JOINs in one statement are not supported")
+    m = hits[0]
+    is_left = bool(m.group(1))
+
+    tm = _ASOF_RTABLE.match(sql, m.end())
+    if not tm:
+        raise AsofRewriteError(
+            "ASOF JOIN right side must be a named table or quoted path "
+            "(subqueries are not supported)"
+        )
+    rtable = tm.group(1)
+    ralias = tm.group(2) or (rtable if not rtable.startswith("'") else None)
+    if ralias is None:
+        raise AsofRewriteError("a quoted-path ASOF JOIN right side needs an alias")
+
+    on_start = tm.end()
+    end_m = next(
+        (
+            e
+            for e in _keyword_matches(sql[on_start:], _code_mask(sql[on_start:]), _ASOF_CLAUSE_END.pattern)
+            if _depths(sql[on_start:], _code_mask(sql[on_start:]))[e.start()] == 0
+        ),
+        None,
+    )
+    on_end = on_start + end_m.start() if end_m else len(sql)
+    on_text = sql[on_start:on_end]
+
+    qual = re.escape(ralias)
+    rcol = re.compile(rf"^\s*{qual}\.({_IDENT})\s*$", re.IGNORECASE)
+    eqs: list[tuple[str, str]] = []  # (other-side expr, b column)
+    ineq = None  # (a_expr, op, b_col)
+    for term in _split_top_and(on_text):
+        tmask = _code_mask(term)
+        ops = [
+            o
+            for o in re.finditer(r"(<=|>=|=|<|>)", term)
+            if all(tmask[i] for i in range(o.start(), o.end()))
+            and _depths(term, tmask)[o.start()] == 0
+        ]
+        if len(ops) != 1:
+            raise AsofRewriteError(f"unsupported ASOF ON term: {term.strip()!r}")
+        o = ops[0]
+        lhs, op, rhs = term[: o.start()], o.group(1), term[o.end() :]
+        lm, rm = rcol.match(lhs), rcol.match(rhs)
+        if op == "=":
+            if rm and not lm:
+                eqs.append((lhs.strip(), rm.group(1)))
+            elif lm and not rm:
+                eqs.append((rhs.strip(), lm.group(1)))
+            else:
+                raise AsofRewriteError(
+                    f"ASOF equality needs exactly one side as {ralias}.<col>: {term.strip()!r}"
+                )
+        else:
+            if ineq is not None:
+                raise AsofRewriteError("ASOF JOIN supports exactly one inequality")
+            if rm and not lm:
+                ineq = (lhs.strip(), op, rm.group(1))
+            elif lm and not rm:
+                flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+                ineq = (rhs.strip(), flip[op], lm.group(1))
+            else:
+                raise AsofRewriteError(
+                    f"ASOF inequality needs exactly one side as {ralias}.<col>: {term.strip()!r}"
+                )
+    if ineq is None:
+        raise AsofRewriteError("ASOF JOIN requires one inequality in ON")
+    a_expr, op, b_ts = ineq
+
+    backward = op in (">=", ">")  # match the largest b_ts at-or-before a
+    helper_fn = "LEAD" if backward else "LAG"
+    part = (
+        f"PARTITION BY {', '.join(c for _, c in eqs)} " if eqs else ""
+    )
+    sub = (
+        f"(SELECT *, {helper_fn}({b_ts}) OVER ({part}ORDER BY {b_ts}) "
+        f"AS {_ASOF_HELPER} FROM {rtable}) {ralias}"
+    )
+    bound = {
+        ">=": f"(({a_expr}) < {ralias}.{_ASOF_HELPER} OR {ralias}.{_ASOF_HELPER} IS NULL)",
+        ">": f"(({a_expr}) <= {ralias}.{_ASOF_HELPER} OR {ralias}.{_ASOF_HELPER} IS NULL)",
+        "<=": f"(({a_expr}) > {ralias}.{_ASOF_HELPER} OR {ralias}.{_ASOF_HELPER} IS NULL)",
+        "<": f"(({a_expr}) >= {ralias}.{_ASOF_HELPER} OR {ralias}.{_ASOF_HELPER} IS NULL)",
+    }[op]
+    on_terms = [f"{other} = {ralias}.{c}" for other, c in eqs]
+    on_terms.append(f"({a_expr}) {op} {ralias}.{b_ts}")
+    on_terms.append(bound)
+    join_kw = "LEFT JOIN" if is_left else "JOIN"
+    rewritten = (
+        sql[: m.start()] + f"{join_kw} {sub} ON " + " AND ".join(on_terms) + sql[on_end:]
+    )
+
+    # The helper column leaks through star projections (bare ``*`` or
+    # ``ralias.*``) — wrap once and drop it.  Explicit select lists never
+    # see it, and a ``*`` used as multiplication is preceded by an operand.
+    smask = _code_mask(rewritten)
+    from_m = next(
+        (
+            f
+            for f in _keyword_matches(rewritten, smask, r"\bFROM\b")
+            if _depths(rewritten, smask)[f.start()] == 0
+        ),
+        None,
+    )
+    leaks = False
+    if from_m:
+        select_list = rewritten[: from_m.start()]
+        for i, ch in enumerate(select_list):
+            if ch != "*" or not smask[i]:
+                continue
+            prev = select_list[:i].rstrip()
+            if prev.upper().endswith("SELECT") or prev.endswith(","):
+                leaks = True  # bare *
+            elif prev.endswith("."):
+                q = re.search(rf"({_IDENT})\.$", prev)
+                if q and q.group(1).lower() == ralias.lower():
+                    leaks = True
+    if leaks:
+        rewritten = f"SELECT * EXCEPT ({_ASOF_HELPER}) FROM ({rewritten}) __asof_q"
+    return rewritten
+
+
 # ── DuckDB function names Spark spells differently ──────────────────────
 #
 # Conservative, unambiguous 1:1 renames only (same argument order and
@@ -433,7 +623,9 @@ def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
     return _rewrite_qualify(
         _rewrite_strftime(
-            _rewrite_exclude(_rewrite_using_sample(_rewrite_function_names(sql)))
+            _rewrite_exclude(
+                _rewrite_using_sample(_rewrite_function_names(_rewrite_asof_join(sql)))
+            )
         )
     )
 
@@ -443,7 +635,9 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     (e.g. a QUALIFY window referencing a non-projected base column)."""
     alt = _rewrite_qualify_inject(
         _rewrite_strftime(
-            _rewrite_exclude(_rewrite_using_sample(_rewrite_function_names(sql)))
+            _rewrite_exclude(
+                _rewrite_using_sample(_rewrite_function_names(_rewrite_asof_join(sql)))
+            )
         )
     )
     primary = rewrite_duckdb_dialect(sql)

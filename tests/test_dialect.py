@@ -302,3 +302,102 @@ def test_engine_list_aggregate(engine):
     )
     assert r.columns == ["o_orderstatus", "ps"]
     assert r.num_rows >= 1
+
+
+# ── ASOF JOIN (round 5) ──────────────────────────────────────────────────
+
+
+def test_asof_rewrite_backward_shape():
+    out = rewrite_duckdb_dialect(
+        "SELECT t.id, q.price FROM trades t ASOF JOIN quotes q "
+        "ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    assert "LEAD(ts) OVER (PARTITION BY sym ORDER BY ts) AS __asof_nxt" in out
+    assert "(t.ts) >= q.ts" in out
+    assert "((t.ts) < q.__asof_nxt OR q.__asof_nxt IS NULL)" in out
+    assert "ASOF" not in out.upper().replace("__ASOF_NXT", "")
+
+
+def test_asof_rewrite_forward_uses_lag():
+    out = rewrite_duckdb_dialect(
+        "SELECT t.id FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts <= q.ts"
+    )
+    assert "LAG(ts) OVER (PARTITION BY sym ORDER BY ts)" in out
+    assert "((t.ts) > q.__asof_nxt OR q.__asof_nxt IS NULL)" in out
+
+
+def test_asof_left_variant_and_star_wrap():
+    out = rewrite_duckdb_dialect(
+        "SELECT * FROM trades t ASOF LEFT JOIN quotes q "
+        "ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    assert "LEFT JOIN (SELECT *, LEAD(ts)" in out
+    assert out.startswith("SELECT * EXCEPT (__asof_nxt) FROM (")
+
+
+def test_asof_explicit_select_list_not_wrapped():
+    out = rewrite_duckdb_dialect(
+        "SELECT t.id, t.x * 2 AS xx FROM trades t ASOF JOIN quotes q "
+        "ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    assert not out.startswith("SELECT * EXCEPT")
+
+
+def test_asof_unsupported_forms_raise():
+    from parquet_query_spark.workbench.dialect import AsofRewriteError
+
+    for bad in [
+        "SELECT * FROM a ASOF JOIN (SELECT 1) b ON a.t >= b.t",
+        "SELECT * FROM a ASOF JOIN b ON a.t >= b.t AND a.u > b.u",
+        "SELECT * FROM a ASOF JOIN b ON a.t + b.t >= 3",
+    ]:
+        with pytest.raises(AsofRewriteError):
+            rewrite_duckdb_dialect(bad)
+
+
+def test_asof_engine_matches_duckdb(engine, sf_dir):
+    """The SAME ASOF JOIN text runs on DuckDB natively and through
+    Engine.run's rewrite — results must agree row-for-row."""
+    import duckdb
+
+    sql = (
+        "SELECT p.event_id AS pid, e.event_id AS prior_id, e.ts AS prior_ts "
+        "FROM 'events.parquet' p ASOF JOIN 'events.parquet' e "
+        "ON p.user_id = e.user_id AND p.ts > e.ts "
+        "WHERE p.event_type = 'purchase' "
+        "ORDER BY pid"
+    )
+    con = duckdb.connect()
+    con.execute(f"SET file_search_path = '{sf_dir}'")
+    expected = con.execute(sql).fetchall()
+    con.close()
+    assert expected, "parity test needs a non-empty asof result"
+
+    r = engine.run(sql)
+    assert r.columns == ["pid", "prior_id", "prior_ts"]
+    assert r.num_rows == len(expected)
+    got = [(row[0], row[1]) for row in r.rows]
+    exp = [(str(e[0]), str(e[1])) for e in expected]
+    assert got[: len(exp)] == exp
+
+
+def test_asof_left_engine_row_count(engine, sf_dir):
+    """ASOF LEFT JOIN keeps unmatched left rows (null right side)."""
+    import duckdb
+
+    sql = (
+        "SELECT p.event_id AS pid, e.event_id AS prior_id "
+        "FROM 'events.parquet' p ASOF LEFT JOIN 'events.parquet' e "
+        "ON p.user_id = e.user_id AND p.ts > e.ts "
+        "WHERE p.event_type = 'purchase' "
+        "ORDER BY pid"
+    )
+    con = duckdb.connect()
+    con.execute(f"SET file_search_path = '{sf_dir}'")
+    rows = con.execute(sql).fetchall()
+    n_exp = len(rows)
+    n_unmatched = sum(1 for x in rows if x[1] is None)
+    con.close()
+    r = engine.run(sql)
+    assert r.num_rows == n_exp
+    assert n_unmatched >= 0
