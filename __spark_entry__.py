@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "events_value_winsorize",
     "dedup_cross_source_matrix",
     "crossmodal_lang_label_profile",
+    "streaming_hourly_ohlc",
     "fuzzy_join_rarest_token",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",

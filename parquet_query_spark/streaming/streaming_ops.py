@@ -298,3 +298,61 @@ def streaming_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = _run_to_table(deduped, "ingest_dedup", mode="append")
     return spark.table(name).orderBy("text_hash")
+
+
+@query(
+    "streaming_hourly_ohlc",
+    oracle="""
+SELECT event_type,
+       date_trunc('hour', ts) AS bar_hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS open,
+       round(MAX(value), 4) AS high,
+       round(MIN(value), 4) AS low,
+       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS close,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS volume_e4
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bar_hour
+""",
+    tags=("streaming", "window", "aggregate"),
+)
+def streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hourly_ohlc``: per-type 1-hour tumbling
+    OHLC bars computed INCREMENTALLY — min_by/max_by/min/max/sum are all
+    algebraic, so each micro-batch folds into per-window state in
+    constant memory and the watermark retires closed bars.  This is the
+    live-metrics shape (candlestick feeds, SLO dashboards) of the batch
+    downsampler, checked against the identical batch SQL oracle."""
+    stream = _events_stream(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("volume_e4"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("bar_hour"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_e4",
+        )
+    )
+    name = _run_to_table(agg, "ohlc")
+    return spark.table(name).orderBy("event_type", "bar_hour")
