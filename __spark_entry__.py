@@ -38,6 +38,12 @@ def _catalog():
 # never produce a green row.  Names not present in the catalog are
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
+    # ── round-5: new operators needing their first green row ──
+    "ann_recall_eval",
+    "embedding_pca_top_component",
+    "warehouse_forget_users",
+    "events_ewma_hourly",
+    "neardup_kcore",
     # ── round-5: oracle-repaired red rows first ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

@@ -192,3 +192,89 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED is load-bearing: each e{r} references e{r-1} three
+    # times (FROM + two IN subqueries) and the stats union re-references
+    # every round — DuckDB's default CTE inlining re-expands the whole
+    # LSH-pair pipeline multiplicatively (~3^rounds), turning a sub-second
+    # oracle into minutes.  Materializing makes each round compute once.
+    parts = [f"e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED "
+            f"(SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e "
+            f"WHERE e.src IN (SELECT src FROM k{r}) AND e.dst IN (SELECT src FROM k{r}))"
+        )
+    stats = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes, "
+        f"CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM e{r}"
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH {_GRAPH_CTES},
+{','.join(parts)}
+SELECT round, n_nodes, n_edges FROM ({stats})
+ORDER BY round
+"""
+
+
+@query("neardup_kcore", oracle=_kcore_oracle(), tags=("graph", "dedup"))
+def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition of the verified near-dup graph by iterative
+    peeling, with the per-round convergence trace as output: round 0 is
+    the raw graph, each subsequent round drops nodes whose degree fell
+    below k and the edges touching them.  The surviving core separates
+    genuine duplicate CLIQUES (templates, mirrored sites) from incidental
+    pairwise matches — pairs and pendant chains peel away, cores persist.
+
+    Scale shape: each round is one degree aggregation plus two semi-joins
+    on the shrinking edge list (never the corpus), and the edge list only
+    ever shrinks — the classic distributed k-core schedule.  Lineage is
+    truncated per round with localCheckpoint exactly like the PageRank
+    loop.  The round count is fixed (5 — convergence is visible in the
+    trace when consecutive rows equalize), so the oracle unrolls the same
+    peels as SQL CTEs."""
+    verified = _lsh_verified_pairs(spark, sf_dir, threshold=0.2)
+    edges = (
+        verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    rounds = []
+    e = edges
+    for r in range(_KCORE_ROUNDS + 1):
+        rounds.append(
+            e.agg(
+                F.lit(r).cast("bigint").alias("round"),
+                F.countDistinct("src").cast("bigint").alias("n_nodes"),
+                F.expr("COUNT(*) DIV 2").cast("bigint").alias("n_edges"),
+            )
+        )
+        if r == _KCORE_ROUNDS:
+            break
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    out = rounds[0]
+    for df in rounds[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("round")

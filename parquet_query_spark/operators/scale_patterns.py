@@ -444,3 +444,75 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("bigint"))
         ).alias("matched_cents"),
     )
+
+
+@query(
+    "warehouse_forget_users",
+    oracle="""
+WITH flagged AS (
+  SELECT event_type, value, user_id, user_id % 97 = 0 AS gone
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN NOT gone THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN NOT gone THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS kept_cents,
+       CAST(SUM(CASE WHEN gone THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS deleted_cents,
+       CAST(COUNT(DISTINCT CASE WHEN gone THEN user_id END) AS BIGINT) AS n_users_deleted
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("pipeline", "warehouse", "join"),
+)
+def warehouse_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (GDPR/CCPA) delete: given a deletion-request
+    table of user ids, split the fact table into the surviving corpus and
+    the purged rows, and emit the per-type audit a compliance run must
+    produce (row counts, value checksums, distinct users purged).
+
+    The id list here is derived deterministically (user_id % 97 = 0 stands
+    in for the request table) but the PLAN is the real one: requests are a
+    table, not a predicate — the fact scan LEFT ANTI / LEFT SEMI joins
+    against the broadcast id list, so a 100 TB corpus is touched in one
+    pass per output and no executor ever sees the full request list as a
+    parsed IN-list.  The oracle states the same split as plain SQL."""
+    v = views(spark, sf_dir)
+    ev = v["events"]
+    tomb = (
+        ev.where(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    kept = (
+        ev.join(F.broadcast(tomb), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum(cents).cast("bigint").alias("kept_cents"),
+        )
+    )
+    deleted = (
+        ev.join(F.broadcast(tomb), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_deleted"),
+            F.sum(cents).cast("bigint").alias("deleted_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users_deleted"),
+        )
+    )
+    return (
+        kept.join(deleted, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_deleted", F.lit(0)).cast("bigint").alias("n_deleted"),
+            F.coalesce("kept_cents", F.lit(0)).cast("bigint").alias("kept_cents"),
+            F.coalesce("deleted_cents", F.lit(0)).cast("bigint").alias("deleted_cents"),
+            F.coalesce("n_users_deleted", F.lit(0)).cast("bigint").alias("n_users_deleted"),
+        )
+        .orderBy("event_type")
+    )

@@ -1281,3 +1281,228 @@ def crossmodal_lang_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation — recall@K of the LSH route vs exact ground truth.
+
+def _recall_eval_oracle() -> str:
+    """Compose the two already-verified oracles: exact top-K and LSH top-K."""
+    from parquet_query_spark.operators.catalog import CATALOG
+
+    exact_sql = CATALOG["knn_bruteforce_cosine"].oracle
+    approx_sql = CATALOG["ann_lsh_cosine"].oracle
+    return f"""
+WITH exact AS (SELECT qid, neighbor_id FROM ({exact_sql})),
+     approx AS (SELECT qid, neighbor_id FROM ({approx_sql})),
+     per AS (
+       SELECT e.qid,
+              CAST(COUNT(*) AS BIGINT) AS n_exact,
+              CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+       FROM exact e
+       LEFT JOIN approx a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+       GROUP BY e.qid
+     ),
+     total AS (
+       SELECT CAST(-1 AS BIGINT) AS qid,
+              CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+              CAST(SUM(n_hits) AS BIGINT) AS n_hits
+       FROM per
+     )
+SELECT qid, n_exact, n_hits,
+       CAST(floor(n_hits * 10000.0 / n_exact) AS BIGINT) AS recall_bp
+FROM (SELECT * FROM per UNION ALL SELECT * FROM total)
+ORDER BY qid
+"""
+
+
+@query(
+    "ann_recall_eval",
+    oracle=_recall_eval_oracle(),
+    tags=("similarity", "ann", "qa"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K audit of the ANN path: per-query and overall recall of
+    `ann_lsh_cosine` against the `knn_bruteforce_cosine` ground truth —
+    the metric every production ANN deployment tracks before swapping the
+    exact path out.  qid = -1 is the corpus-wide (micro-averaged) row.
+
+    Scale story: ground truth is only ever computed for the (small,
+    broadcast) query set, so this stays one exact pass + one ANN pass over
+    the corpus regardless of corpus size; the compare join is tiny
+    (n_queries x K rows).  Recall is reported in integer basis points
+    (floor(hits * 10000 / truth)) so the hash compare is exact."""
+    exact = knn_bruteforce_cosine(spark, sf_dir).select("qid", "neighbor_id")
+    approx = ann_lsh_cosine(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    per = (
+        exact.join(
+            F.broadcast(approx),
+            (F.col("qid") == F.col("a_qid")) & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("a_nid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    total = per.agg(
+        F.lit(-1).cast("bigint").alias("qid"),
+        F.sum("n_exact").cast("bigint").alias("n_exact"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+    )
+    return (
+        per.unionByName(total)
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            F.floor(F.col("n_hits") * 10000.0 / F.col("n_exact"))
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: gram-matrix partials + deterministic power iteration.
+
+_PCA_ITERS = 3
+
+
+def _gram_partials(batches):
+    """mapInPandas worker: per-partition integer gram-matrix partial.
+
+    Each row's outer product e_i * e_j is quantized to integer nano-units
+    BEFORE summation (floor(x * 1e9 + 0.5), the same fixed formula the
+    oracle uses), so the partial is an exact int64 — summation order can
+    never change the answer, the property every distributed float
+    reduction here relies on."""
+    import numpy as np
+    import pandas as pd
+
+    dim = _DIM
+    acc = np.zeros((dim, dim), dtype=np.int64)
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        for s in range(0, len(V), 256):
+            C = V[s : s + 256]
+            P = np.floor(np.einsum("ni,nj->nij", C, C) * 1e9 + 0.5).astype(np.int64)
+            acc += P.sum(axis=0)
+    yield pd.DataFrame(
+        {
+            "i": np.repeat(np.arange(dim), dim),
+            "j": np.tile(np.arange(dim), dim),
+            "gn": acc.ravel(),
+        }
+    )
+
+
+def _pca_oracle() -> str:
+    dim = _DIM
+    sql = f"""
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+gram AS (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(SUM(CAST(floor(ev[ii.i + 1] * ev[jj.j + 1] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS gn
+  FROM e,
+       (SELECT unnest(range({dim})) AS i) ii,
+       (SELECT unnest(range({dim})) AS j) jj
+  GROUP BY ii.i, jj.j
+),
+grow AS (SELECT i, list(CAST(gn AS DOUBLE) ORDER BY j) AS gr FROM gram GROUP BY i),
+v0 AS (SELECT list_transform(range({dim}), x -> 1000000.0) AS v)"""
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        sql += f""",
+w{it} AS (
+  SELECT i, list_sum(list_transform(list_zip(gr, (SELECT v FROM {prev})), p -> p[1] * p[2])) AS w
+  FROM grow
+),
+m{it} AS (SELECT MAX(abs(w)) AS m FROM w{it}),
+v{it} AS (
+  SELECT list(CAST(floor((w / (SELECT m FROM m{it})) * 1000000.0 + 0.5) AS DOUBLE) ORDER BY i) AS v
+  FROM w{it}
+)"""
+        prev = f"v{it}"
+    last = _PCA_ITERS
+    sql += f"""
+SELECT i, CAST(floor((w / (SELECT m FROM m{last})) * 1000000.0 + 0.5) AS BIGINT) AS loading_micro
+FROM w{last}
+ORDER BY i
+"""
+    return sql
+
+
+@query(
+    "embedding_pca_top_component",
+    oracle=_pca_oracle(),
+    tags=("similarity", "linalg"),
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus: one
+    distributed pass builds the 64x64 gram matrix (map-side integer
+    partials, elementwise reduce), then 3 power-iteration steps
+    run on the collected constant-size matrix — the standard two-phase
+    layout for tall-skinny PCA (the N-row corpus is touched exactly once;
+    only dim^2 integers ever reach the driver, same legitimate-broadcast
+    class as the k-means centroids).
+
+    Determinism: gram entries are order-free exact int64 (per-row products
+    quantized to nanos before summing); each iteration's matrix-vector
+    products run as identical left folds over identical doubles on both
+    engines, and re-quantization uses the fixed floor(x * 1e6 + 0.5)
+    formula — no round(), no float summation ambiguity anywhere.  The
+    output is the final-iteration direction in integer micro-units
+    (max-abs-normalized to 1e6)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    v = views(spark, sf_dir)
+    gram_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("gn", T.LongType()),
+        ]
+    )
+    gram = (
+        v["embeddings"]
+        .select("embedding")
+        .mapInPandas(_gram_partials, gram_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("gn").alias("gn"))
+        .collect()
+    )
+    G = [[0.0] * _DIM for _ in range(_DIM)]
+    for row in gram:
+        G[row["i"]][row["j"]] = float(row["gn"])
+    vec = [1000000.0] * _DIM
+    w = vec
+    for _ in range(_PCA_ITERS):
+        w = []
+        for i in range(_DIM):
+            acc = 0.0
+            gr = G[i]
+            for j in range(_DIM):
+                acc += gr[j] * vec[j]
+            w.append(acc)
+        m = max(abs(x) for x in w)
+        vec = [float(math.floor((x / m) * 1000000.0 + 0.5)) for x in w]
+    out = [(i, int(vec[i])) for i in range(_DIM)]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType(), False),
+            T.StructField("loading_micro", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema).orderBy("i")

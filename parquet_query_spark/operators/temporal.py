@@ -122,3 +122,95 @@ def range_join_errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("e_ts").alias("errors_within_1h"))
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing with exact integer arithmetic.
+
+_EWMA_TAPS = 16  # alpha = 1/2 over the last 16 observed hourly buckets
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """Unrolled numerator/denominator for the DuckDB oracle window."""
+    num = " + ".join(
+        f"COALESCE(LAG(cents, {i}) OVER w, 0) * {1 << (_EWMA_TAPS - 1 - i)}"
+        for i in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(cents, {i}) OVER w IS NOT NULL THEN {1 << (_EWMA_TAPS - 1 - i)} ELSE 0 END"
+        for i in range(_EWMA_TAPS)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms_sql()
+
+
+@query(
+    "events_ewma_hourly",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+smoothed AS (
+  SELECT event_type, hour_ts, cents,
+         {_EWMA_NUM_SQL} AS num,
+         {_EWMA_DEN_SQL} AS den
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+)
+SELECT event_type, hour_ts, cents,
+       CAST(num * 1000000 // den AS BIGINT) AS ewma_micro
+FROM smoothed
+ORDER BY event_type, hour_ts
+""",
+    tags=("temporal", "window", "aggregate"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly revenue per event
+    type — the smoothing pass behind every ops dashboard and anomaly
+    threshold, computed with EXACT integer arithmetic so the hash compare
+    can never flake: alpha = 1/2 gives power-of-two weights, so the EWMA
+    over the last 16 observed buckets is a ratio of two BIGINT window sums
+    (weights 2^15..2^0), reported in floor-divided integer micro-units.
+
+    One shuffle total: the hourly pre-aggregation and the 16-tap LAG
+    window share the event_type hash partitioning; the frame is ROWS-based
+    over observed buckets (documented choice — gap hours carry no weight),
+    so state per key is bounded at 16 values regardless of history length
+    — the same reason this shape ports directly to the streaming tier."""
+    v = views(spark, sf_dir)
+    hourly = (
+        v["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    num = None
+    den = None
+    for i in range(_EWMA_TAPS):
+        weight = 1 << (_EWMA_TAPS - 1 - i)
+        lag_i = F.lag("cents", i).over(w)
+        term_n = F.coalesce(lag_i, F.lit(0)) * F.lit(weight)
+        term_d = F.when(lag_i.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    return (
+        hourly.select(
+            "event_type",
+            "hour_ts",
+            "cents",
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "cents",
+            F.expr("num * 1000000 DIV den").cast("bigint").alias("ewma_micro"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
