@@ -39,6 +39,9 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "multimodal_size_histogram",
+    "text_bigram_lm_score",
+    "embedding_matryoshka_retention",
     "ann_recall_eval",
     "embedding_pca_top_component",
     "warehouse_forget_users",

@@ -439,3 +439,60 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(video_batches, VIDEO_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_size_histogram",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+         (64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856)::INTEGER AS w,
+         (64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016)::INTEGER AS h
+  FROM documents
+)
+SELECT format,
+       CASE WHEN w > h THEN 'landscape' WHEN w < h THEN 'portrait' ELSE 'square' END AS orientation,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(w) AS INTEGER) AS min_width,
+       CAST(MAX(w) AS INTEGER) AS max_width,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels
+FROM dims
+GROUP BY 1, 2
+ORDER BY format, orientation
+""",
+    tags=("multimodal", "aggregate", "pandas-udf"),
+)
+def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level resolution audit: decode every container header (the
+    REAL PNG/JPEG/GIF parsers, same mapInPandas pass as
+    multimodal_decode_meta) and roll the dimensions up into a
+    format x orientation histogram with pixel-volume totals — the
+    distribution a vision-data pipeline inspects before choosing resize
+    targets and batch shapes (and the detector for a scraper that
+    ingested thumbnails).  Decode is scan-side Arrow-batched Python; the
+    rollup groups 6 keys, so the aggregate is map-side-combined and the
+    shuffle is a few rows per partition regardless of corpus size.  The
+    oracle predicts dimensions from the content formula, so a green row
+    proves the parsers read every header correctly."""
+    media = media_payloads(spark, sf_dir)
+    meta = media.mapInPandas(decode_meta_batches, META_SCHEMA)
+    w, h = F.col("width"), F.col("height")
+    return (
+        meta.select(
+            "format",
+            F.when(w > h, "landscape").when(w < h, "portrait").otherwise("square").alias(
+                "orientation"
+            ),
+            w.alias("w"),
+            h.alias("h"),
+        )
+        .groupBy("format", "orientation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.min("w").cast("int").alias("min_width"),
+            F.max("w").cast("int").alias("max_width"),
+            F.sum(F.col("w").cast("bigint") * F.col("h")).cast("bigint").alias("total_pixels"),
+        )
+        .orderBy("format", "orientation")
+    )

@@ -1535,3 +1535,69 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema).orderBy("i")
+
+
+@query(
+    "embedding_matryoshka_retention",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+pref AS (SELECT unnest([8, 16, 32]) AS d),
+ratios AS (
+  SELECT e.label, p.d,
+         CAST(floor(
+           sqrt(list_sum(list_transform(ev[1:p.d], x -> x * x)))
+           / sqrt(list_sum(list_transform(ev, x -> x * x)))
+           * 1000000.0 + 0.5) AS BIGINT) AS retained_u
+  FROM e CROSS JOIN pref p
+)
+SELECT label, CAST(d AS INTEGER) AS prefix_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(retained_u) AS BIGINT) AS retained_sum_u,
+       round(CAST(SUM(retained_u) AS DOUBLE) / 1000000.0 / COUNT(*), 4) AS mean_retained
+FROM ratios
+GROUP BY label, d
+ORDER BY label, prefix_dim
+""",
+    tags=("similarity", "quantize", "qa"),
+)
+def embedding_matryoshka_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation audit: how much of each vector's norm the
+    first 8/16/32 dimensions retain, per cluster label — the measurement
+    behind MRL-style dimension truncation (serve a 16-d prefix where it
+    retains enough signal; keep 64-d only where it doesn't) and the check
+    that an embedding model actually front-loads information.
+
+    Scale shape: pure scan-side array arithmetic (no joins, no UDFs), one
+    map-side-combined rollup over labels x 3 prefix lengths.  Per-vector
+    ratios quantize to integer micro-units via the fixed floor formula
+    before the group sum (order-free exact); the one mean divides two
+    exact integers."""
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select(
+        "label", _as_double("embedding").alias("ev")
+    )
+    with_d = emb.select(
+        "label", "ev", F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("d")
+    )
+    prefix_norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(slice(ev, 1, d), x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
+    )
+    retained_u = F.floor(prefix_norm / _norm("ev") * 1000000.0 + 0.5).cast("bigint")
+    return (
+        with_d.select("label", F.col("d").cast("int").alias("prefix_dim"), retained_u.alias("retained_u"))
+        .groupBy("label", "prefix_dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("retained_u").cast("bigint").alias("retained_sum_u"),
+            F.round(
+                F.sum("retained_u").cast("double") / 1000000.0 / F.count("*"), 4
+            ).alias("mean_retained"),
+        )
+        .orderBy("label", "prefix_dim")
+    )

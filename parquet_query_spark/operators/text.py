@@ -655,3 +655,87 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tl FROM documents
+),
+uni AS (SELECT unnest(tl) AS tok FROM toks),
+umodel AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+bigr AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(tl[1:len(tl)-1], tl[2:len(tl)]),
+                               p -> p[1] || ' ' || p[2])) AS bg,
+         unnest(tl[1:len(tl)-1]) AS w1
+  FROM toks WHERE len(tl) >= 2
+),
+bmodel AS (SELECT bg, MIN(w1) AS w1, COUNT(*) AS cb FROM bigr GROUP BY bg)
+SELECT b.doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       round(-avg(log2(CAST(m.cb AS DOUBLE) / u.cu)), 4) AS bits_per_bigram,
+       CASE
+         WHEN round(-avg(log2(CAST(m.cb AS DOUBLE) / u.cu)), 4) < 1.0 THEN 'predictable'
+         WHEN round(-avg(log2(CAST(m.cb AS DOUBLE) / u.cu)), 4) < 3.0 THEN 'mid'
+         ELSE 'surprising'
+       END AS quality_bucket
+FROM bigr b
+JOIN bmodel m ON b.bg = m.bg
+JOIN umodel u ON u.tok = m.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+    tags=("text", "pipeline", "quality"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: the second-order refinement of
+    text_unigram_lm_score — each document's average conditional surprisal
+    -log2 P(w2|w1) under the corpus bigram model (P = c(w1 w2) / c(w1)).
+    Boilerplate with locally-predictable transitions scores near zero even
+    when its unigrams are rare; shuffled-word salad scores high even when
+    its unigrams are common — the two failure modes the unigram filter
+    can't separate.
+
+    Scale shape: same broadcast-model geometry as the unigram scorer, one
+    tier up — the bigram model is vocabulary²-bounded in principle but
+    Heaps-sublinear in practice (only OBSERVED pairs materialize); the
+    conditional probability is attached model-side (bigram ⋈ unigram on
+    the first token) so the corpus-sized bigram stream joins a single
+    broadcast table and only the final groupBy(doc_id) shuffles."""
+    v = views(spark, sf_dir)
+    tl = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = v["documents"].select("doc_id", tl.alias("tl"))
+    uni = toks.select(F.explode("tl").alias("tok"))
+    umodel = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    bigr = (
+        toks.where(F.size("tl") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tl) - 1), i -> "
+                    "struct(element_at(tl, i) AS w1, "
+                    "concat(element_at(tl, i), ' ', element_at(tl, i + 1)) AS bg))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+    )
+    bmodel = bigr.groupBy("bg").agg(F.min("w1").alias("w1"), F.count("*").alias("cb"))
+    model = bmodel.join(umodel, bmodel.w1 == umodel.tok).select("bg", "cb", "cu")
+    bits = F.round(-F.avg(F.log2(F.col("cb").cast("double") / F.col("cu"))), 4)
+    return (
+        bigr.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            bits.alias("bits_per_bigram"),
+            F.when(bits < 1.0, "predictable")
+            .when(bits < 3.0, "mid")
+            .otherwise("surprising")
+            .alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+    )
