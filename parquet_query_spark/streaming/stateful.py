@@ -152,3 +152,116 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     epochs = sorted(glob.glob(f"{out_dir}/epoch=*"), key=lambda p: int(p.rsplit("=", 1)[1]))
     return spark.read.parquet(epochs[-1]).orderBy("event_type")
+
+
+_EWMA_TAPS = 16
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("hour_ts", T.TimestampType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("ewma_micro", T.LongType()),
+    ]
+)
+# Ring buffer of the last 16 observed hourly bars per key.
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hours_us", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _ewma_state_fn(key, pdf_iter, state: GroupState):
+    """Per-type state machine: fold micro-batch events into hourly cents
+    bars, then emit each bar's 16-tap alpha=1/2 EWMA continuing from the
+    ring of previously-observed bars.  All arithmetic is the exact integer
+    form of the batch operator (cents = half-away-round(value*100) summed
+    as int64; weights 2^15..2^0; floor division into micro-units), so the
+    single-batch drain reproduces the batch oracle bit-for-bit and a live
+    run computes the same bars incrementally in O(16) state per key."""
+    import numpy as np
+    import pandas as pd
+
+    hours_us, ring = ([], []) if not state.exists else (
+        list(state.get[0]),
+        list(state.get[1]),
+    )
+    per_hour: dict[int, int] = {}
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        ts = pd.to_datetime(pdf["ts"])
+        hour_us = (ts.dt.floor("h").astype("int64") // 1000).astype("int64")
+        v = pdf["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        for h, c in zip(hour_us, cents):
+            per_hour[int(h)] = per_hour.get(int(h), 0) + int(c)
+    out_rows = []
+    for h in sorted(per_hour):
+        hours_us.append(h)
+        ring.append(per_hour[h])
+        if len(ring) > _EWMA_TAPS:
+            hours_us = hours_us[-_EWMA_TAPS:]
+            ring = ring[-_EWMA_TAPS:]
+        num = 0
+        den = 0
+        for i, c in enumerate(reversed(ring[-_EWMA_TAPS:])):
+            w = 1 << (_EWMA_TAPS - 1 - i)
+            num += c * w
+            den += w
+        out_rows.append((h, per_hour[h], num * 1_000_000 // den))
+    state.update((hours_us, ring))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_rows),
+            "hour_ts": pd.to_datetime([r[0] * 1000 for r in out_rows], utc=True).tz_localize(None),
+            "cents": [r[1] for r in out_rows],
+            "ewma_micro": [r[2] for r in out_rows],
+        }
+    )
+
+
+@query(
+    "streaming_ewma_hourly",
+    oracle=None,  # set below to the batch twin's SQL after import
+    tags=("streaming", "stateful", "temporal", "pandas-udf"),
+)
+def streaming_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_ewma_hourly``: an order-sensitive per-key
+    state machine (applyInPandasWithState) holding a 16-slot ring of the
+    last observed hourly bars — unlike the counter/min-max state of the
+    other stateful entries, EWMA state depends on arrival ORDER, which is
+    exactly what the ring encodes.  Each micro-batch folds its events into
+    hourly cents, appends the bars to the ring in hour order, and emits
+    the smoothed value continuing the sequence; draining the static file
+    in one batch therefore reproduces the batch operator exactly, which is
+    the oracle."""
+    from parquet_query_spark.streaming.streaming_ops import _run_to_table
+
+    stream = _events_stream(spark, sf_dir)
+    bars = (
+        stream.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _ewma_state_fn,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _run_to_table(bars, "ewma", mode="update")
+    return spark.table(name).orderBy("event_type", "hour_ts")
+
+
+def _attach_ewma_oracle() -> None:
+    # Import the batch twin first so its registration order can't matter.
+    from parquet_query_spark.operators import temporal  # noqa: F401
+    from parquet_query_spark.operators.catalog import CATALOG
+
+    CATALOG["streaming_ewma_hourly"].oracle = CATALOG["events_ewma_hourly"].oracle
+
+
+_attach_ewma_oracle()
