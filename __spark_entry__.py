@@ -39,6 +39,8 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "orders_basket_pairs",
+    "events_cusum_changepoint",
     "streaming_ewma_hourly",
     "multimodal_size_histogram",
     "text_bigram_lm_score",

@@ -989,3 +989,96 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.hour_ts, h.cents, s.n_hours,
+         h.cents * 1000000 - (s.total_cents * 1000000 // s.n_hours) AS dev_micro
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+),
+cusum AS (
+  SELECT event_type, hour_ts, n_hours,
+         CAST(SUM(dev_micro) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_micro
+  FROM dev
+)
+SELECT event_type, n_hours, hour_ts AS change_hour,
+       CAST(abs(cusum_micro) AS BIGINT) AS max_abs_cusum_micro,
+       CASE WHEN cusum_micro < 0 THEN 'shift_up' ELSE 'shift_down' END AS direction
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum_micro) DESC, hour_ts) AS rn
+  FROM cusum
+) WHERE rn = 1
+ORDER BY event_type
+""",
+    tags=("temporal", "window", "analytics"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative sum of deviations from the series mean peaks in magnitude
+    — the classic single-changepoint estimator (a minimum of the CUSUM
+    curve marks the onset of an upward level shift, a maximum a downward
+    one).  The ops answer to "when did this metric's behavior change?".
+
+    Everything is exact integers: hourly cents, the mean as a floor-divided
+    micro-unit ratio of two BIGINTs, deviations and their running sum in
+    micro-units — the argmax (earliest-hour tie-break) is therefore
+    hash-stable across engines.  One event_type shuffle is shared by the
+    rollup, both windows, and the per-type stats join."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    hourly = (
+        v["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    dev = hourly.join(stats, "event_type").select(
+        "event_type",
+        "hour_ts",
+        "n_hours",
+        (
+            F.col("cents") * 1_000_000
+            - F.expr("total_cents * 1000000 DIV n_hours")
+        ).alias("dev_micro"),
+    )
+    w_sum = W.partitionBy("event_type").orderBy("hour_ts").rowsBetween(W.unboundedPreceding, 0)
+    cusum = dev.select(
+        "event_type",
+        "hour_ts",
+        "n_hours",
+        F.sum("dev_micro").over(w_sum).cast("bigint").alias("cusum_micro"),
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("cusum_micro"))), "hour_ts")
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("hour_ts").alias("change_hour"),
+            F.abs(F.col("cusum_micro")).cast("bigint").alias("max_abs_cusum_micro"),
+            F.when(F.col("cusum_micro") < 0, "shift_up").otherwise("shift_down").alias("direction"),
+        )
+        .orderBy("event_type")
+    )

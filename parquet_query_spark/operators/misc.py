@@ -386,3 +386,82 @@ def customers_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     ).orderBy("o_custkey")
+
+
+@query(
+    "orders_basket_pairs",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS total FROM lp),
+part_n AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM lp GROUP BY pk),
+pair_n AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       na.n AS n_a, nb.n AS n_b,
+       round(CAST(p.n_ab AS DOUBLE) * t.total / (na.n * nb.n), 4) AS lift
+FROM pair_n p
+JOIN part_n na ON na.pk = p.part_a
+JOIN part_n nb ON nb.pk = p.part_b
+CROSS JOIN n_orders t
+ORDER BY p.n_ab DESC, p.part_a, p.part_b
+LIMIT 50
+""",
+    tags=("aggregate", "join", "analytics"),
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: which parts are co-ordered more than
+    chance — support counts and lift for every part pair appearing in ≥2
+    shared orders, top-50.  The frequent-itemset kernel behind
+    recommendation and assortment analytics.
+
+    Scale shape: the self-join is keyed on the ORDER (pair expansion is
+    bounded by lines-per-order², ~13² here and small in any real basket
+    schema — never corpus²); pair aggregation is map-side combined; the
+    per-part counts and the one-row order total are dimension-bounded and
+    broadcast; top-50 is TakeOrdered, never a global sort.  Lift divides
+    exact BIGINT counts once, rounded to 4dp identically in both
+    engines."""
+    v = views(spark, sf_dir)
+    lp = v["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = lp.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = lp.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    pair_n = (
+        a.join(b, (a.ok == b.ok_b) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    part_n = lp.groupBy("pk").agg(F.count("*").cast("bigint").alias("n"))
+    n_orders = lp.agg(F.countDistinct("ok").cast("bigint").alias("total"))
+    return (
+        pair_n.join(
+            F.broadcast(part_n.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("total") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(50)
+    )
