@@ -39,6 +39,9 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "join_null_safe_contrast",
+    "pareto_supplier_revenue",
+    "text_zipf_slope",
     "orders_basket_pairs",
     "events_cusum_changepoint",
     "streaming_ewma_hourly",

@@ -465,3 +465,162 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "join_null_safe_contrast",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id,
+         NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS nk
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT DISTINCT NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS nk,
+         1 AS marker
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.nk,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN p.marker IS NOT NULL AND c.nk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_hits,
+       CAST(SUM(CASE WHEN p.marker IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_hits
+FROM clicks c
+LEFT JOIN purch p ON c.nk IS NOT DISTINCT FROM p.nk
+GROUP BY c.nk
+ORDER BY c.nk NULLS LAST
+""",
+    tags=("join", "semantics"),
+)
+def join_null_safe_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM) contrasted
+    with the plain equi-join on the same key: the NULL-keyed row shows
+    zero plain hits but full null-safe hits — the semantic a sessionless/
+    anonymous-id join needs and the one a plain `=` silently drops.
+
+    The key is derived (NULLIF(k % 7, 0)) so a NULL class genuinely
+    exists.  Scale shape: the right side is a distinct key list
+    (dimension-bounded, broadcast); null-safe equality still hash-
+    partitions — NULL hashes like any value under `<=>` — so no skew
+    pathology is introduced."""
+    v = views(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    nk = F.nullif(k % 7, F.lit(0))
+    ev = v["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", nk.alias("nk")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(nk.alias("p_nk"))
+        .distinct()
+        .withColumn("marker", F.lit(1))
+    )
+    return (
+        clicks.join(F.broadcast(purch), clicks.nk.eqNullSafe(purch.p_nk), "left")
+        .groupBy("nk")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clicks"),
+            F.sum(
+                F.when(F.col("marker").isNotNull() & F.col("nk").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_plain_hits"),
+            F.sum(F.when(F.col("marker").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nullsafe_hits"),
+        )
+        .orderBy(F.asc_nulls_last("nk"))
+    )
+
+
+@query(
+    "pareto_supplier_revenue",
+    oracle="""
+WITH sup_rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+ranked AS (
+  SELECT s_nationkey, cents,
+         SUM(cents) OVER (PARTITION BY s_nationkey
+                          ORDER BY cents DESC, l_suppkey
+                          ROWS UNBOUNDED PRECEDING) AS running_cents,
+         SUM(cents) OVER (PARTITION BY s_nationkey) AS total_cents,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY cents DESC, l_suppkey) AS rnk
+  FROM sup_rev
+)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN running_cents * 5 < total_cents * 4 THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS n_to_80pct,
+       CAST(MAX(CASE WHEN rnk = 1 THEN cents * 10000 // total_cents END)
+            AS BIGINT) AS top1_share_bp,
+       CAST(MAX(total_cents) AS BIGINT) AS total_cents
+FROM ranked
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    tags=("window", "aggregate", "analytics"),
+)
+def pareto_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) audit per nation: how many
+    suppliers carry 80% of lineitem revenue, and the top supplier's share
+    in basis points — the assortment-risk readout every procurement
+    dashboard carries.
+
+    The 80% cutoff is decided by the INTEGER comparison
+    running*5 < total*4 (no division, no float boundary), and the top
+    share is a floor-divided basis-point ratio of exact cent sums — every
+    output column is a BIGINT.  One nation-keyed shuffle serves the
+    supplier rollup, both windows, and the final rollup."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    sup_rev = (
+        v["lineitem"]
+        .join(
+            F.broadcast(v["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    order = [F.desc("cents"), F.asc("l_suppkey")]
+    w_run = W.partitionBy("s_nationkey").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy("s_nationkey")
+    ranked = sup_rev.select(
+        "s_nationkey",
+        "cents",
+        F.sum("cents").over(w_run).alias("running_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+        F.row_number().over(W.partitionBy("s_nationkey").orderBy(*order)).alias("rnk"),
+    )
+    return (
+        ranked.groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            (
+                F.sum(
+                    F.when(F.col("running_cents") * 5 < F.col("total_cents") * 4, 1).otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_to_80pct"),
+            F.max(
+                F.when(F.col("rnk") == 1, F.expr("cents * 10000 DIV total_cents"))
+            )
+            .cast("bigint")
+            .alias("top1_share_bp"),
+            F.max("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -739,3 +739,88 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ZIPF_TOP = 1000
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+  FROM counts
+  ORDER BY c DESC, tok
+  LIMIT {_ZIPF_TOP}
+),
+q AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS xm,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS ym
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS sx,
+         CAST(SUM(ym) AS BIGINT) AS sy,
+         CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+         CAST(SUM(xm * xm) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS n_fit, sx, sy, sxy, sxx,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM s
+""",
+    tags=("text", "analytics"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the least-squares slope
+    of log-frequency vs log-rank across the top 1000 tokens.  Natural text
+    sits near -1; templated/synthetic corpora flatten and OCR noise
+    steepens the tail — a one-number corpus-health gauge.
+
+    Determinism: each token's (log rank, log count) pair quantizes to
+    integer milli-units BEFORE any summation, so all five regression sums
+    are order-free BIGINTs; the slope is one IEEE division of two exact
+    integers, rounded once.  Scale shape: one token-keyed map-side-combined
+    count, one TakeOrdered top-1000 (never a global sort), and a
+    single-row reduce."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    toks = v["documents"].select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    ranked = (
+        counts.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+        .withColumn("rnk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok"))))
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000 + 0.5).cast("bigint").alias("xm"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000 + 0.5).cast("bigint").alias("ym"),
+    )
+    s = q.agg(
+        F.count("*").cast("bigint").alias("n_fit"),
+        F.sum("xm").cast("bigint").alias("sx"),
+        F.sum("ym").cast("bigint").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        "n_fit",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.round(
+            (F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )
