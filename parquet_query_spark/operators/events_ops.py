@@ -1039,11 +1039,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact integers: hourly cents, the mean as a floor-divided
     micro-unit ratio of two BIGINTs, deviations and their running sum in
     micro-units — the argmax (earliest-hour tie-break) is therefore
-    hash-stable across engines.  One event_type shuffle is shared by the
-    rollup, both windows, and the per-type stats join."""
+    hash-stable across engines.  All shuffles downstream of the hourly
+    rollup carry only (type, hour) rows — the map-side combine does the
+    heavy reduction before anything moves."""
     from pyspark.sql import Window as W
 
     v = views(spark, sf_dir)
+    # (No explicit repartition here — see events_ewma_hourly: shuffling
+    # raw events by type forfeits map-side combine and loses at scale.)
     hourly = (
         v["events"]
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))

@@ -420,27 +420,42 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared orders, top-50.  The frequent-itemset kernel behind
     recommendation and assortment analytics.
 
-    Scale shape: the self-join is keyed on the ORDER (pair expansion is
-    bounded by lines-per-order², ~13² here and small in any real basket
-    schema — never corpus²); pair aggregation is map-side combined; the
-    per-part counts and the one-row order total are dimension-bounded and
-    broadcast; top-50 is TakeOrdered, never a global sort.  Lift divides
-    exact BIGINT counts once, rounded to 4dp identically in both
-    engines."""
+    Scale shape: the Apriori-on-Spark layout — one order-keyed shuffle
+    builds per-order baskets (collect_set, basket-bounded arrays), pair
+    expansion happens SCAN-SIDE over each ≤13-element array (never a
+    self-join, never corpus²), and the basket table is localCheckpointed
+    so the pair rollup, part frequencies, and order total all read it
+    once instead of re-deriving the distinct three times.  Part counts
+    and the one-row total are dimension-bounded and broadcast; top-50 is
+    TakeOrdered, never a global sort.  Lift divides exact BIGINT counts
+    once, rounded to 4dp identically in both engines."""
     v = views(spark, sf_dir)
-    lp = v["lineitem"].select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = lp.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = lp.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    baskets = (
+        v["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("parts"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(parts, x -> transform(parts, y -> "
+                "struct(x AS part_a, y AS part_b)))), s -> s.part_a < s.part_b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
     pair_n = (
-        a.join(b, (a.ok == b.ok_b) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= 2)
     )
-    part_n = lp.groupBy("pk").agg(F.count("*").cast("bigint").alias("n"))
-    n_orders = lp.agg(F.countDistinct("ok").cast("bigint").alias("total"))
+    part_n = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    n_orders = baskets.agg(F.count("*").cast("bigint").alias("total"))
     return (
         pair_n.join(
             F.broadcast(part_n.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))),
@@ -575,8 +590,8 @@ def pareto_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 80% cutoff is decided by the INTEGER comparison
     running*5 < total*4 (no division, no float boundary), and the top
     share is a floor-divided basis-point ratio of exact cent sums — every
-    output column is a BIGINT.  One nation-keyed shuffle serves the
-    supplier rollup, both windows, and the final rollup."""
+    output column is a BIGINT.  The supplier rollup map-side-combines
+    before its shuffle; the windows then move only one row per supplier."""
     from pyspark.sql import Window as W
 
     v = views(spark, sf_dir)

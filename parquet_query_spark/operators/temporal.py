@@ -177,12 +177,18 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the last 16 observed buckets is a ratio of two BIGINT window sums
     (weights 2^15..2^0), reported in floor-divided integer micro-units.
 
-    One shuffle total: the hourly pre-aggregation and the 16-tap LAG
-    window share the event_type hash partitioning; the frame is ROWS-based
+    Two tiny post-aggregation shuffles (the (type, hour) rollup, then
+    the type-keyed window) — deliberately NOT collapsed into one raw-row
+    repartition, which forfeits map-side combine and measured 2.7x slower
+    at 8x.  The frame is ROWS-based
     over observed buckets (documented choice — gap hours carry no weight),
     so state per key is bounded at 16 values regardless of history length
     — the same reason this shape ports directly to the streaming tier."""
     v = views(spark, sf_dir)
+    # NOTE: an explicit repartition(event_type) before the rollup would
+    # collapse the two Exchanges into one, but it shuffles RAW events
+    # (no map-side combine below an explicit repartition) — measured 2.7x
+    # slower at 8x.  Two tiny post-aggregation shuffles beat one raw one.
     hourly = (
         v["events"]
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))

@@ -304,3 +304,63 @@ def test_q2_single_partkey_window_no_self_join(spark):
     assert plan.count("FileScan parquet") <= 5
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_basket_pairs_scan_side_expansion(spark):
+    # pair generation explodes per-order basket arrays scan-side — no
+    # self-join; shuffles are the basket build, the pair rollup, and the
+    # part frequencies (3), never an O(pairs) join exchange
+    import re
+
+    plan = physical_plan(CATALOG["orders_basket_pairs"].fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_slope_single_token_shuffle(spark):
+    # one token-keyed count shuffle + TakeOrdered top-1000; the regression
+    # reduce is a single-row aggregate
+    import re
+
+    plan = physical_plan(CATALOG["text_zipf_slope"].fn(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_forget_users_broadcasts_tombstones(spark):
+    # both the anti and semi splits join against a BROADCAST id list
+    plan = physical_plan(CATALOG["warehouse_forget_users"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_pca_gram_is_single_pass(spark):
+    # the returned DataFrame is the constant-size (64-row) driver result —
+    # assert the GRAM stage's plan instead: one mapInPandas corpus scan,
+    # and the only shuffle carries dim^2 integer partials
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from parquet_query_spark.operators.catalog import views
+    from parquet_query_spark.operators.similarity import _gram_partials
+
+    gram_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("gn", T.LongType()),
+        ]
+    )
+    gram = (
+        views(spark, SF)["embeddings"]
+        .select("embedding")
+        .mapInPandas(_gram_partials, gram_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("gn").alias("gn"))
+    )
+    plan = physical_plan(gram)
+    assert plan.count("MapInPandas") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
