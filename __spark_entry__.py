@@ -39,6 +39,7 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "pipeline_funnel_report",
     "join_null_safe_contrast",
     "pareto_supplier_revenue",
     "text_zipf_slope",

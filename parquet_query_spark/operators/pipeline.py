@@ -516,3 +516,117 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "pipeline_funnel_report",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(lang = 'en' AS INTEGER) AS f1,
+         CAST(lang = 'en'
+              AND len(string_split_regex(trim(text), '\\s+')) >= 20
+              AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                  / length(text) < 0.1 AS INTEGER) AS f2,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                               ORDER BY CASE WHEN f2 = 1 THEN 0 ELSE 1 END, doc_id) AS rn
+  FROM m
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(f1) AS BIGINT) AS n1,
+         CAST(SUM(f2) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f2 = 1 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(n_chars) AS BIGINT) AS c0,
+         CAST(SUM(f1 * n_chars) AS BIGINT) AS c1,
+         CAST(SUM(f2 * n_chars) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN f2 = 1 AND rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS c3
+  FROM w
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS stage_no, 'raw' AS stage, n0 AS n_docs, c0 AS n_chars,
+         CAST(10000 AS BIGINT) AS retained_bp FROM s
+  UNION ALL
+  SELECT 1, 'lang_en', n1, c1, CAST(n1 * 10000 // n0 AS BIGINT) FROM s
+  UNION ALL
+  SELECT 2, 'quality', n2, c2, CAST(n2 * 10000 // n0 AS BIGINT) FROM s
+  UNION ALL
+  SELECT 3, 'exact_dedup', n3, c3, CAST(n3 * 10000 // n0 AS BIGINT) FROM s
+) ORDER BY stage_no
+""",
+    tags=("pipeline", "text", "quality"),
+)
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition report for the cleaning funnel (raw →
+    language → quality → exact dedup): document counts, byte volume, and
+    integer-basis-point retention at every stage — the one-page summary a
+    data-curation run publishes so mixture planners can see WHERE the
+    corpus shrank (a language filter that eats 80% and a dedup pass that
+    eats 2% need very different follow-ups).
+
+    Everything is ONE corpus pass: stage membership is computed as
+    cumulative flags per row, the dedup keeper is a content-hash window
+    ranked (eligible-first, doc_id) so exactly one eligible row survives
+    per content group, and a single conditional aggregation produces all
+    four stages' counts — no per-stage rescans, no per-stage shuffles
+    (the content-hash window's exchange is the only data movement)."""
+    d = views(spark, sf_dir)["documents"]
+    f1 = (F.col("lang") == "en").cast("int")
+    f2 = (
+        (F.col("lang") == "en")
+        & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 20)
+        & (
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+            ).cast("double")
+            / F.length("text")
+            < 0.1
+        )
+    ).cast("int")
+    m = d.select(
+        "doc_id",
+        "text",
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.when(F.col("f2") == 1, 0).otherwise(1), F.col("doc_id")
+    )
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    keep3 = F.when((F.col("f2") == 1) & (F.col("rn") == 1), 1).otherwise(0)
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        F.sum(keep3).cast("bigint").alias("n3"),
+        F.sum("n_chars").cast("bigint").alias("c0"),
+        F.sum(F.col("f1") * F.col("n_chars")).cast("bigint").alias("c1"),
+        F.sum(F.col("f2") * F.col("n_chars")).cast("bigint").alias("c2"),
+        F.sum(keep3 * F.col("n_chars")).cast("bigint").alias("c3"),
+    )
+    stages = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_no"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"n{i}").alias("n_docs"),
+                        F.col(f"c{i}").alias("n_chars"),
+                        (
+                            F.lit(10000).cast("bigint")
+                            if i == 0
+                            else F.expr(f"n{i} * 10000 DIV n0").cast("bigint")
+                        ).alias("retained_bp"),
+                    )
+                    for i, name in enumerate(["raw", "lang_en", "quality", "exact_dedup"])
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stages.orderBy("stage_no")
