@@ -1085,3 +1085,155 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_late_arrival_audit",
+    oracle="""
+WITH arr AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+  FROM events
+),
+lat AS (
+  SELECT event_type,
+         CASE WHEN hwm_us IS NULL OR hwm_us <= ts_us THEN 0
+              ELSE hwm_us - ts_us END AS late_us
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+       CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS late_bp
+FROM lat
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "streaming", "qa"),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-planning audit: how late does data actually arrive?  Using
+    ingest order (event_id) as arrival order, each event's lateness is the
+    gap to the event-time high watermark at its arrival; the report counts
+    events a 1-hour watermark WOULD drop, per type — the measurement that
+    justifies (or indicts) a streaming job's watermark setting before
+    anything is lost in production.
+
+    The high watermark is a GLOBAL prefix max — the one shape that cannot
+    run as a single ordered window at scale — so it uses the same
+    distributed two-phase decomposition as events_concurrency_sweep:
+    within-bucket running max partitioned by arrival bucket, plus
+    per-bucket maxima cumulated on the tiny bucket relation and broadcast
+    back; the global window survives only in the oracle."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    base = v["events"].select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_id") / 10000).cast("bigint").alias("b"),
+    )
+    w_in = (
+        W2.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(W2.unboundedPreceding, -1)
+    )
+    in_max = base.withColumn("in_hwm", F.max("ts_us").over(w_in))
+    bucket_max = base.groupBy("b").agg(F.max("ts_us").alias("bmax"))
+    w_b = W2.orderBy("b").rowsBetween(W2.unboundedPreceding, -1)
+    offsets = bucket_max.withColumn("off", F.max("bmax").over(w_b)).select("b", "off")
+    late_us = F.when(
+        F.greatest(F.col("in_hwm"), F.col("off")).isNull()
+        | (F.greatest(F.col("in_hwm"), F.col("off")) <= F.col("ts_us")),
+        F.lit(0),
+    ).otherwise(F.greatest(F.col("in_hwm"), F.col("off")) - F.col("ts_us"))
+    lat = in_max.join(F.broadcast(offsets), "b").select(
+        "event_type", late_us.alias("late_us")
+    )
+    late_flag = F.when(F.col("late_us") > 3_600_000_000, 1).otherwise(0)
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(late_flag).cast("bigint").alias("n_late_1h"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+            F.expr(
+                "SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("late_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+fc AS (
+  SELECT event_type, hour_ts, cents,
+         LAG(cents, 168) OVER (PARTITION BY event_type ORDER BY hour_ts) AS forecast
+  FROM hourly
+)
+SELECT event_type,
+       CAST(COUNT(forecast) AS BIGINT) AS n_backtest,
+       CAST(SUM(abs(cents - forecast)) AS BIGINT) AS sum_abs_err_cents,
+       CAST(SUM(cents - forecast) AS BIGINT) AS sum_err_cents,
+       CAST(MAX(abs(cents - forecast)) AS BIGINT) AS max_abs_err_cents,
+       CAST(SUM(abs(cents - forecast)) // COUNT(forecast) AS BIGINT) AS mae_cents
+FROM fc
+WHERE forecast IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("temporal", "window", "analytics"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's revenue as the
+    value 168 hours (one week) earlier and score the prediction — MAE,
+    signed bias, and worst miss per event type, all in exact integer
+    cents.  The seasonal-naive is THE baseline every forecasting system
+    must beat, and this backtest is how you measure that on 100 TB of
+    telemetry without leaving SQL semantics.
+
+    Shapes: hourly rollup (map-side combined) then a single 168-step LAG
+    window per type — bias is reported as a raw signed sum (integer
+    division of signed values rounds differently across engines; the two
+    exact sums let any consumer derive it), MAE divides two non-negative
+    BIGINTs."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    hourly = (
+        v["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    w = W2.partitionBy("event_type").orderBy("hour_ts")
+    fc = hourly.withColumn("forecast", F.lag("cents", 168).over(w)).where(
+        F.col("forecast").isNotNull()
+    )
+    err = F.col("cents") - F.col("forecast")
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count("forecast").cast("bigint").alias("n_backtest"),
+            F.sum(F.abs(err)).cast("bigint").alias("sum_abs_err_cents"),
+            F.sum(err).cast("bigint").alias("sum_err_cents"),
+            F.max(F.abs(err)).cast("bigint").alias("max_abs_err_cents"),
+            F.expr("SUM(abs(cents - forecast)) DIV COUNT(forecast)")
+            .cast("bigint")
+            .alias("mae_cents"),
+        )
+        .orderBy("event_type")
+    )

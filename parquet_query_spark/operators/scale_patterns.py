@@ -516,3 +516,121 @@ def warehouse_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CMS_W = 512  # counters per row
+_CMS_D = 4    # hash rows
+
+
+def _cms_oracle() -> str:
+    from parquet_query_spark.functions.xxh64_sql import (
+        hash_long_sql,
+        spark_xxhash64_long1_sql,
+    )
+
+    def h12(col: str) -> str:
+        return (
+            f"CAST({hash_long_sql(col)} & {_MASK56} AS BIGINT) AS h1, "
+            f"CAST(({spark_xxhash64_long1_sql(col)}) & {_MASK56} AS BIGINT) * 2 + 1 AS h2"
+        )
+
+    return f"""
+WITH hashed AS (
+  SELECT user_id, {h12('user_id')}
+  FROM events
+),
+sketch AS (
+  SELECT r.range AS d, (h1 + r.range * h2) % {_CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS counter
+  FROM hashed CROSS JOIN range({_CMS_D}) r
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id
+  LIMIT 10
+),
+th AS (
+  SELECT t.user_id, t.exact_n, {h12('t.user_id')}
+  FROM top t
+),
+est AS (
+  SELECT th.user_id, th.exact_n, MIN(s.counter) AS cms_n
+  FROM th CROSS JOIN range({_CMS_D}) r
+  JOIN sketch s ON s.d = r.range AND s.bucket = (th.h1 + r.range * th.h2) % {_CMS_W}
+  GROUP BY th.user_id, th.exact_n
+)
+SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, user_id
+"""
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter estimation, fully hash-verified: a
+    4x512 counter matrix summarizes the per-user event stream in constant
+    (merge-friendly, map-side-combinable) memory, then the exact top-10
+    users are probed against it — estimate = min over the 4 rows, never an
+    underestimate, overcount reported per key.  Unlike the HLL/quantile
+    entries (self-check tolerance flags), this sketch is built from the
+    same deterministic double-hash family as bloom_prune_join (Spark
+    xxhash64, reproduced closed-form in the oracle SQL), so BOTH engines
+    build bit-identical counters and the driver hash-compares real sketch
+    estimates, collisions and all.
+
+    Scale shape: the sketch aggregation carries (d, bucket) — at most
+    2048 groups regardless of corpus size; the probe side is 10 keys
+    joining a broadcast sketch."""
+    v = views(spark, sf_dir)
+    ev = v["events"].select("user_id")
+
+    def h1(col: str) -> F.Column:
+        return F.xxhash64(col).bitwiseAND(F.lit(_MASK56))
+
+    def h2(col: str) -> F.Column:
+        return F.xxhash64(col, F.lit(1)).bitwiseAND(F.lit(_MASK56)) * 2 + 1
+
+    hashed = ev.select("user_id", h1("user_id").alias("h1"), h2("user_id").alias("h2"))
+    sketch = (
+        hashed.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"), "h1", "h2"
+        )
+        .withColumn("bucket", (F.col("h1") + F.col("d") * F.col("h2")) % _CMS_W)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("counter"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    th = top.select(
+        "user_id", "exact_n", h1("user_id").alias("h1"), h2("user_id").alias("h2")
+    )
+    probes = th.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        "h1",
+        "h2",
+    ).withColumn("bucket", (F.col("h1") + F.col("d") * F.col("h2")) % _CMS_W)
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("counter").cast("bigint").alias("cms_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
