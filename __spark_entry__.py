@@ -39,6 +39,9 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "dedup_minhash_containment",
+    "text_boilerplate_prefixes",
+    "events_ab_test_two_proportion",
     "events_late_arrival_audit",
     "events_seasonal_naive_backtest",
     "agg_cms_heavy_hitters",

@@ -279,12 +279,12 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_verified_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float
+def _lsh_candidate_pairs_with_shingles(
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — LSH band-join candidates that pass exact
-    n-gram Jaccard >= threshold.  Slim band shuffle; see
-    dedup_minhash_candidates for the 100 TB plan-shape rationale."""
+    """(doc_a, doc_b, sh_a, sh_b) — deduplicated LSH band-join candidates
+    with both shingle sets re-attached; the shared kernel under the
+    verified-pairs, containment, and cluster operators."""
     v = views(spark, sf_dir)
     sh = _with_shingles(v["documents"]).select("doc_id", "shingles")
     h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
@@ -319,13 +319,22 @@ def _lsh_verified_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    pairs = cand.join(
+    return cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
     ).join(
         sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
         "doc_b",
     )
+
+
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH band-join candidates that pass exact
+    n-gram Jaccard >= threshold.  Slim band shuffle; see
+    dedup_minhash_candidates for the 100 TB plan-shape rationale."""
+    pairs = _lsh_candidate_pairs_with_shingles(spark, sf_dir)
     # inter_sz is hoisted into one projected column for readability, but note
     # Catalyst re-inlines it anyway: CollapseProject merges the projection and
     # predicate-pushdown moves the threshold filter INTO the join condition
@@ -1454,4 +1463,76 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "dedup_minhash_containment",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES},
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) AS inter_sz,
+         CAST(len(sh_a) AS DOUBLE) AS sz_a,
+         CAST(len(sh_b) AS DOUBLE) AS sz_b
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       round(inter_sz / (sz_a + sz_b - inter_sz), 4) AS jaccard,
+       round(inter_sz / sz_a, 4) AS cont_a_in_b,
+       round(inter_sz / sz_b, 4) AS cont_b_in_a,
+       CASE
+         WHEN round(inter_sz / (sz_a + sz_b - inter_sz), 4) >= 0.5 THEN 'near_dup'
+         WHEN round(inter_sz / sz_a, 4) >= 0.8 OR round(inter_sz / sz_b, 4) >= 0.8
+           THEN 'containment'
+         ELSE 'overlap'
+       END AS relation
+FROM scored
+WHERE inter_sz / sz_a >= 0.5 OR inter_sz / sz_b >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring over the LSH candidate pairs:
+    C(A→B) = |A∩B| / |A| alongside Jaccard.  Containment is what Jaccard
+    MISSES — a short document fully quoted inside a long one scores
+    near-zero Jaccard (the union is huge) but containment ≈ 1, and that
+    sub-document duplication (quotes, syndicated excerpts, doc+appendix
+    re-publications) is a major contamination channel a symmetric dedup
+    never flags.  Pairs where either direction ≥ 0.5 are kept and
+    classified near_dup / containment / overlap.
+
+    Same scale shape as the verified-pairs kernel it shares
+    (_lsh_candidate_pairs_with_shingles): slim band-key shuffle for
+    candidates, shingles re-attached to candidates only — the extra
+    directional ratios are free at the scoring step."""
+    pairs = _lsh_candidate_pairs_with_shingles(spark, sf_dir)
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("inter_sz"),
+        F.size("sh_a").cast("double").alias("sz_a"),
+        F.size("sh_b").cast("double").alias("sz_b"),
+    )
+    jac = F.round(F.col("inter_sz") / (F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")), 4)
+    c_ab = F.round(F.col("inter_sz") / F.col("sz_a"), 4)
+    c_ba = F.round(F.col("inter_sz") / F.col("sz_b"), 4)
+    return (
+        scored.where(
+            (F.col("inter_sz") / F.col("sz_a") >= 0.5)
+            | (F.col("inter_sz") / F.col("sz_b") >= 0.5)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+            F.when(jac >= 0.5, "near_dup")
+            .when((c_ab >= 0.8) | (c_ba >= 0.8), "containment")
+            .otherwise("overlap")
+            .alias("relation"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -1237,3 +1237,107 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_ab_test_two_proportion",
+    oracle="""
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase'
+                  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM assign
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+       CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+            ELSE round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score,
+       CAST(abs(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+            ELSE round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) END) >= 1.96 AS INTEGER) AS significant_95
+FROM s
+""",
+    tags=("events", "aggregate", "analytics"),
+)
+def events_ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (the experimentation primitive):
+    users split by id parity into variants, converted = reached at least
+    one high-value purchase (props.k >= 90 — a non-universal event, so the
+    pooled variance is nondegenerate); reports per-variant rates in integer basis points, the
+    pooled z-score, and the |z| >= 1.96 significance flag — the entire
+    readout an A/B dashboard derives from 100 TB of raw event logs.
+
+    One user-keyed aggregation reduces the stream to per-user conversion
+    bits; the test statistic is computed from four exact BIGINTs with a
+    fixed IEEE expression order (and the significance flag compares the
+    ROUNDED z), so the hash compare is stable."""
+    v = views(spark, sf_dir)
+    assign = (
+        v["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.get_json_object("props", "$.k").cast("bigint") >= 90),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    s = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    degenerate = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        F.round(
+            (pa - pb)
+            / F.sqrt(
+                pool
+                * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        )
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 10000 DIV n_a").cast("bigint").alias("rate_a_bp"),
+        F.expr("conv_b * 10000 DIV n_b").cast("bigint").alias("rate_b_bp"),
+        z.alias("z_score"),
+        (F.abs(z) >= 1.96).cast("int").alias("significant_95"),
+    )

@@ -824,3 +824,60 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_boilerplate_prefixes",
+    oracle="""
+WITH pref AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+')[1:8], ' '))
+           AS prefix_hash
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 8
+)
+SELECT prefix_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM pref
+GROUP BY prefix_hash
+HAVING COUNT(*) >= 3
+ORDER BY n_docs DESC, prefix_hash
+LIMIT 50
+""",
+    tags=("text", "dedup", "quality"),
+)
+def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate header detector: hash each document's first 8 tokens
+    and surface prefixes shared by ≥3 documents — scraped corpora are full
+    of repeated openings (cookie banners, licence headers, forum
+    templates) that survive whole-document dedup because the BODIES
+    differ; span dedup and quality filters both want this list first.
+
+    Scale shape: the prefix is reduced to a 128-bit hash scan-side, so the
+    one shuffle carries (hash, source, doc_id) — never text; top-50 is
+    TakeOrdered.  Cross-source counts distinguish a licence header
+    (many sources) from one site's template (one source)."""
+    v = views(spark, sf_dir)
+    tl = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pref = (
+        v["documents"]
+        .where(F.size(tl) >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.concat_ws(" ", F.slice(tl, 1, 8))).alias("prefix_hash"),
+        )
+    )
+    return (
+        pref.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("example_doc_id"),
+        )
+        .where(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+        .limit(50)
+    )
