@@ -276,6 +276,34 @@ def _rewrite_strftime(sql: str) -> str:
     return out
 
 
+def _rewrite_strptime(sql: str) -> str:
+    """DuckDB ``strptime(str, '%Y-%m-%d')`` → Spark
+    ``to_timestamp(str, 'yyyy-MM-dd')`` via the same %-code table as
+    strftime (unknown codes raise, never silently mis-parse)."""
+    mask = _code_mask(sql)
+    out = sql
+    for m in reversed(_keyword_matches(sql, mask, r"\bstrptime\s*\(")):
+        open_paren = m.end() - 1
+        parsed = _split_call_args(sql, mask, open_paren)
+        if parsed is None:
+            continue
+        args, close = parsed
+        if len(args) != 2:
+            continue
+        fmt_m = _SQ_LITERAL.match(args[1])
+        if fmt_m is None:
+            continue
+        fmt = fmt_m.group(1).replace("''", "'")
+        java = strftime_format_to_java(fmt)
+        sql_lit = "'" + java.replace("'", "''") + "'"
+        out = (
+            out[: m.start()]
+            + f"to_timestamp({args[0].strip()}, {sql_lit})"
+            + out[close + 1 :]
+        )
+    return out
+
+
 # ── QUALIFY ──────────────────────────────────────────────────────────────
 
 _QUALIFY_TAIL = r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b"
@@ -564,6 +592,10 @@ _FN_MAP = {
     "regexp_matches": "rlike",
     "epoch_ms": "unix_millis",
     "epoch_us": "unix_micros",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_concat": "concat",
+    "array_to_string": "array_join",
 }
 
 _FN_CALL = re.compile(
@@ -622,9 +654,13 @@ def _rewrite_using_sample(sql: str) -> str:
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
     return _rewrite_qualify(
-        _rewrite_strftime(
-            _rewrite_exclude(
-                _rewrite_using_sample(_rewrite_function_names(_rewrite_asof_join(sql)))
+        _rewrite_strptime(
+            _rewrite_strftime(
+                _rewrite_exclude(
+                    _rewrite_using_sample(
+                        _rewrite_function_names(_rewrite_asof_join(sql))
+                    )
+                )
             )
         )
     )
@@ -634,9 +670,13 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     """Alternate rewrites to retry when the primary form fails analysis
     (e.g. a QUALIFY window referencing a non-projected base column)."""
     alt = _rewrite_qualify_inject(
-        _rewrite_strftime(
-            _rewrite_exclude(
-                _rewrite_using_sample(_rewrite_function_names(_rewrite_asof_join(sql)))
+        _rewrite_strptime(
+            _rewrite_strftime(
+                _rewrite_exclude(
+                    _rewrite_using_sample(
+                        _rewrite_function_names(_rewrite_asof_join(sql))
+                    )
+                )
             )
         )
     )

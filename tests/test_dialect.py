@@ -401,3 +401,24 @@ def test_asof_left_engine_row_count(engine, sf_dir):
     r = engine.run(sql)
     assert r.num_rows == n_exp
     assert n_unmatched >= 0
+
+
+def test_strptime_rewrites_to_timestamp(engine):
+    r = engine.run(
+        "SELECT strptime('1995-03-04 10:30:00', '%Y-%m-%d %H:%M:%S') AS ts"
+    )
+    assert r.rows[0][0] == "1995-03-04T10:30:00.000Z"
+
+
+def test_list_function_renames_execute(engine):
+    r = engine.run(
+        "SELECT list_transform(array(1, 2, 3), x -> x * 2) AS doubled, "
+        "array_to_string(array('a', 'b'), '-') AS joined, "
+        "list_filter(array(1, -2, 3), x -> x > 0) AS pos"
+    )
+    assert r.rows[0] == ["[2,4,6]", "a-b", "[1,3]"]
+
+
+def test_strptime_inside_string_untouched(engine):
+    r = engine.run("SELECT 'strptime(a, b)' AS lit")
+    assert r.rows[0][0] == "strptime(a, b)"
