@@ -39,6 +39,9 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "multimodal_corrupt_audit",
+    "text_readability_score",
+    "events_user_gini",
     "dedup_minhash_containment",
     "text_boilerplate_prefixes",
     "events_ab_test_two_proportion",

@@ -1341,3 +1341,68 @@ def events_ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame
         z.alias("z_score"),
         (F.abs(z) >= 1.96).cast("int").alias("significant_95"),
     )
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS rnk
+  FROM per_user
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cnt) AS BIGINT) AS total_events,
+         CAST(SUM(rnk * cnt) AS BIGINT) AS s1
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_users, total_events,
+       round((2.0 * s1) / (n_users * total_events) - (n_users + 1.0) / n_users, 4)
+         AS gini
+FROM s
+ORDER BY event_type
+""",
+    tags=("events", "window", "analytics"),
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity, per event type — the
+    inequality gauge for traffic concentration (gini near 0 = evenly
+    spread users, near 1 = a handful of power users generate everything;
+    the same number flags bot farms and single-tenant hot keys before
+    they become shuffle skew).
+
+    Uses the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over counts
+    sorted ascending: both sums are exact BIGINTs (the rank window and
+    per-user rollup share the event_type-keyed shuffle) and the final
+    expression is a fixed-order IEEE computation rounded once."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    per_user = (
+        v["events"]
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = W2.partitionBy("event_type").orderBy("cnt", "user_id")
+    ranked = per_user.withColumn("rnk", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.sum(F.col("rnk") * F.col("cnt")).cast("bigint").alias("s1"),
+    )
+    return s.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.round(
+            (F.lit(2.0) * F.col("s1")) / (F.col("n_users") * F.col("total_events"))
+            - (F.col("n_users") + F.lit(1.0)) / F.col("n_users"),
+            4,
+        ).alias("gini"),
+    ).orderBy("event_type")

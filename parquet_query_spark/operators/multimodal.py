@@ -496,3 +496,68 @@ def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format", "orientation")
     )
+
+
+@query(
+    "multimodal_corrupt_audit",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_parsed,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS corrupt_bp
+FROM documents
+GROUP BY 1
+ORDER BY format
+""",
+    tags=("multimodal", "qa", "pandas-udf"),
+)
+def multimodal_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time corruption audit: a deterministic slice of payloads
+    (doc_id % 13 == 0) is truncated to 8 bytes — below every container's
+    minimum header — and the REAL parsers must reject exactly those.  The
+    per-format report (parsed vs corrupt, corruption basis points) is the
+    quarantine summary a lake ingest job emits; the oracle predicts the
+    failure set from the corruption rule, so a green row proves the
+    parsers' error paths fire exactly when they should — no crash on bad
+    bytes, no silent acceptance of truncated streams.
+
+    Scale shape: synthesize + corrupt + parse all happen in one
+    mapInPandas pass; the rollup groups 3 formats map-side."""
+    from parquet_query_spark.functions.image_meta import ImageParseError
+
+    def corrupt_and_parse(batches) -> Iterator:
+        import pandas as pd
+
+        writers = (make_png, make_jpeg, make_gif)
+        for pdf in batches:
+            fmts, oks = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = _content_dims(text)
+                payload = writers[doc_id % 3](w, h)
+                if doc_id % 13 == 0:
+                    payload = payload[:8]
+                fmts.append(("png", "jpeg", "gif")[doc_id % 3])
+                try:
+                    image_dimensions(payload)
+                    oks.append(1)
+                except Exception:  # any parse failure counts as corrupt
+                    oks.append(0)
+            yield pd.DataFrame({"format": fmts, "ok": pd.Series(oks, dtype="int32")})
+
+    schema = T.StructType(
+        [T.StructField("format", T.StringType()), T.StructField("ok", T.IntegerType())]
+    )
+    v = views(spark, sf_dir)
+    parsed = v["documents"].select("doc_id", "text").mapInPandas(corrupt_and_parse, schema)
+    return (
+        parsed.groupBy("format")
+        .agg(
+            F.count("*").cast("bigint").alias("n_payloads"),
+            F.sum(1 - F.col("ok")).cast("bigint").alias("n_corrupt"),
+            F.sum("ok").cast("bigint").alias("n_parsed"),
+            F.expr("SUM(1 - ok) * 10000 DIV COUNT(*)").cast("bigint").alias("corrupt_bp"),
+        )
+        .orderBy("format")
+    )

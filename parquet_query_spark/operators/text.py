@@ -881,3 +881,82 @@ def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "prefix_hash")
         .limit(50)
     )
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+         CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT)
+           AS n_syll
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 2) AS flesch,
+       CASE
+         WHEN round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 2) >= 60 THEN 'easy'
+         WHEN round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 2) >= 30 THEN 'medium'
+         ELSE 'hard'
+       END AS band
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable proxy,
+    [.!?]-run sentence proxy) — the readability feature grade-level
+    filters and audience-targeted mixtures select on.  The formula runs
+    on three exact integer counts per document in a fixed IEEE order,
+    rounded once; the band thresholds compare the ROUNDED score so both
+    engines always bucket identically.
+
+    Scale shape: three regexp counts + arithmetic, all scan-side codegen;
+    zero shuffles besides the presentation sort."""
+    v = views(spark, sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    m = (
+        v["documents"]
+        .where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 1)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sents"),
+            n_syll.alias("n_syll"),
+        )
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words")),
+        2,
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        flesch.alias("flesch"),
+        F.when(flesch >= 60, "easy")
+        .when(flesch >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    ).orderBy("doc_id")
