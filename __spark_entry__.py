@@ -39,6 +39,8 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "orders_duplicate_payments",
+    "events_bot_cadence",
     "multimodal_corrupt_audit",
     "text_readability_score",
     "events_user_gini",

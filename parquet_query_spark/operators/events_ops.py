@@ -1406,3 +1406,75 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_bot_cadence",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sumsq_s
+  FROM gaps
+  WHERE gap_s IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(gap_s) >= 5
+)
+SELECT user_id, n_gaps,
+       CAST(sum_s // n_gaps AS BIGINT) AS mean_gap_s,
+       CAST(100 * n_gaps * sumsq_s < 101 * sum_s * sum_s AS INTEGER) AS metronomic
+FROM s
+ORDER BY user_id
+""",
+    tags=("events", "window", "qa", "analytics"),
+)
+def events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detector: users whose inter-event cadence is too
+    regular to be human.  The flag is coefficient-of-variation < 0.1,
+    evaluated as the PURE-INTEGER inequality
+    100·n·Σg² < 101·(Σg)²  (algebraically identical to var < mean²/100,
+    derived so no division or sqrt ever happens) — the comparison can
+    never flake across engines because every operand is an exact BIGINT
+    of second-granularity gaps.
+
+    One user-keyed shuffle serves the LAG window and the moment sums;
+    the ≥5-gap floor keeps the statistic meaningful."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = v["events"].select(
+        "user_id",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    )
+    s = (
+        gaps.where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sum_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sumsq_s"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_s DIV n_gaps").cast("bigint").alias("mean_gap_s"),
+        (
+            F.lit(100) * F.col("n_gaps") * F.col("sumsq_s")
+            < F.lit(101) * F.col("sum_s") * F.col("sum_s")
+        )
+        .cast("int")
+        .alias("metronomic"),
+    ).orderBy("user_id")

@@ -639,3 +639,71 @@ def pareto_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "orders_duplicate_payments",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+seq AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, price_cents,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey, price_cents
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date,
+         LAG(o_orderkey) OVER (PARTITION BY o_custkey, price_cents
+                               ORDER BY o_orderdate, o_orderkey) AS prev_key
+  FROM cents
+)
+SELECT o_custkey, prev_key AS first_orderkey, o_orderkey AS dup_orderkey,
+       price_cents,
+       CAST(o_orderdate - prev_date AS BIGINT) AS gap_days
+FROM seq
+WHERE prev_date IS NOT NULL AND o_orderdate - prev_date <= 7
+ORDER BY o_custkey, dup_orderkey
+""",
+    tags=("window", "analytics", "qa"),
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detector: same customer, same amount (exact
+    cents), within 7 days — the double-charge / replayed-invoice audit
+    every billing pipeline runs.  Expressed as a LAG over
+    (customer, amount) so each order compares only to its predecessor in
+    that group: one shuffle on the composite key, never a self-join's
+    pair expansion, and hot customers degrade linearly.
+
+    Amounts compare as exact integer cents (float equality would silently
+    miss or invent duplicates) and the day gap is an exact DATE
+    difference."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    cents = v["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = W2.partitionBy("o_custkey", "price_cents").orderBy("o_orderdate", "o_orderkey")
+    seq = cents.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "price_cents",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    gap = F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+    return (
+        seq.where(F.col("prev_date").isNotNull() & (gap <= 7))
+        .select(
+            "o_custkey",
+            F.col("prev_key").alias("first_orderkey"),
+            F.col("o_orderkey").alias("dup_orderkey"),
+            "price_cents",
+            gap.cast("bigint").alias("gap_days"),
+        )
+        .orderBy("o_custkey", "dup_orderkey")
+    )
