@@ -39,6 +39,7 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "events_session_surprisal",
     "events_dau_wau_stickiness",
     "orders_duplicate_payments",
     "events_bot_cadence",

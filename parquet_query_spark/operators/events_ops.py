@@ -1542,3 +1542,108 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_session_surprisal",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30' MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps
+),
+trans AS (
+  SELECT user_id, session_id, event_type AS cur,
+         LAG(event_type) OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS prev
+  FROM sess
+),
+edges AS (SELECT user_id, session_id, prev, cur FROM trans WHERE prev IS NOT NULL),
+model AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_ab FROM edges GROUP BY prev, cur
+),
+outdeg AS (SELECT prev, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM model GROUP BY prev),
+scored AS (
+  SELECT e.user_id, e.session_id,
+         CAST(floor(-log2(CAST(m.c_ab AS DOUBLE) / o.c_a) * 1000000 + 0.5) AS BIGINT)
+           AS s_micro
+  FROM edges e
+  JOIN model m ON m.prev = e.prev AND m.cur = e.cur
+  JOIN outdeg o ON o.prev = e.prev
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(s_micro) AS BIGINT) AS surprisal_micro,
+       CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS per_step_micro
+FROM scored
+GROUP BY user_id, session_id
+ORDER BY surprisal_micro DESC, user_id, session_id
+LIMIT 20
+""",
+    tags=("events", "session", "analytics", "quality"),
+)
+def events_session_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path anomaly scoring: each session's journey is scored
+    under the corpus's own first-order transition model — total surprisal
+    -log2 P(next|current) summed over the session's steps; the top-20
+    most improbable journeys are the sessions a fraud/UX review looks at
+    first.  This composes three catalog kernels (sessionization, Markov
+    transitions, LM-style scoring) into one plan.
+
+    Determinism: per-step surprisal quantizes to integer micro-units
+    (fixed floor formula) BEFORE the per-session sum, so aggregation
+    order can't flake the ranking; ties break on (user, session).  Scale
+    shape: sessionize and the transition LAG share one user-keyed
+    shuffle; the model is type×type (≤25 rows) and broadcast; top-20 is
+    TakeOrdered."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (
+        v["events"]
+        .select("user_id", "ts", "event_id", "event_type", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    w_s = W2.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = sess.select(
+        "user_id",
+        "session_id",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w_s).alias("prev"),
+    )
+    edges = trans.where(F.col("prev").isNotNull())
+    model = edges.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("c_ab"))
+    outdeg = model.groupBy("prev").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    scored_model = model.join(outdeg, "prev").select(
+        "prev",
+        "cur",
+        F.floor(
+            -F.log2(F.col("c_ab").cast("double") / F.col("c_a")) * 1000000 + 0.5
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    return (
+        edges.join(F.broadcast(scored_model), ["prev", "cur"])
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.sum("s_micro").cast("bigint").alias("surprisal_micro"),
+            F.expr("SUM(s_micro) DIV COUNT(*)").cast("bigint").alias("per_step_micro"),
+        )
+        .orderBy(F.desc("surprisal_micro"), "user_id", "session_id")
+        .limit(20)
+    )
