@@ -103,3 +103,47 @@ def test_matryoshka_retention_monotone(spark, sf_dir):
         vals = [v for _, v in seq]
         assert vals == sorted(vals), f"label {label}: retention not monotone in prefix"
         assert all(0 <= v <= 1.0000001 for v in vals)
+
+
+def test_corrupt_audit_exact_rule(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "multimodal_corrupt_audit"):
+        assert r["n_corrupt"] + r["n_parsed"] == r["n_payloads"]
+        assert 0 <= r["corrupt_bp"] <= 10000
+
+
+def test_readability_banding_consistent(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "text_readability_score"):
+        band = "easy" if r["flesch"] >= 60 else ("medium" if r["flesch"] >= 30 else "hard")
+        assert r["band"] == band
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "events_user_gini"):
+        assert -0.0001 <= r["gini"] <= 1.0
+
+
+def test_duplicate_payments_gap_bound(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "orders_duplicate_payments"):
+        assert 0 <= r["gap_days"] <= 7
+        assert r["first_orderkey"] != r["dup_orderkey"]
+
+
+def test_bot_cadence_fields(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "events_bot_cadence"):
+        assert r["n_gaps"] >= 5
+        assert r["mean_gap_s"] >= 0
+        assert r["metronomic"] in (0, 1)
+
+
+def test_dau_never_exceeds_wau(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "events_dau_wau_stickiness"):
+        assert r["dau"] <= r["wau"]
+        assert 0 < r["stickiness_bp"] <= 10000
+
+
+def test_surprisal_ranking_sorted(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_session_surprisal")
+    vals = [r["surprisal_micro"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert r["per_step_micro"] * r["n_transitions"] <= r["surprisal_micro"] + r["n_transitions"]
