@@ -1536,3 +1536,47 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_lsh_efficiency",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES},
+cand AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jac
+  FROM pairs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       CAST(SUM(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         AS precision_bp,
+       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong,
+       CAST(SUM(CASE WHEN jac < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_noise
+FROM cand
+""",
+    tags=("dedup", "minhash", "qa"),
+)
+def dedup_lsh_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-efficiency readout: of all band-collision candidates,
+    how many verify at the 0.2 Jaccard threshold (precision), how many
+    are strong (≥0.5) duplicates, and how many are pure hash noise
+    (<0.05).  This single row is how you TUNE the (bands × rows) banding
+    parameters — low precision means too-aggressive banding is wasting
+    verification compute; low candidate counts with known duplicates
+    means banding is too strict.  Shares the candidate kernel, so the
+    audit costs one extra aggregation over pairs already scored."""
+    pairs = _lsh_candidate_pairs_with_shingles(spark, sf_dir)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    scored = pairs.select(jac.alias("jac"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("jac") >= 0.2, 1).otherwise(0)).cast("bigint").alias("n_verified"),
+        F.expr("SUM(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)")
+        .cast("bigint")
+        .alias("precision_bp"),
+        F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_strong"),
+        F.sum(F.when(F.col("jac") < 0.05, 1).otherwise(0)).cast("bigint").alias("n_noise"),
+    )

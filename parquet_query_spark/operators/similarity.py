@@ -1601,3 +1601,47 @@ def embedding_matryoshka_retention(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label", "prefix_dim")
     )
+
+
+@query(
+    "embedding_cluster_balance",
+    oracle="""
+WITH sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(n) AS BIGINT) AS n_vectors,
+         CAST(MAX(n) AS BIGINT) AS max_size,
+         CAST(MIN(n) AS BIGINT) AS min_size
+  FROM sizes
+)
+SELECT n_clusters, n_vectors, max_size, min_size,
+       CAST(max_size * n_clusters * 10000 // n_vectors AS BIGINT) AS imbalance_bp
+FROM s
+""",
+    tags=("similarity", "ann", "qa"),
+)
+def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance audit: cluster-size spread and the imbalance ratio
+    max/mean in basis points (10000 = perfectly balanced).  Skewed
+    inverted lists are the silent ANN perf killer — a hot cell makes
+    every probe of it cost its size, so this one row decides whether the
+    coarse quantizer needs re-training or the hot cell needs splitting
+    before ann_ivf_cosine/ann_ivfpq_adc ship.  Integer ratio of exact
+    counts; one map-side-combined label rollup."""
+    v = views(spark, sf_dir)
+    sizes = v["embeddings"].groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    s = sizes.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max("n").cast("bigint").alias("max_size"),
+        F.min("n").cast("bigint").alias("min_size"),
+    )
+    return s.select(
+        "n_clusters",
+        "n_vectors",
+        "max_size",
+        "min_size",
+        F.expr("max_size * n_clusters * 10000 DIV n_vectors").cast("bigint").alias("imbalance_bp"),
+    )
