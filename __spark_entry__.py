@@ -39,6 +39,8 @@ def _catalog():
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
     # ── round-5: new operators needing their first green row ──
+    "orders_monthly_seasonality",
+    "lineitem_discount_elasticity",
     "dedup_lsh_efficiency",
     "embedding_cluster_balance",
     "events_session_surprisal",

@@ -707,3 +707,114 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "dup_orderkey")
     )
+
+
+@query(
+    "orders_monthly_seasonality",
+    oracle="""
+WITH m AS (
+  SELECT month(o_orderdate) AS mon,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY month(o_orderdate)
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM m)
+SELECT CAST(mon AS INTEGER) AS mon, n_orders, cents,
+       CAST(cents * 12 * 10000 // total_cents AS BIGINT) AS seasonal_index_bp
+FROM m CROSS JOIN t
+ORDER BY mon
+""",
+    tags=("aggregate", "temporal", "analytics"),
+)
+def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index: each calendar month's revenue share
+    scaled so 10000 bp = a perfectly flat year — the demand-planning
+    primitive (and the detector for a data pipeline that silently dropped
+    a month).  Exact integer cents and a single one-row broadcast total;
+    index = cents·12·10000 / total, floor-divided."""
+    v = views(spark, sf_dir)
+    m = (
+        v["orders"]
+        .groupBy(F.month("o_orderdate").alias("mon"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    t = m.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            F.col("mon").cast("int").alias("mon"),
+            "n_orders",
+            "cents",
+            F.expr("cents * 12 * 10000 DIV total_cents").cast("bigint").alias(
+                "seasonal_index_bp"
+            ),
+        )
+        .orderBy("mon")
+    )
+
+
+@query(
+    "lineitem_discount_elasticity",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+         AS discount_qty_corr
+FROM s
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "analytics"),
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of discount vs quantity per return flag — the
+    price-elasticity sanity check (does discounting actually move
+    volume?).  The five regression sums accumulate as exact BIGINTs over
+    integer-quantized inputs (discount in whole points, quantity in whole
+    units), so the one-shot correlation formula runs on exact operands in
+    a fixed IEEE order — the same order-free-sums-then-one-division
+    discipline as text_zipf_slope, here as a grouped aggregate."""
+    v = views(spark, sf_dir)
+    q = v["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("y"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    corr = F.round(
+        (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        ),
+        4,
+    )
+    return s.select("l_returnflag", "n", corr.alias("discount_qty_corr")).orderBy(
+        "l_returnflag"
+    )
