@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "orders_fulfillment_lead_time",
+    "revenue_yoy_growth",
     "orders_monthly_seasonality",
     "lineitem_discount_elasticity",
     "fuzzy_join_rarest_token",

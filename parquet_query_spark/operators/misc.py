@@ -818,3 +818,135 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("l_returnflag", "n", corr.alias("discount_qty_corr")).orderBy(
         "l_returnflag"
     )
+
+
+@query(
+    "orders_fulfillment_lead_time",
+    oracle="""
+WITH lt AS (
+  SELECT o.o_orderpriority,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT)
+           AS lead_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(lead_days) AS BIGINT) AS min_days,
+       floor(quantile_cont(lead_days, 0.50) * 100 + 0.5) / 100 AS p50_days,
+       floor(quantile_cont(lead_days, 0.95) * 100 + 0.5) / 100 AS p95_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_days
+FROM lt
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("aggregate", "quantile", "analytics", "join"),
+)
+def orders_fulfillment_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time distribution per priority class — the
+    fulfillment SLA readout (does URGENT actually ship faster, and what
+    does the p95 tail look like?).  Lead time is an exact integer day
+    difference; quantiles use the shared interpolated-percentile
+    discipline (pure double arithmetic, floor-quantized — round()'s
+    half-rule on inexact doubles is engine-dependent).
+
+    The orders side joins broadcast (it's the smaller relation after
+    column pruning at these shapes; AQE keeps the choice honest at other
+    ratios) and the rollup is per-priority — five groups, map-side
+    combined."""
+    v = views(spark, sf_dir)
+    lt = (
+        v["lineitem"]
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d"))
+        .join(
+            v["orders"].select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_orderdate").cast("date").alias("order_d"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff("ship_d", "order_d").cast("bigint").alias("lead_days"),
+        )
+    )
+    q = lambda p: F.floor(F.percentile("lead_days", F.lit(p)) * 100 + 0.5) / 100  # noqa: E731
+    return (
+        lt.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min("lead_days").cast("bigint").alias("min_days"),
+            q(0.50).alias("p50_days"),
+            q(0.95).alias("p95_days"),
+            F.max("lead_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "revenue_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT n.n_name, year(o.o_orderdate) AS yr,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate)
+)
+SELECT n_name, CAST(yr AS INTEGER) AS yr, cents,
+       CAST(LAG(cents) OVER (PARTITION BY n_name ORDER BY yr) AS BIGINT) AS prev_cents,
+       CAST(CASE WHEN LAG(cents) OVER (PARTITION BY n_name ORDER BY yr) IS NULL THEN NULL
+            ELSE (cents - LAG(cents) OVER (PARTITION BY n_name ORDER BY yr)) * 10000
+                 // LAG(cents) OVER (PARTITION BY n_name ORDER BY yr) END AS BIGINT)
+         AS yoy_growth_bp
+FROM yearly
+ORDER BY n_name, yr
+""",
+    tags=("window", "aggregate", "analytics", "join"),
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation in basis points — the
+    board-slide metric, computed from exact discounted-cents sums with a
+    floor-divided integer ratio (positive revenues, so Spark's truncating
+    DIV and DuckDB's flooring // agree).  Dimension joins broadcast; one
+    (nation, year) rollup feeds the LAG window on its own output."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    yearly = (
+        v["lineitem"]
+        .join(v["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(v["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(v["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    w = W2.partitionBy("n_name").orderBy("yr")
+    with_prev = yearly.select(
+        "n_name",
+        F.col("yr").cast("int").alias("yr"),
+        "cents",
+        F.lag("cents").over(w).cast("bigint").alias("prev_cents"),
+    )
+    return with_prev.select(
+        "n_name",
+        "yr",
+        "cents",
+        "prev_cents",
+        F.when(F.col("prev_cents").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(F.expr("(cents - prev_cents) * 10000 DIV prev_cents").cast("bigint"))
+        .alias("yoy_growth_bp"),
+    ).orderBy("n_name", "yr")
