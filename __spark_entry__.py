@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "text_language_confusion",
+    "events_hourly_entropy",
     "orders_fulfillment_lead_time",
     "revenue_yoy_growth",
     "orders_monthly_seasonality",

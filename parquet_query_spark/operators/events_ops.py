@@ -1647,3 +1647,72 @@ def events_session_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("surprisal_micro"), "user_id", "session_id")
         .limit(20)
     )
+
+
+@query(
+    "events_hourly_entropy",
+    oracle="""
+WITH cell AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT hour_ts, CAST(SUM(n) AS BIGINT) AS total FROM cell GROUP BY hour_ts
+),
+terms AS (
+  SELECT c.hour_ts, t.total, c.event_type, c.n,
+         CAST(floor(-(CAST(c.n AS DOUBLE) / t.total)
+                    * log2(CAST(c.n AS DOUBLE) / t.total) * 1e9 + 0.5) AS BIGINT)
+           AS term_nano
+  FROM cell c JOIN tot t ON t.hour_ts = c.hour_ts
+)
+SELECT hour_ts,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       CAST(SUM(term_nano) AS BIGINT) AS entropy_nano,
+       arg_max(event_type, lpad(CAST(n AS VARCHAR), 12, '0') || '|' || event_type)
+         AS dominant_type
+FROM terms
+GROUP BY hour_ts
+ORDER BY hour_ts
+""",
+    tags=("events", "aggregate", "analytics"),
+)
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per hour — the
+    one-number diversity monitor: entropy collapsing toward zero means
+    one event type is flooding the stream (an error storm, a bot, a
+    stuck producer) long before absolute volumes look anomalous.
+
+    Each -p·log2 p term quantizes to integer nano-units BEFORE the
+    per-hour sum (the catalog's standard order-free trick), and the
+    dominant type uses an arg_max on a zero-padded ``count|type`` string
+    key so ties break identically on both engines.  Two rollups over the
+    (hour, type) cells — the shuffle carries cells, not events."""
+    v = views(spark, sf_dir)
+    cell = (
+        v["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = cell.groupBy("hour_ts").agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    terms = cell.join(tot, "hour_ts").select(
+        "hour_ts",
+        "total",
+        "event_type",
+        "n",
+        F.floor(-p * F.log2(p) * 1e9 + 0.5).cast("bigint").alias("term_nano"),
+    )
+    key = F.concat(
+        F.lpad(F.col("n").cast("string"), 12, "0"), F.lit("|"), F.col("event_type")
+    )
+    return (
+        terms.groupBy("hour_ts")
+        .agg(
+            F.max("total").cast("bigint").alias("n_events"),
+            F.sum("term_nano").cast("bigint").alias("entropy_nano"),
+            F.max_by("event_type", key).alias("dominant_type"),
+        )
+        .orderBy("hour_ts")
+    )

@@ -960,3 +960,85 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("band"),
     ).orderBy("doc_id")
+
+
+def _lang_confusion_oracle() -> str:
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{_stop_pat(lang)}')) AS score_{lang}"
+        for lang in _STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang,
+       {cols}
+  FROM documents
+),
+pred AS (
+  SELECT lang AS labeled_lang,
+         CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+              WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+              WHEN score_de >= score_fr THEN 'de'
+              ELSE 'fr' END AS predicted_lang
+  FROM scored
+)
+SELECT labeled_lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN labeled_lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+FROM pred
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
+@query(
+    "text_language_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("text", "qa", "aggregate"),
+)
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: confusion matrix of the corpus's DECLARED
+    language column against the stopword detector's prediction.  Strong
+    off-diagonal cells mean either mislabeled metadata or a detector
+    blind spot — both of which silently poison per-language mixture
+    weights and deserve a look BEFORE anyone trains on the labels.  Same
+    scan-side scoring as text_language_id, rolled up to a ≤16-cell
+    matrix (map-side combined, shuffle carries cells not documents)."""
+    v = views(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    scores = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(_stop_pat(lang)), F.lit(0)))
+        for lang in _STOPWORDS
+    }
+    scored = v["documents"].select(
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _STOPWORDS],
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(
+            (F.col("score_es") >= F.col("score_de"))
+            & (F.col("score_es") >= F.col("score_fr")),
+            "es",
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("labeled_lang", predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("labeled_lang") == F.col("predicted_lang"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
