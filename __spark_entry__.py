@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "embedding_exact_duplicates",
+    "scalar_bitwise_functions",
     "text_language_confusion",
     "events_hourly_entropy",
     "orders_fulfillment_lead_time",

@@ -542,3 +542,42 @@ def array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "scalar_bitwise_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT)  AS and_mask,
+       CAST(o_orderkey | 4096 AS BIGINT) AS or_flag,
+       CAST(xor(o_orderkey, 21845) AS BIGINT) AS xor_pat,
+       CAST(o_orderkey << 3 AS BIGINT)   AS shl3,
+       CAST(o_orderkey >> 2 AS BIGINT)   AS shr2,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+    tags=("scalar",),
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR masks, shifts, popcount — the
+    primitives under every hash/bitmap/bloom construction in the catalog,
+    exercised directly as a scalar sweep (the delegated-SQL tier a
+    workbench user reaches with bit tricks).  Pure codegen scan."""
+    v = views(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        v["orders"]
+        .where(k < 200)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).cast("bigint").alias("and_mask"),
+            k.bitwiseOR(F.lit(4096)).cast("bigint").alias("or_flag"),
+            k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("xor_pat"),
+            F.expr("shiftleft(o_orderkey, 3)").cast("bigint").alias("shl3"),
+            F.expr("shiftright(o_orderkey, 2)").cast("bigint").alias("shr2"),
+            F.expr("bit_count(o_orderkey)").cast("int").alias("popcount"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1645,3 +1645,56 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_size",
         F.expr("max_size * n_clusters * 10000 DIV n_vectors").cast("bigint").alias("imbalance_bp"),
     )
+
+
+@query(
+    "embedding_exact_duplicates",
+    oracle="""
+WITH keyed AS (
+  SELECT vec_id,
+         md5(array_to_string(list_transform(embedding, x ->
+             CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS VARCHAR)), ','))
+           AS vec_key
+  FROM embeddings
+),
+grouped AS (
+  SELECT vec_key, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(MIN(vec_id) AS BIGINT) AS keeper_id
+  FROM keyed GROUP BY vec_key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_vectors,
+       CAST(SUM(n_copies) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       CAST(MAX(n_copies) AS BIGINT) AS max_copies
+FROM grouped
+""",
+    tags=("similarity", "dedup", "qa"),
+)
+def embedding_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vector audit: embeddings hashed on their
+    micro-quantized component string — repeated vectors usually mean an
+    upstream embedding-cache bug, a collapsed encoder, or copy-paste rows,
+    and they silently distort every centroid, ANN list, and SemDeDup pass
+    downstream.  The shuffle carries (128-bit key) not the 64 floats —
+    the same hash-not-payload discipline as the text exact dedup; the
+    micro quantization makes float-noise-identical vectors collide
+    deliberately."""
+    v = views(spark, sf_dir)
+    comp = F.expr(
+        "array_join(transform(embedding, x -> "
+        "CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS STRING)), ',')"
+    )
+    keyed = v["embeddings"].select("vec_id", F.md5(comp).alias("vec_key"))
+    grouped = keyed.groupBy("vec_key").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("vec_id").cast("bigint").alias("keeper_id"),
+    )
+    return grouped.agg(
+        F.count("*").cast("bigint").alias("n_distinct_vectors"),
+        F.sum("n_copies").cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_redundant"),
+        F.max("n_copies").cast("bigint").alias("max_copies"),
+    )
