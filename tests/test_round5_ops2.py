@@ -147,3 +147,53 @@ def test_surprisal_ranking_sorted(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
     for r in rows:
         assert r["per_step_micro"] * r["n_transitions"] <= r["surprisal_micro"] + r["n_transitions"]
+
+
+def test_lead_time_percentile_ordering(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "orders_fulfillment_lead_time"):
+        assert r["min_days"] <= r["p50_days"] <= r["p95_days"] <= r["max_days"]
+
+
+def test_yoy_growth_null_only_first_year(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "revenue_yoy_growth")
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append(r)
+    for nation, seq in by_nation.items():
+        assert seq[0]["yoy_growth_bp"] is None
+        for r in seq[1:]:
+            assert r["yoy_growth_bp"] is not None
+            assert r["prev_cents"] is not None
+
+
+def test_language_confusion_diagonal_semantics(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "text_language_confusion"):
+        if r["labeled_lang"] == r["predicted_lang"]:
+            assert r["n_agree"] == r["n_docs"]
+        else:
+            assert r["n_agree"] == 0
+
+
+def test_hourly_entropy_bounds(spark, sf_dir):
+    # entropy of a <=5-type mix is within [0, log2(5)] nano-units
+    import math
+
+    cap = int(math.log2(5) * 1e9) + 5  # +ulp slack from per-term rounding
+    for r in _rows(spark, sf_dir, "events_hourly_entropy"):
+        assert 0 <= r["entropy_nano"] <= cap
+        assert r["dominant_type"]
+
+
+def test_exact_duplicate_vectors_accounting(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "embedding_exact_duplicates")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_distinct_vectors"] + r["n_redundant"] == r["n_vectors"]
+    assert r["max_copies"] >= 1
+
+
+def test_bitwise_popcount_matches_python(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "scalar_bitwise_functions"):
+        assert r["popcount"] == bin(r["o_orderkey"]).count("1")
+        assert r["shl3"] == r["o_orderkey"] << 3
+        assert r["shr2"] == r["o_orderkey"] >> 2
