@@ -1580,3 +1580,98 @@ def dedup_lsh_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_strong"),
         F.sum(F.when(F.col("jac") < 0.05, 1).otherwise(0)).cast("bigint").alias("n_noise"),
     )
+
+
+@query(
+    "pipeline_dedup_bias_audit",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root
+),
+classed AS (
+  SELECT d.doc_id,
+         CASE WHEN c.doc_id IS NULL THEN 'kept_unclustered'
+              WHEN c.component_id = d.doc_id THEN 'kept_keeper'
+              ELSE 'removed' END AS cohort,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]')) * 1000
+              // GREATEST(length(d.text), 1) AS BIGINT) AS punct_pm
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS words_sum,
+       CAST(SUM(n_words) // COUNT(*) AS BIGINT) AS mean_words,
+       CAST(SUM(punct_pm) // COUNT(*) AS BIGINT) AS mean_punct_pm
+FROM classed
+GROUP BY cohort
+ORDER BY cohort
+""",
+    tags=("dedup", "pipeline", "qa", "iterative"),
+)
+def pipeline_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-bias audit of the dedup pass: quality proxies (length,
+    punctuation density) for the three cohorts a near-dup pipeline
+    creates — untouched docs, cluster keepers, and REMOVED docs.  If the
+    removed cohort is systematically longer or cleaner than what
+    survived, the keep-policy is throwing away the better copies
+    (the classic min-id-keeper failure on mirrored content) and should
+    switch to the quality-ranked keeper (dedup_cluster_best_keeper).
+
+    Shapes: the verified-pair/component kernel is shared; quality proxies
+    are scan-side integer counts; cohort classification is one broadcast
+    join of the (small) component labels; all means are floor-divided
+    exact integers."""
+    v = views(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir, threshold=0.2).select("doc_a", "doc_b")
+    comp = _min_label_components(_both_directions(pairs))
+    d = v["documents"]
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    punct_pm = F.expr(
+        "CAST(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) * 1000 "
+        "DIV GREATEST(length(text), 1) AS BIGINT)"
+    )
+    classed = (
+        d.join(
+            F.broadcast(
+                comp.select(F.col("node").alias("c_doc"), F.col("lbl").alias("component_id"))
+            ),
+            F.col("doc_id") == F.col("c_doc"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("c_doc").isNull(), "kept_unclustered")
+            .when(F.col("component_id") == F.col("doc_id"), "kept_keeper")
+            .otherwise("removed")
+            .alias("cohort"),
+            n_words.alias("n_words"),
+            punct_pm.alias("punct_pm"),
+        )
+    )
+    return (
+        classed.groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("words_sum"),
+            F.expr("SUM(n_words) DIV COUNT(*)").cast("bigint").alias("mean_words"),
+            F.expr("SUM(punct_pm) DIV COUNT(*)").cast("bigint").alias("mean_punct_pm"),
+        )
+        .orderBy("cohort")
+    )
