@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "streaming_bot_cadence",
     "pipeline_dedup_bias_audit",
     "embedding_exact_duplicates",
     "scalar_bitwise_functions",

@@ -265,3 +265,103 @@ def _attach_ewma_oracle() -> None:
 
 
 _attach_ewma_oracle()
+
+
+_CADENCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("mean_gap_s", T.LongType()),
+        T.StructField("metronomic", T.IntegerType()),
+    ]
+)
+# O(1) per-key state: last event (ts, id) + the three gap moments.
+_CADENCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sumsq_s", T.LongType()),
+    ]
+)
+
+
+def _cadence_state_fn(key, pdf_iter, state: GroupState):
+    """Per-user cadence moments, updated incrementally: each arriving
+    event contributes one gap to (n, Σg, Σg²) — the whole batch operator
+    reduces to three integers of keyed state, which is why the CV
+    inequality scales to an unbounded stream."""
+    import pandas as pd
+
+    last_us, last_id, n, sum_s, sumsq_s = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    rows = []
+    for pdf in pdf_iter:
+        if len(pdf):
+            rows.append(pdf[["ts", "event_id"]])
+    if rows:
+        allr = pd.concat(rows).sort_values(["ts", "event_id"])
+        for ts, eid in zip(pd.to_datetime(allr["ts"]), allr["event_id"]):
+            us = ts.value // 1000
+            if last_us is not None:
+                g = us // 1_000_000 - last_us // 1_000_000
+                n += 1
+                sum_s += g
+                sumsq_s += g * g
+            last_us, last_id = us, int(eid)
+    state.update((last_us, last_id, n, sum_s, sumsq_s))
+    if n >= 5:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_gaps": [n],
+                "mean_gap_s": [sum_s // n],
+                "metronomic": [1 if 100 * n * sumsq_s < 101 * sum_s * sum_s else 0],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {"user_id": [], "n_gaps": [], "mean_gap_s": [], "metronomic": []}
+        ).astype({"user_id": "int64", "n_gaps": "int64", "mean_gap_s": "int64", "metronomic": "int32"})
+
+
+@query(
+    "streaming_bot_cadence",
+    oracle=None,  # attached below: identical to the batch twin
+    tags=("streaming", "stateful", "qa", "pandas-udf"),
+)
+def streaming_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_bot_cadence``: the metronomic-user flag
+    maintained LIVE with three integers of state per key (last event +
+    gap moment sums) — admission control that can throttle an automation
+    burst while it is happening instead of in tomorrow's batch.  The
+    pure-integer CV inequality means the drained single-batch run is
+    bit-identical to the batch operator, which is the oracle."""
+    from parquet_query_spark.streaming.streaming_ops import _run_to_table
+
+    stream = _events_stream(spark, sf_dir)
+    flags = (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cadence_state_fn,
+            outputStructType=_CADENCE_OUT_SCHEMA,
+            stateStructType=_CADENCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _run_to_table(flags, "cadence", mode="update")
+    return spark.table(name).orderBy("user_id")
+
+
+def _attach_cadence_oracle() -> None:
+    from parquet_query_spark.operators import events_ops  # noqa: F401
+    from parquet_query_spark.operators.catalog import CATALOG
+
+    CATALOG["streaming_bot_cadence"].oracle = CATALOG["events_bot_cadence"].oracle
+
+
+_attach_cadence_oracle()
