@@ -297,20 +297,25 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
     last_us, last_id, n, sum_s, sumsq_s = (
         state.get if state.exists else (None, None, 0, 0, 0)
     )
+    import numpy as np
+
     rows = []
     for pdf in pdf_iter:
         if len(pdf):
             rows.append(pdf[["ts", "event_id"]])
     if rows:
         allr = pd.concat(rows).sort_values(["ts", "event_id"])
-        for ts, eid in zip(pd.to_datetime(allr["ts"]), allr["event_id"]):
-            us = ts.value // 1000
-            if last_us is not None:
-                g = us // 1_000_000 - last_us // 1_000_000
-                n += 1
-                sum_s += g
-                sumsq_s += g * g
-            last_us, last_id = us, int(eid)
+        sec = (pd.to_datetime(allr["ts"]).astype("int64") // 1_000_000_000).to_numpy()
+        if last_us is not None:
+            sec = np.concatenate(([last_us // 1_000_000], sec))
+        gaps = np.diff(sec)
+        n += int(len(gaps))
+        sum_s += int(gaps.sum())
+        sumsq_s += int((gaps * gaps).sum())
+        last_us = int(
+            pd.to_datetime(allr["ts"]).astype("int64").iloc[-1] // 1000
+        )
+        last_id = int(allr["event_id"].iloc[-1])
     state.update((last_us, last_id, n, sum_s, sumsq_s))
     if n >= 5:
         yield pd.DataFrame(
