@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "events_benford_profile",
+    "range_join_bucketed_probes",
     "streaming_bot_cadence",
     "pipeline_dedup_bias_audit",
     "embedding_exact_duplicates",

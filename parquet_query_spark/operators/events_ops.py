@@ -1716,3 +1716,60 @@ def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+@query(
+    "events_benford_profile",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS d
+  FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) >= 1
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits)
+SELECT d AS first_digit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 10000 // MAX(s.total) AS BIGINT) AS observed_bp,
+       CAST(floor(log10(1.0 + 1.0 / d) * 10000 + 0.5) AS BIGINT) AS benford_bp
+FROM digits CROSS JOIN s
+GROUP BY d
+ORDER BY d
+""",
+    tags=("events", "aggregate", "qa", "analytics"),
+)
+def events_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: the first-digit distribution of transaction
+    values against the log10(1 + 1/d) expectation — the classic
+    fabricated-data detector (invented numbers over-use mid digits;
+    organic multiplicative processes follow Benford).  Digits come from
+    the exact integer cents representation; shares are floor-divided
+    basis points and the Benford expectation quantizes with the fixed
+    floor formula, so all nine rows hash exactly.
+
+    One scan + a nine-group rollup with a single-row broadcast total —
+    runs at scan speed on any corpus size."""
+    v = views(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digits = (
+        v["events"]
+        .select(cents.alias("c"))
+        .where(F.col("c") >= 1)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d"))
+    )
+    s = digits.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        digits.crossJoin(F.broadcast(s))
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("COUNT(*) * 10000 DIV MAX(total)").cast("bigint").alias("observed_bp"),
+            F.floor(F.log10(1.0 + 1.0 / F.col("d")) * 10000 + 0.5)
+            .cast("bigint")
+            .alias("benford_bp"),
+        )
+        .select(
+            F.col("d").alias("first_digit"), "n", "observed_bp", "benford_bp"
+        )
+        .orderBy("first_digit")
+    )

@@ -220,3 +220,71 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+@query(
+    "range_join_bucketed_probes",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(e.ts) AS errors_within_1h
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '1' HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY purchase_id
+""",
+    tags=("join", "range", "events", "bucketed"),
+)
+def range_join_bucketed_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE formulation of the range join (same semantics and oracle
+    as range_join_errors_after_purchase, different plan): both sides
+    bucket by (user, hour), each purchase probes exactly its own and the
+    next bucket, and the time predicate applies AFTER an equi-join on
+    (user, bucket).  A ≤1-bucket-wide interval can only land in those two
+    buckets, so the unbounded range condition becomes a bounded hash
+    join — per-user pair expansion is capped by bucket occupancy instead
+    of the full per-user history, which is the difference between a plan
+    that survives a hot user at 100 TB and one that doesn't.  (The plain
+    variant keeps the simpler plan; this one exists to pin the bucketed
+    technique with a hash-verified implementation.)"""
+    ev = views(spark, sf_dir)["events"]
+    bucket = lambda c: F.floor(F.col(c).cast("long") / 3600).cast("bigint")  # noqa: E731
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            bucket("ts").alias("b"),
+        )
+        .select(
+            "purchase_id",
+            "p_user",
+            "p_ts",
+            F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("probe_b"),
+        )
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        bucket("ts").alias("e_b"),
+    )
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user")) & (F.col("probe_b") == F.col("e_b")),
+        "left",
+    )
+    in_range = (F.col("e_ts") > F.col("p_ts")) & (
+        F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        joined.groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("e_ts").isNotNull() & in_range, 1).otherwise(0)).alias(
+                "errors_within_1h"
+            )
+        )
+        .orderBy("purchase_id")
+    )
