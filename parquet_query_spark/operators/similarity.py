@@ -1698,3 +1698,64 @@ def embedding_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redundant"),
         F.max("n_copies").cast("bigint").alias("max_copies"),
     )
+
+
+@query(
+    "embedding_pair_distance_histogram",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+half AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS h FROM e),
+paired AS (
+  SELECT a.vec_id,
+         {_DUCKDB_COSINE_RAW.format(a="a.ev", b="b.ev")} AS cosine
+  FROM e a
+  JOIN half ON TRUE
+  JOIN e b ON b.vec_id = a.vec_id + half.h
+),
+bucketed AS (
+  SELECT LEAST(GREATEST(CAST(floor((cosine + 1.0) * 10) AS INTEGER), 0), 19) AS bucket
+  FROM paired
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("similarity", "qa", "aggregate"),
+)
+def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry health check: the cosine distribution over a
+    deterministic pairing (vector i vs vector i + n/2) binned into 20
+    buckets on [-1, 1].  A healthy embedding space puts random pairs in a
+    broad band around 0; a COLLAPSED encoder (all vectors nearly
+    parallel — the classic training failure) pushes the whole histogram
+    into the top buckets, visible at a glance before any ANN index is
+    built on garbage.
+
+    The pairing is an equi-join on an id offset — one shuffle, exactly
+    n/2 pairs, no sampling RNG to flake the hash; cosines round to 6dp
+    via the shared left-fold formula before bucketing."""
+    v = views(spark, sf_dir)
+    e = v["embeddings"].select("vec_id", _as_double("embedding").alias("ev"))
+    half = e.agg((F.count("*") / 2).cast("bigint").alias("h"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("ev").alias("qv"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("ev").alias("ev"))
+    cos = F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6)
+    paired = (
+        a.crossJoin(F.broadcast(half))
+        .join(b, F.col("b_id") == F.col("a_id") + F.col("h"))
+        .select(cos.alias("cosine"))
+    )
+    bucket = F.least(
+        F.greatest(F.floor((F.col("cosine") + 1.0) * 10).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    return (
+        paired.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("bucket")
+    )

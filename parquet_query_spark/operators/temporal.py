@@ -288,3 +288,64 @@ def range_join_bucketed_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "events_conversion_lag_histogram",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     j AS (
+       SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, v.ts AS view_ts,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY v.ts DESC, v.event_id DESC) AS rn
+       FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+     ),
+     lags AS (
+       SELECT (epoch_us(purchase_ts) - epoch_us(view_ts)) // 60000000 AS lag_min
+       FROM j WHERE rn = 1
+     ),
+     bucketed AS (
+       SELECT CASE
+                WHEN lag_min < 1 THEN 'a_under_1m'
+                WHEN lag_min < 10 THEN 'b_1_to_10m'
+                WHEN lag_min < 60 THEN 'c_10_to_60m'
+                WHEN lag_min < 1440 THEN 'd_1_to_24h'
+                ELSE 'e_over_24h'
+              END AS lag_bucket
+       FROM lags
+     )
+SELECT lag_bucket, CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM bucketed
+GROUP BY lag_bucket
+ORDER BY lag_bucket
+""",
+    tags=("events", "asof", "aggregate", "analytics"),
+)
+def events_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion-lag distribution: how long after the last
+    preceding view does a purchase land?  Composes the as-of kernel (same
+    union-tag single-window formulation as asof_purchase_last_view) with
+    an exact integer minute-bucket rollup — the funnel-latency histogram
+    that sizes attribution windows and retargeting delays.
+
+    Lag is a floor-divided exact microsecond difference, so the bucket
+    edges can never flake; one user-keyed shuffle for the as-of pass,
+    then a five-group rollup."""
+    out = asof_purchase_last_view(spark, sf_dir)
+    lag_min = F.expr(
+        "(unix_micros(purchase_ts) - unix_micros(view_ts)) DIV 60000000"
+    )
+    bucket = (
+        F.when(lag_min < 1, "a_under_1m")
+        .when(lag_min < 10, "b_1_to_10m")
+        .when(lag_min < 60, "c_10_to_60m")
+        .when(lag_min < 1440, "d_1_to_24h")
+        .otherwise("e_over_24h")
+    )
+    return (
+        out.select(bucket.alias("lag_bucket"))
+        .groupBy("lag_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+        .orderBy("lag_bucket")
+    )
