@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "parts_supply_risk_matrix",
+    "events_new_vs_returning",
     "embedding_pair_distance_histogram",
     "events_conversion_lag_histogram",
     "events_benford_profile",

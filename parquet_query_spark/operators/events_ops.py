@@ -1773,3 +1773,62 @@ def events_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN f.first_day = daily.d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN f.first_day <> daily.d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM daily JOIN firsts f ON f.user_id = daily.user_id
+GROUP BY d
+ORDER BY day
+""",
+    tags=("events", "aggregate", "analytics"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active day split into new (first-ever
+    activity) vs returning users — the canonical top-of-dashboard
+    decomposition that separates acquisition from retention at a glance.
+    The per-user first day is one aggregation broadcast back onto the
+    distinct (user, day) grid (the retention-cohorts join geometry), so
+    no raw event crosses a second shuffle."""
+    v = views(spark, sf_dir)
+    firsts = (
+        v["events"]
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).cast("date").alias("first_day"))
+    )
+    daily = (
+        v["events"]
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    return (
+        daily.join(F.broadcast(firsts), "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("first_day") == F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("first_day") != F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.count("*").cast("bigint").alias("n_active"),
+        )
+        .select(
+            F.col("d").cast("timestamp").alias("day"), "n_new", "n_returning", "n_active"
+        )
+        .orderBy("day")
+    )

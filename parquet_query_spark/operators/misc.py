@@ -950,3 +950,76 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(cents - prev_cents) * 10000 DIV prev_cents").cast("bigint"))
         .alias("yoy_growth_bp"),
     ).orderBy("n_name", "yr")
+
+
+@query(
+    "parts_supply_risk_matrix",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (
+  SELECT floor(quantile_cont(cents, 0.75) * 100 + 0.5) / 100 AS hi_rev,
+         floor(quantile_cont(n_suppliers, 0.25) * 100 + 0.5) / 100 AS lo_sup
+  FROM rev
+)
+SELECT CASE WHEN cents >= hi_rev AND n_suppliers <= lo_sup THEN 'a_critical'
+            WHEN cents >= hi_rev THEN 'b_high_value_diversified'
+            WHEN n_suppliers <= lo_sup THEN 'c_low_value_concentrated'
+            ELSE 'd_stable' END AS risk_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS cents_total
+FROM rev CROSS JOIN t
+GROUP BY 1
+ORDER BY risk_class
+""",
+    tags=("aggregate", "analytics", "quantile"),
+)
+def parts_supply_risk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain risk quadrants: parts classified by revenue (top
+    quartile = high value) × supplier diversity (bottom quartile = 
+    concentrated).  The a_critical cell — high revenue riding on few
+    suppliers — is the procurement risk register.  Thresholds are corpus
+    percentiles computed once and broadcast as a one-row scalar (the
+    pipeline_quality_threshold pattern); revenue is exact cents and the
+    quadrant comparison uses the shared floor-quantized percentile, so
+    classification can't flake."""
+    v = views(spark, sf_dir)
+    rev = (
+        v["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        )
+    )
+    t = rev.agg(
+        (F.floor(F.percentile("cents", F.lit(0.75)) * 100 + 0.5) / 100).alias("hi_rev"),
+        (F.floor(F.percentile("n_suppliers", F.lit(0.25)) * 100 + 0.5) / 100).alias(
+            "lo_sup"
+        ),
+    )
+    cls = (
+        F.when(
+            (F.col("cents") >= F.col("hi_rev")) & (F.col("n_suppliers") <= F.col("lo_sup")),
+            "a_critical",
+        )
+        .when(F.col("cents") >= F.col("hi_rev"), "b_high_value_diversified")
+        .when(F.col("n_suppliers") <= F.col("lo_sup"), "c_low_value_concentrated")
+        .otherwise("d_stable")
+    )
+    return (
+        rev.crossJoin(F.broadcast(t))
+        .select(cls.alias("risk_class"), "cents")
+        .groupBy("risk_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        )
+        .orderBy("risk_class")
+    )
