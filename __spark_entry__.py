@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "customer_interpurchase_time",
+    "text_vocab_growth_curve",
     "parts_supply_risk_matrix",
     "events_new_vs_returning",
     "embedding_pair_distance_histogram",

@@ -1023,3 +1023,63 @@ def parts_supply_risk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("risk_class")
     )
+
+
+@query(
+    "customer_interpurchase_time",
+    oracle="""
+WITH seq AS (
+  SELECT c.c_mktsegment,
+         CAST(CAST(o.o_orderdate AS DATE)
+              - LAG(CAST(o.o_orderdate AS DATE))
+                OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey)
+              AS BIGINT) AS gap_days
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       floor(quantile_cont(gap_days, 0.50) * 100 + 0.5) / 100 AS p50_days,
+       floor(quantile_cont(gap_days, 0.90) * 100 + 0.5) / 100 AS p90_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM seq
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("window", "quantile", "analytics", "join"),
+)
+def customer_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cycle per market segment: the distribution of days
+    between a customer's consecutive orders — the number that calibrates
+    churn windows ("inactive" should mean ~p90 of the natural cycle, not
+    a guessed 30 days).  One customer-keyed LAG window over exact DATE
+    gaps, then the shared floor-quantized percentiles per segment."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    w = W2.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        v["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .withColumn("gap_days", F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("bigint"))
+        .join(
+            F.broadcast(v["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    q = lambda p: F.floor(F.percentile("gap_days", F.lit(p)) * 100 + 0.5) / 100  # noqa: E731
+    return (
+        seq.groupBy("c_mktsegment")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            q(0.50).alias("p50_days"),
+            q(0.90).alias("p90_days"),
+            F.max("gap_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("c_mktsegment")
+    )

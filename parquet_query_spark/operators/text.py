@@ -1042,3 +1042,92 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+_HEAPS_CHECKPOINTS = 10
+
+
+def _heaps_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+firsts AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY tok),
+bounds AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM toks),
+cps AS (
+  SELECT CAST(r.range + 1 AS INTEGER) AS cp,
+         CAST((r.range + 1) * b.max_id // {_HEAPS_CHECKPOINTS} AS BIGINT) AS cutoff
+  FROM range({_HEAPS_CHECKPOINTS}) r CROSS JOIN bounds b
+),
+vocab AS (
+  SELECT c.cp, c.cutoff, CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM cps c JOIN firsts f ON f.first_doc <= c.cutoff
+  GROUP BY c.cp, c.cutoff
+),
+toktot AS (
+  SELECT c.cp, CAST(COUNT(*) AS BIGINT) AS tokens_total
+  FROM cps c JOIN toks t ON t.doc_id <= c.cutoff
+  GROUP BY c.cp
+)
+SELECT v.cp AS checkpoint, v.cutoff AS max_doc_id, t.tokens_total, v.vocab_size
+FROM vocab v JOIN toktot t ON t.cp = v.cp
+ORDER BY checkpoint
+"""
+
+
+@query(
+    "text_vocab_growth_curve",
+    oracle=_heaps_oracle(),
+    tags=("text", "analytics", "aggregate"),
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: vocabulary size at 10 cumulative corpus
+    checkpoints, from ONE pass — each token reduces to its FIRST
+    occurrence (min doc_id), and "distinct tokens among the first k docs"
+    is then just a count of first-occurrences ≤ k.  Sublinear vocabulary
+    growth is the expected law; a LINEAR curve means the corpus keeps
+    injecting novel junk tokens (OCR noise, random ids) and the tokenizer
+    budget is being wasted — the corpus-health readout before vocab
+    training.
+
+    Scale shape: the only corpus-sized shuffle is the token→min(doc_id)
+    rollup (map-side combined); checkpoints are a 10-row broadcast, and
+    the cumulative counts are band-joins of vocabulary-sized /
+    cell-counted relations — the same grid trick as the DAU/WAU rollup,
+    never 10 corpus rescans."""
+    v = views(spark, sf_dir)
+    toks = v["documents"].select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    bounds = toks.agg(F.max("doc_id").cast("bigint").alias("max_id"))
+    cps = (
+        spark.range(1, _HEAPS_CHECKPOINTS + 1)
+        .select(F.col("id").cast("int").alias("cp"))
+        .crossJoin(F.broadcast(bounds))
+        .select("cp", F.expr(f"cp * max_id DIV {_HEAPS_CHECKPOINTS}").cast("bigint").alias("cutoff"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cps))
+        .where(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("cp", "cutoff")
+        .agg(F.count("*").cast("bigint").alias("vocab_size"))
+    )
+    toktot = (
+        toks.crossJoin(F.broadcast(cps))
+        .where(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("cp")
+        .agg(F.count("*").cast("bigint").alias("tokens_total"))
+    )
+    return (
+        vocab.join(toktot, "cp")
+        .select(
+            F.col("cp").alias("checkpoint"),
+            F.col("cutoff").alias("max_doc_id"),
+            "tokens_total",
+            "vocab_size",
+        )
+        .orderBy("checkpoint")
+    )
