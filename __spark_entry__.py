@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "text_source_vocab_overlap",
     "customer_interpurchase_time",
     "text_vocab_growth_curve",
     "parts_supply_risk_matrix",

@@ -1131,3 +1131,78 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+@query(
+    "text_source_vocab_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, i.n_shared,
+       va.v AS vocab_a, vb.v AS vocab_b,
+       CAST(i.n_shared * 10000 // (va.v + vb.v - i.n_shared) AS BIGINT) AS jaccard_bp
+FROM inter i
+JOIN vocab va ON va.source = i.src_a
+JOIN vocab vb ON vb.source = i.src_b
+ORDER BY src_a, src_b
+""",
+    tags=("text", "dedup", "aggregate", "analytics"),
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap matrix: Jaccard (in integer basis
+    points) between every source pair's distinct-token sets.  Two sources
+    with near-identical vocabularies are near-certain content mirrors —
+    weight them as ONE source in the training mixture and prioritize
+    cross-source dedup between them; complementary here to
+    dedup_cross_source_matrix's document-level edge counts.
+
+    Scale shape: tokens dedupe per source scan-side, the pair join is
+    token-keyed (a token joins at most n_sources² rows — source count is
+    a small constant), and per-source vocab sizes broadcast; the Jaccard
+    is a floor-divided exact-integer ratio."""
+    v = views(spark, sf_dir)
+    toks = (
+        v["documents"]
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .distinct()
+    )
+    vocab = toks.groupBy("source").agg(F.count("*").cast("bigint").alias("v"))
+    a = toks.select(F.col("source").alias("src_a"), "tok")
+    b = toks.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(vocab.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            F.expr("n_shared * 10000 DIV (vocab_a + vocab_b - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
