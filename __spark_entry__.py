@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "orders_customer_hhi",
+    "dedup_shingle_df_profile",
     "text_source_vocab_overlap",
     "customer_interpurchase_time",
     "text_vocab_growth_curve",

@@ -1675,3 +1675,61 @@ def pipeline_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "dedup_shingle_df_profile",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCKDB_SHINGLES}) AS shingle FROM documents
+),
+df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM sh GROUP BY shingle),
+bucketed AS (
+  SELECT CASE
+           WHEN doc_freq = 1 THEN 'a_unique'
+           WHEN doc_freq <= 3 THEN 'b_rare_2_3'
+           WHEN doc_freq <= 10 THEN 'c_common_4_10'
+           ELSE 'd_boilerplate_over_10'
+         END AS df_bucket,
+         doc_freq
+  FROM df
+)
+SELECT df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(doc_freq) AS BIGINT) AS occurrence_mass,
+       CAST(MAX(doc_freq) AS BIGINT) AS max_doc_freq
+FROM bucketed
+GROUP BY df_bucket
+ORDER BY df_bucket
+""",
+    tags=("dedup", "text", "qa", "aggregate"),
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile: how much of the corpus's 3-token
+    shingle mass is unique vs boilerplate — the prior that calibrates the
+    whole dedup stack (a heavy >10-doc bucket predicts hot LSH bands and
+    big common-span yields; an overwhelmingly-unique profile says exact
+    dedup alone is nearly enough).  One shingle-keyed map-side-combined
+    rollup; the shuffle carries shingle hashes and the final histogram is
+    four rows of exact BIGINTs."""
+    v = views(spark, sf_dir)
+    sh = _with_shingles(v["documents"]).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("doc_freq"))
+    bucket = (
+        F.when(F.col("doc_freq") == 1, "a_unique")
+        .when(F.col("doc_freq") <= 3, "b_rare_2_3")
+        .when(F.col("doc_freq") <= 10, "c_common_4_10")
+        .otherwise("d_boilerplate_over_10")
+    )
+    return (
+        dfreq.select(bucket.alias("df_bucket"), "doc_freq")
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum("doc_freq").cast("bigint").alias("occurrence_mass"),
+            F.max("doc_freq").cast("bigint").alias("max_doc_freq"),
+        )
+        .orderBy("df_bucket")
+    )

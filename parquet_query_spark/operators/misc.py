@@ -1083,3 +1083,65 @@ def customer_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "orders_customer_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name, o.o_custkey,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, o.o_custkey
+),
+tot AS (SELECT n_name, CAST(SUM(cents) AS BIGINT) AS total FROM rev GROUP BY n_name)
+SELECT r.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM((r.cents * 10000 // t.total) * (r.cents * 10000 // t.total)) AS BIGINT)
+         AS hhi_bp2
+FROM rev r JOIN tot t ON t.n_name = r.n_name
+GROUP BY r.n_name
+ORDER BY r.n_name
+""",
+    tags=("aggregate", "analytics", "join"),
+)
+def orders_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per nation:
+    Σ(customer share in bp)² — the antitrust-style concentration number
+    that complements the Gini (distribution shape) and Pareto (cutoff
+    count) audits; >2500²-scale values mean a nation's revenue hangs on
+    a handful of accounts.  Shares floor-divide to integer basis points
+    BEFORE squaring, so the index is an exact BIGINT sum — order-free by
+    construction."""
+    v = views(spark, sf_dir)
+    rev = (
+        v["orders"]
+        .join(
+            F.broadcast(v["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(v["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("cents").cast("bigint").alias("total"))
+    share = F.expr("cents * 10000 DIV total")
+    return (
+        rev.join(tot, "n_name")
+        .select("n_name", (share * share).alias("share_sq"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("share_sq").cast("bigint").alias("hhi_bp2"),
+        )
+        .orderBy("n_name")
+    )
