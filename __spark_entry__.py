@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "multimodal_aspect_outliers",
+    "dedup_threshold_sensitivity",
     "orders_customer_hhi",
     "dedup_shingle_df_profile",
     "text_source_vocab_overlap",

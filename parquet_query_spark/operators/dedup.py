@@ -1733,3 +1733,45 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_bucket")
     )
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES},
+cand AS (
+  SELECT CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jac
+  FROM pairs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN jac >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_010,
+       CAST(SUM(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_020,
+       CAST(SUM(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_030,
+       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_050,
+       CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS pass_080
+FROM cand
+""",
+    tags=("dedup", "minhash", "qa"),
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity curve in one pass: verified-pair
+    counts at five thresholds from the same scored candidate set —
+    THE plot every dedup rollout staring at "0.2 or 0.3?" needs, for one
+    extra conditional aggregation instead of five pipeline re-runs.  A
+    sharp drop between adjacent thresholds marks a natural cluster
+    boundary; a flat stretch means the choice barely matters.  Shares
+    the candidate kernel (slim band shuffle, score-once)."""
+    pairs = _lsh_candidate_pairs_with_shingles(spark, sf_dir)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = (inter / (F.size("sh_a") + F.size("sh_b") - inter)).alias("jac")
+    scored = pairs.select(jac)
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        *[
+            F.sum(F.when(F.col("jac") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"pass_{str(t).replace('.', '')[:3].ljust(3, '0')}")
+            for t in (0.1, 0.2, 0.3, 0.5, 0.8)
+        ],
+    )

@@ -561,3 +561,63 @@ def multimodal_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+@query(
+    "multimodal_aspect_outliers",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+         (64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856)::BIGINT AS w,
+         (64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016)::BIGINT AS h
+  FROM documents
+)
+SELECT format,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN w * 10 >= h * 25 OR h * 10 >= w * 25 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme_aspect,
+       CAST(SUM(CASE WHEN w * h < 160 * 160 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny,
+       CAST(SUM(CASE WHEN (w * 10 >= h * 25 OR h * 10 >= w * 25)
+                       OR w * h < 160 * 160 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS reject_bp
+FROM dims
+GROUP BY format
+ORDER BY format
+""",
+    tags=("multimodal", "qa", "pandas-udf"),
+)
+def multimodal_aspect_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-data admission filter: images with extreme aspect ratios
+    (≥2.5:1 — banners, slivers, scrollbars) or tiny pixel area (<160²
+    — thumbnails, tracking pixels) flagged per format, with the combined
+    reject rate in basis points.  These are the two standard geometric
+    rejects before any pixel ever decodes; dimensions come from the REAL
+    header parsers and the cutoffs are pure-integer cross-multiplied
+    comparisons (w·10 ≥ h·25 — no float ratio to flake).
+
+    Same one-pass decode + tiny rollup shape as the other multimodal
+    audits."""
+    media = media_payloads(spark, sf_dir)
+    meta = media.mapInPandas(decode_meta_batches, META_SCHEMA)
+    w = F.col("width").cast("bigint")
+    h = F.col("height").cast("bigint")
+    extreme = (w * 10 >= h * 25) | (h * 10 >= w * 25)
+    tiny = w * h < 160 * 160
+    return (
+        meta.select("format", extreme.alias("extreme"), tiny.alias("tiny"))
+        .groupBy("format")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum(F.when(F.col("extreme"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_extreme_aspect"),
+            F.sum(F.when(F.col("tiny"), 1).otherwise(0)).cast("bigint").alias("n_tiny"),
+            F.expr(
+                "SUM(CASE WHEN extreme OR tiny THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("reject_bp"),
+        )
+        .orderBy("format")
+    )
