@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "orders_quarter_end_loading",
+    "events_value_boxplot",
     "multimodal_aspect_outliers",
     "dedup_threshold_sensitivity",
     "orders_customer_hhi",

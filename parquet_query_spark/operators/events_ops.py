@@ -1832,3 +1832,62 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_value_boxplot",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       floor(MIN(value) * 100 + 0.5) / 100 AS v_min,
+       floor(quantile_cont(value, 0.25) * 100 + 0.5) / 100 AS p25,
+       floor(quantile_cont(value, 0.50) * 100 + 0.5) / 100 AS p50,
+       floor(quantile_cont(value, 0.75) * 100 + 0.5) / 100 AS p75,
+       floor(MAX(value) * 100 + 0.5) / 100 AS v_max,
+       CAST(SUM(CASE WHEN value > 3 * (SELECT quantile_cont(value, 0.75) FROM events e2
+                                        WHERE e2.event_type = events.event_type)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_3x_p75
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "quantile", "aggregate"),
+)
+def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary (boxplot stats) of value per event type plus a
+    3×p75 heavy-tail count — the first table any metric triage pulls up.
+    Quantiles use the shared floor-quantized interpolation; the tail
+    count compares against the per-type p75 computed in the same
+    aggregation (Catalyst plans the correlated form as one grouped pass +
+    a self-join on the five-row aggregate, not a per-row subquery)."""
+    from pyspark.sql import functions as F2
+
+    v = views(spark, sf_dir)
+    fq = lambda p: F.floor(F.percentile("value", F.lit(p)) * 100 + 0.5) / 100  # noqa: E731
+    base = v["events"].groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.floor(F.min("value") * 100 + 0.5) / 100).alias("v_min"),
+        fq(0.25).alias("p25"),
+        fq(0.50).alias("p50"),
+        fq(0.75).alias("p75"),
+        (F.floor(F.max("value") * 100 + 0.5) / 100).alias("v_max"),
+        F.percentile("value", F.lit(0.75)).alias("_p75_raw"),
+    )
+    tail = (
+        v["events"]
+        .join(
+            F2.broadcast(base.select(F.col("event_type").alias("bt"), "_p75_raw")),
+            F.col("event_type") == F.col("bt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > 3 * F.col("_p75_raw"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_beyond_3x_p75")
+        )
+    )
+    return (
+        base.drop("_p75_raw")
+        .join(tail, "event_type")
+        .orderBy("event_type")
+    )

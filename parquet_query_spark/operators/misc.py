@@ -1145,3 +1145,63 @@ def orders_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "orders_quarter_end_loading",
+    oracle="""
+WITH q AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                   + INTERVAL '3' MONTH - INTERVAL '7' DAY
+                   <= CAST(o_orderdate AS DATE)
+              THEN 1 ELSE 0 END AS in_last_week
+  FROM orders
+)
+SELECT yr, qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents_total,
+       CAST(SUM(in_last_week * cents) AS BIGINT) AS cents_last_week,
+       CAST(SUM(in_last_week * cents) * 10000 // SUM(cents) AS BIGINT)
+         AS last_week_share_bp
+FROM q
+GROUP BY yr, qtr
+ORDER BY yr, qtr
+""",
+    tags=("aggregate", "temporal", "qa", "analytics"),
+)
+def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end loading detector: the share of each quarter's revenue
+    booked in its final seven days — ~770 bp is the uniform expectation,
+    and a sustained excess is the classic signature of quota-driven
+    deal-pulling (or a batch job that stamps orders at period close).
+    Exact cents, integer basis points, calendar arithmetic on DATEs —
+    one scan, one (year, quarter) rollup."""
+    v = views(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    last_week = (
+        F.date_sub(F.add_months(F.date_trunc("quarter", "o_orderdate").cast("date"), 3), 7)
+        <= od
+    ).cast("int")
+    q = v["orders"].select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        last_week.alias("in_last_week"),
+    )
+    return (
+        q.groupBy("yr", "qtr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+            F.sum(F.col("in_last_week") * F.col("cents")).cast("bigint").alias(
+                "cents_last_week"
+            ),
+            F.expr("SUM(in_last_week * cents) * 10000 DIV SUM(cents)")
+            .cast("bigint")
+            .alias("last_week_share_bp"),
+        )
+        .orderBy("yr", "qtr")
+    )
