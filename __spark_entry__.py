@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "events_error_rate_alert",
     "orders_quarter_end_loading",
     "events_value_boxplot",
     "multimodal_aspect_outliers",

@@ -1891,3 +1891,69 @@ def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tail, "event_type")
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_error_rate_alert",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+trailed AS (
+  SELECT hour_ts, n_all, n_err,
+         CAST(SUM(n_all) OVER w AS BIGINT) AS base_all,
+         CAST(SUM(n_err) OVER w AS BIGINT) AS base_err
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_ts, n_all, n_err, base_all, base_err,
+       CAST(CASE WHEN base_err > 0 AND n_err * base_all > 2 * base_err * n_all
+                 THEN 1 ELSE 0 END AS INTEGER) AS alert
+FROM trailed
+WHERE base_all IS NOT NULL
+ORDER BY hour_ts
+""",
+    tags=("events", "window", "qa", "analytics"),
+)
+def events_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE-style burn alert: an hour alerts when its error RATE exceeds
+    2× the trailing-24-hour baseline rate.  The comparison is the
+    cross-multiplied integer inequality n_err·base_all > 2·base_err·n_all
+    — rates never materialize as floats, so the alert bit is exact on
+    both engines.  The global hourly series is ≤ corpus-days×24 rows
+    (aggregation output, not raw events), so the single ordered window
+    over it is bounded — unlike a raw-event global window, which is the
+    anti-pattern the late-arrival audit decomposes away."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    hourly = (
+        v["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_all"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_err"),
+        )
+    )
+    w = W2.orderBy("hour_ts").rowsBetween(-24, -1)
+    trailed = hourly.select(
+        "hour_ts",
+        "n_all",
+        "n_err",
+        F.sum("n_all").over(w).cast("bigint").alias("base_all"),
+        F.sum("n_err").over(w).cast("bigint").alias("base_err"),
+    )
+    alert = (
+        (F.col("base_err") > 0)
+        & (F.col("n_err") * F.col("base_all") > 2 * F.col("base_err") * F.col("n_all"))
+    ).cast("int")
+    return (
+        trailed.where(F.col("base_all").isNotNull())
+        .select("hour_ts", "n_all", "n_err", "base_all", "base_err", alert.alias("alert"))
+        .orderBy("hour_ts")
+    )
