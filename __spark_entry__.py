@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "events_volume_autocorrelation",
+    "text_markup_residue",
     "events_error_rate_alert",
     "orders_quarter_end_loading",
     "events_value_boxplot",

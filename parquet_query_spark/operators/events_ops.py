@@ -1957,3 +1957,71 @@ def events_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_ts", "n_all", "n_err", "base_all", "base_err", alert.alias("alert"))
         .orderBy("hour_ts")
     )
+
+
+@query(
+    "events_volume_autocorrelation",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT n AS y,
+         LAG(n, 24) OVER (ORDER BY hour_ts) AS x
+  FROM hourly
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE x IS NOT NULL
+)
+SELECT n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+         AS acf_24h
+FROM s
+""",
+    tags=("events", "temporal", "analytics", "window"),
+)
+def events_volume_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality strength: the lag-24-hour autocorrelation of
+    hourly event volume.  Near 1 means volume repeats on a daily clock
+    (forecast with the seasonal-naive), near 0 means the seasonal-naive
+    baseline is pointless and smoothing (EWMA) is the better predictor —
+    this single number chooses between the catalog's two forecasting
+    primitives.  Five exact BIGINT sums over integer counts, one IEEE
+    division rounded once (the zipf/elasticity discipline); the ordered
+    window runs over the bounded hourly rollup."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    hourly = (
+        v["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W2.orderBy("hour_ts")
+    pairs = hourly.select(
+        F.col("n").alias("y"), F.lag("n", 24).over(w).alias("x")
+    ).where(F.col("x").isNotNull())
+    s = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    corr = F.round(
+        (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        ),
+        4,
+    )
+    return s.select(F.col("n").alias("n_pairs"), corr.alias("acf_24h"))

@@ -1206,3 +1206,64 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "text_markup_residue",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '<[A-Za-z/][^>]{0,80}>'))) AS BIGINT)
+         AS n_tags,
+       CAST(SUM(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});')))
+            AS BIGINT) AS n_entities,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(text, '<[A-Za-z/][^>]{0,80}>')) > 0
+                       OR len(regexp_extract_all(text,
+                              '&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_residue,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(text, '<[A-Za-z/][^>]{0,80}>')) > 0
+                       OR len(regexp_extract_all(text,
+                              '&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});')) > 0
+                     THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS residue_bp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "qa", "quality"),
+)
+def text_markup_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-extraction quality audit: per source, how many documents still
+    carry markup residue — tags (``<div ...>``) and escaped entities
+    (``&amp;`` &c.) that survive a sloppy boilerplate stripper.  Residue
+    basis points per SOURCE localize which extractor in the ingest fleet
+    needs fixing; both patterns sit in the RE2∩Java common subset so the
+    counts are exact.  Pure scan-side regexp counting + a per-source
+    rollup."""
+    v = views(spark, sf_dir)
+    tags = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"<[A-Za-z/][^>]{0,80}>"), F.lit(0))
+    )
+    ents = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});"), F.lit(0)
+        )
+    )
+    m = v["documents"].select(
+        "source", tags.alias("n_tags"), ents.alias("n_ents")
+    )
+    has = (F.col("n_tags") > 0) | (F.col("n_ents") > 0)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tags").cast("bigint").alias("n_tags"),
+            F.sum("n_ents").cast("bigint").alias("n_entities"),
+            F.sum(F.when(has, 1).otherwise(0)).cast("bigint").alias("n_docs_with_residue"),
+            F.expr(
+                "SUM(CASE WHEN n_tags > 0 OR n_ents > 0 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("residue_bp"),
+        )
+        .orderBy("source")
+    )
