@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "events_heavy_hitter_drift",
+    "supplier_revenue_volatility",
     "events_volume_autocorrelation",
     "text_markup_residue",
     "events_error_rate_alert",

@@ -2025,3 +2025,79 @@ def events_volume_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         4,
     )
     return s.select(F.col("n").alias("n_pairs"), corr.alias("acf_24h"))
+
+
+@query(
+    "events_heavy_hitter_drift",
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT wk, user_id,
+         ROW_NUMBER() OVER (PARTITION BY wk ORDER BY n DESC, user_id) AS rnk
+  FROM weekly
+),
+top AS (SELECT wk, user_id FROM ranked WHERE rnk <= 20),
+wks AS (SELECT DISTINCT wk FROM top),
+seq AS (
+  SELECT wk, LAG(wk) OVER (ORDER BY wk) AS prev_wk FROM wks
+),
+overlap AS (
+  SELECT s.wk, s.prev_wk,
+         CAST(COUNT(b.user_id) AS BIGINT) AS n_shared
+  FROM seq s
+  JOIN top a ON a.wk = s.wk
+  LEFT JOIN top b ON b.wk = s.prev_wk AND b.user_id = a.user_id
+  WHERE s.prev_wk IS NOT NULL
+  GROUP BY s.wk, s.prev_wk
+)
+SELECT CAST(wk AS TIMESTAMP) AS week, n_shared,
+       CAST(n_shared * 10000 // (40 - n_shared) AS BIGINT) AS jaccard_bp
+FROM overlap
+ORDER BY week
+""",
+    tags=("events", "window", "analytics", "qa"),
+)
+def events_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter stability: week-over-week Jaccard of the top-20 user
+    sets.  A stable set is organic power usage; a set that churns
+    completely every week is rotating abuse infrastructure (or an id
+    pipeline bug) — either way the capacity planner and the skew-salting
+    config want to know.  Top-20 per week via a rank window over the
+    (week, user) rollup; consecutive weeks compare with one slim
+    self-join of 20-row sets; Jaccard is exact-integer (|A|=|B|=20 ⇒
+    union = 40 − shared)."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    weekly = (
+        v["events"]
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("wk"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W2.partitionBy("wk").orderBy(F.desc("n"), "user_id")
+    top = weekly.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20)
+    wks = top.select("wk").distinct()
+    seq = wks.select(
+        "wk", F.lag("wk").over(W2.orderBy("wk")).alias("prev_wk")
+    ).where(F.col("prev_wk").isNotNull())
+    a = top.select(F.col("wk").alias("a_wk"), F.col("user_id").alias("a_uid"))
+    b = top.select(F.col("wk").alias("b_wk"), F.col("user_id").alias("b_uid"))
+    overlap = (
+        seq.join(F.broadcast(a), F.col("a_wk") == F.col("wk"))
+        .join(
+            F.broadcast(b),
+            (F.col("b_wk") == F.col("prev_wk")) & (F.col("b_uid") == F.col("a_uid")),
+            "left",
+        )
+        .groupBy("wk", "prev_wk")
+        .agg(F.count("b_uid").cast("bigint").alias("n_shared"))
+    )
+    return overlap.select(
+        F.col("wk").cast("timestamp").alias("week"),
+        "n_shared",
+        F.expr("n_shared * 10000 DIV (40 - n_shared)").cast("bigint").alias("jaccard_bp"),
+    ).orderBy("week")

@@ -1205,3 +1205,74 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "qtr")
     )
+
+
+@query(
+    "supplier_revenue_volatility",
+    oracle="""
+WITH monthly AS (
+  SELECT l_suppkey, year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS kd
+  FROM lineitem GROUP BY 1, 2
+),
+s AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(kd) AS BIGINT) AS sum_kd,
+         CAST(SUM(kd * kd) AS BIGINT) AS sumsq_kd
+  FROM monthly GROUP BY l_suppkey
+  HAVING COUNT(*) >= 12
+)
+SELECT l_suppkey, n_months,
+       CAST(sum_kd // n_months AS BIGINT) AS mean_month_kd,
+       CAST(100 * n_months * sumsq_kd >= 125 * sum_kd * sum_kd AS INTEGER) AS volatile
+FROM s
+ORDER BY l_suppkey
+""",
+    tags=("aggregate", "analytics", "qa"),
+)
+def supplier_revenue_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue-volatility screen: a supplier is flagged volatile
+    when the coefficient of variation of its monthly revenue exceeds 0.5
+    — evaluated as the pure-integer inequality
+    100·n·Σc² ≥ 125·(Σc)²  (⇔ var ≥ mean²/4, the same no-division
+    no-sqrt discipline as the bot-cadence detector, applied to monthly
+    revenue floor-quantized to exact kilodollars so the squared sums
+    stay far inside int64).  Erratic suppliers are the ones procurement
+    dual-sources first.  One (supplier, month) rollup feeding a
+    supplier-level moment aggregation — both map-side combined."""
+    v = views(spark, sf_dir)
+    monthly = (
+        v["lineitem"]
+        .groupBy(
+            "l_suppkey",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) DIV 100000"
+            )
+            .cast("bigint")
+            .alias("kd")
+        )
+    )
+    s = (
+        monthly.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.sum("kd").cast("bigint").alias("sum_kd"),
+            F.sum(F.col("kd") * F.col("kd")).cast("bigint").alias("sumsq_kd"),
+        )
+        .where(F.col("n_months") >= 12)
+    )
+    return s.select(
+        "l_suppkey",
+        "n_months",
+        F.expr("sum_kd DIV n_months").cast("bigint").alias("mean_month_kd"),
+        (
+            F.lit(100) * F.col("n_months") * F.col("sumsq_kd")
+            >= F.lit(125) * F.col("sum_kd") * F.col("sum_kd")
+        )
+        .cast("int")
+        .alias("volatile"),
+    ).orderBy("l_suppkey")
