@@ -2101,3 +2101,86 @@ def events_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.expr("n_shared * 10000 DIV (40 - n_shared)").cast("bigint").alias("jaccard_bp"),
     ).orderBy("week")
+
+
+@query(
+    "events_session_bounce_rate",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30' MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps
+),
+per_session AS (
+  SELECT user_id, session_id,
+         arg_min(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                             || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+           AS entry_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS bounce_bp
+FROM per_session
+GROUP BY entry_type
+ORDER BY entry_type
+""",
+    tags=("events", "session", "analytics"),
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: the share of sessions that end
+    after a single event, split by what the session OPENED with — the
+    landing-quality metric (an entry type that bounces at 2× the others
+    is a broken funnel entrance).  Sessionization reuses the lag+cumsum
+    kernel; the entry event resolves via arg_min on the zero-padded
+    (timestamp, id) key so ties are deterministic; rates are
+    floor-divided integer basis points."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (
+        v["events"]
+        .select("user_id", "ts", "event_id", "event_type", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.expr(
+                "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("bounce_bp"),
+        )
+        .orderBy("entry_type")
+    )
