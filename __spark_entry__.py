@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "events_type_cooccurrence",
+    "crossmodal_len_peakedness_correlation",
     "events_session_bounce_rate",
     "events_heavy_hitter_drift",
     "supplier_revenue_volatility",

@@ -2184,3 +2184,113 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@query(
+    "events_type_cooccurrence",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30' MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps
+),
+baskets AS (
+  SELECT user_id, session_id, list_sort(list(DISTINCT event_type)) AS types
+  FROM sess GROUP BY user_id, session_id
+),
+n_sessions AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM baskets),
+type_n AS (
+  SELECT t.t AS typ, CAST(COUNT(*) AS BIGINT) AS n
+  FROM baskets, unnest(types) AS t(t) GROUP BY t.t
+),
+pair_n AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM baskets, unnest(types) AS a(t), unnest(types) AS b(t)
+  WHERE a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       na.n AS n_a, nb.n AS n_b,
+       round(CAST(p.n_ab AS DOUBLE) * t.total / (na.n * nb.n), 4) AS lift
+FROM pair_n p
+JOIN type_n na ON na.typ = p.type_a
+JOIN type_n nb ON nb.typ = p.type_b
+CROSS JOIN n_sessions t
+ORDER BY p.type_a, p.type_b
+""",
+    tags=("events", "session", "aggregate", "analytics"),
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence with lift — the basket
+    analysis applied to BEHAVIOR: which activities travel together inside
+    one visit (error co-occurring with purchase above chance is a
+    checkout bug; signup co-occurring with nothing is a dead-end page).
+    Same Apriori shape as orders_basket_pairs: per-session distinct-type
+    arrays (≤5 elements), scan-side pair expansion, type marginals
+    broadcast; lift divides exact BIGINTs once."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (
+        v["events"]
+        .select("user_id", "ts", "event_id", "event_type", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    baskets = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .localCheckpoint(eager=False)
+    )
+    n_sessions = baskets.agg(F.count("*").cast("bigint").alias("total"))
+    type_n = (
+        baskets.select(F.explode("types").alias("typ"))
+        .groupBy("typ")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(types, x -> transform(types, y -> "
+                "struct(x AS type_a, y AS type_b)))), s -> s.type_a < s.type_b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+    pair_n = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_ab")
+    )
+    return (
+        pair_n.join(
+            F.broadcast(type_n.select(F.col("typ").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(type_n.select(F.col("typ").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("total") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1759,3 +1759,90 @@ def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "crossmodal_len_peakedness_correlation",
+    oracle="""
+WITH joined AS (
+  SELECT CAST(d.n_chars // 100 AS BIGINT) AS x,
+         CAST(floor(list_max(list_transform(e.embedding, v -> CAST(v AS DOUBLE)))
+                    * 1000 + 0.5) AS BIGINT) AS y
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM joined
+)
+SELECT n AS n_docs,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+            ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4) END
+         AS len_peak_corr
+FROM s
+""",
+    tags=("similarity", "pipeline", "join", "qa"),
+)
+def crossmodal_len_peakedness_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal leakage check: correlation of document length with the
+    embedding's PEAKEDNESS (max component of the unit vector — norms are
+    normalized away, so direction concentration is the informative
+    scalar).  A strong correlation means document length leaks into the
+    embedding direction, so retrieval would systematically prefer long
+    or short docs regardless of content — worth knowing before cosine
+    thresholds are tuned.  Length quantizes to hectochar units and
+    peakedness to milli-units before the five exact BIGINT regression
+    sums — milli keeps n·Σy² inside int64 at any realistic corpus size
+    (the shared grouped-correlation discipline, with the degenerate
+    -variance guard); the fact-fact id join is the bucketed-join shape
+    at scale."""
+    v = views(spark, sf_dir)
+    y = F.floor(
+        F.expr("array_max(transform(embedding, v -> CAST(v AS DOUBLE)))") * 1000
+        + 0.5
+    ).cast("bigint")
+    joined = (
+        v["documents"]
+        .select("doc_id", F.expr("n_chars DIV 100").cast("bigint").alias("x"))
+        .join(
+            v["embeddings"].select("vec_id", "embedding"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("x", y.alias("y"))
+    )
+    s = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    degen = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0)
+        | (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0)
+    )
+    corr = F.when(degen, F.lit(0.0)).otherwise(
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            4,
+        )
+    )
+    return s.select(F.col("n").alias("n_docs"), corr.alias("len_peak_corr"))
