@@ -107,6 +107,8 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "orders_priority_segment_contingency",
+    "events_adoption_curve",
     "events_type_cooccurrence",
     "crossmodal_len_peakedness_correlation",
     "events_session_bounce_rate",

@@ -2294,3 +2294,59 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "events_adoption_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY first_day
+),
+tot AS (SELECT CAST(SUM(n_new) AS BIGINT) AS total FROM daily)
+SELECT CAST(first_day AS TIMESTAMP) AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users,
+       CAST(SUM(n_new) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) * 10000
+            // MAX(t.total) OVER () AS BIGINT) AS adoption_bp
+FROM daily CROSS JOIN tot t
+ORDER BY day
+""",
+    tags=("events", "window", "analytics"),
+)
+def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative user-adoption curve: new users per day and the running
+    share of the eventually-observed population in basis points — the
+    S-curve every launch review plots, and the input to saturation
+    forecasting.  The ordered window runs over the per-DAY rollup (one
+    row per day — bounded, unlike a raw-event global window); all
+    arithmetic is exact integers."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    firsts = (
+        v["events"]
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).cast("date").alias("first_day"))
+    )
+    daily = firsts.groupBy("first_day").agg(F.count("*").cast("bigint").alias("n_new"))
+    tot = daily.agg(F.sum("n_new").cast("bigint").alias("total"))
+    w = W2.orderBy("first_day").rowsBetween(W2.unboundedPreceding, 0)
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("first_day").cast("timestamp").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+            F.expr(
+                "SUM(n_new) OVER (ORDER BY first_day ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW) * 10000 DIV total"
+            )
+            .cast("bigint")
+            .alias("adoption_bp"),
+        )
+        .orderBy("day")
+    )

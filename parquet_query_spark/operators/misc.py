@@ -1276,3 +1276,75 @@ def supplier_revenue_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("volatile"),
     ).orderBy("l_suppkey")
+
+
+@query(
+    "orders_priority_segment_contingency",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+margins AS (
+  SELECT segment, CAST(SUM(n_obs) AS BIGINT) AS row_n FROM obs GROUP BY segment
+),
+cols AS (
+  SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS col_n FROM obs GROUP BY priority
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM obs)
+SELECT o.segment, o.priority, o.n_obs,
+       CAST(m.row_n * c.col_n * 1000 // t.total AS BIGINT) AS expected_milli,
+       CAST(o.n_obs * 1000 - m.row_n * c.col_n * 1000 // t.total AS BIGINT)
+         AS deviation_milli
+FROM obs o
+JOIN margins m ON m.segment = o.segment
+JOIN cols c ON c.priority = o.priority
+CROSS JOIN tot t
+ORDER BY o.segment, o.priority
+""",
+    tags=("aggregate", "analytics", "join"),
+)
+def orders_priority_segment_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table with independence deviations: observed
+    segment × priority order counts against the expected count under
+    independence (row total × column total / grand total, floor-divided
+    to exact milli-units) — the chi-square ingredients, exposed as exact
+    integers so any consumer can finish the test without re-scanning.
+    Large |deviation| cells mean a segment genuinely orders at different
+    urgency — a real mix effect the marginal reports hide.
+
+    One 25-cell rollup; margins and the grand total are re-aggregations
+    of the cells themselves (never the fact table), broadcast back."""
+    v = views(spark, sf_dir)
+    obs = (
+        v["orders"]
+        .join(
+            F.broadcast(v["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    margins = obs.groupBy("segment").agg(F.sum("n_obs").cast("bigint").alias("row_n"))
+    cols = obs.groupBy("priority").agg(F.sum("n_obs").cast("bigint").alias("col_n"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("total"))
+    return (
+        obs.join(F.broadcast(margins), "segment")
+        .join(F.broadcast(cols), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "priority",
+            "n_obs",
+            F.expr("row_n * col_n * 1000 DIV total").cast("bigint").alias("expected_milli"),
+            F.expr("n_obs * 1000 - row_n * col_n * 1000 DIV total")
+            .cast("bigint")
+            .alias("deviation_milli"),
+        )
+        .orderBy("segment", "priority")
+    )
