@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "text_case_style_profile",
     "orders_priority_segment_contingency",
     "events_adoption_curve",
     "events_type_cooccurrence",

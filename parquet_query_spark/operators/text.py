@@ -1267,3 +1267,54 @@ def text_markup_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_case_style_profile",
+    oracle="""
+SELECT source,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '\\b[A-Z]{2,}\\b'))) AS BIGINT) AS n_allcaps,
+       CAST(SUM(len(regexp_extract_all(text, '\\b[A-Z][a-z]+\\b'))) AS BIGINT) AS n_titlecase,
+       CAST(SUM(len(regexp_extract_all(text, '\\b[a-z]+\\b'))) AS BIGINT) AS n_lowercase,
+       CAST(SUM(len(regexp_extract_all(text, '\\b[A-Z]{2,}\\b'))) * 10000
+            // GREATEST(SUM(len(string_split_regex(trim(text), '\\s+'))), 1) AS BIGINT)
+         AS allcaps_bp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "qa", "quality"),
+)
+def text_case_style_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-style audit per source: ALLCAPS / TitleCase / lowercase token
+    mass and the all-caps rate in basis points — elevated shouting is the
+    cheap spam/clickbait signal (and an OCR artifact detector: engines
+    that lose case produce all-caps walls).  Patterns sit in the
+    RE2∩Java-safe subset; pure scan-side counting plus a per-source
+    rollup of exact integers."""
+    v = views(spark, sf_dir)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    caps = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[A-Z]{2,}\b"), F.lit(0)))
+    title = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[A-Z][a-z]+\b"), F.lit(0)))
+    lower = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]+\b"), F.lit(0)))
+    m = v["documents"].select(
+        "source",
+        n_tok.alias("t"),
+        caps.alias("c"),
+        title.alias("ti"),
+        lower.alias("lo"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.sum("t").cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_allcaps"),
+            F.sum("ti").cast("bigint").alias("n_titlecase"),
+            F.sum("lo").cast("bigint").alias("n_lowercase"),
+            F.expr("SUM(c) * 10000 DIV GREATEST(SUM(t), 1)")
+            .cast("bigint")
+            .alias("allcaps_bp"),
+        )
+        .orderBy("source")
+    )
