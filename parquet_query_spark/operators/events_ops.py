@@ -2350,3 +2350,85 @@ def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_session_interarrival",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30' MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps
+),
+bounds AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+),
+inter AS (
+  SELECT (epoch_us(s_start)
+          - epoch_us(LAG(s_end) OVER (PARTITION BY user_id ORDER BY session_id)))
+         // 60000000 AS away_min
+  FROM bounds
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_returns,
+       CAST(MIN(away_min) AS BIGINT) AS min_away_min,
+       floor(quantile_cont(away_min, 0.50) * 100 + 0.5) / 100 AS p50_away_min,
+       floor(quantile_cont(away_min, 0.90) * 100 + 0.5) / 100 AS p90_away_min,
+       CAST(MAX(away_min) AS BIGINT) AS max_away_min
+FROM inter
+WHERE away_min IS NOT NULL
+""",
+    tags=("events", "session", "quantile", "analytics"),
+)
+def events_session_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-cycle distribution: minutes between a user's session END and
+    their NEXT session start — the natural re-engagement cadence that
+    calibrates push/notification timing and the session-timeout constant
+    itself (a p50 close to the 30-minute cutoff says the sessionizer is
+    splitting single visits).  Session bounds reuse the lag+cumsum
+    kernel's one user-keyed shuffle; away-time is an exact floor-divided
+    minute integer and the percentiles use the shared floor-quantized
+    interpolation."""
+    from pyspark.sql import Window as W2
+
+    v = views(spark, sf_dir)
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (
+        v["events"]
+        .select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    w_s = W2.partitionBy("user_id").orderBy("session_id")
+    # sessions are disjoint (a >30 min gap separates them), so the away
+    # time is strictly positive and truncating division == floor division
+    inter = bounds.select(
+        (
+            (F.unix_micros("s_start") - F.unix_micros(F.lag("s_end").over(w_s)))
+            / F.lit(60000000)
+        )
+        .cast("bigint")
+        .alias("away_min")
+    )
+    q = lambda p: F.floor(F.percentile("away_min", F.lit(p)) * 100 + 0.5) / 100  # noqa: E731
+    return inter.where(F.col("away_min").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_returns"),
+        F.min("away_min").cast("bigint").alias("min_away_min"),
+        q(0.50).alias("p50_away_min"),
+        q(0.90).alias("p90_away_min"),
+        F.max("away_min").cast("bigint").alias("max_away_min"),
+    )
