@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payments",
     "events_bot_cadence",
     "text_boilerplate_prefixes",
+    "lineitem_returns_by_brand",
     "events_session_interarrival",
     "text_case_style_profile",
     "orders_priority_segment_contingency",

@@ -1348,3 +1348,53 @@ def orders_priority_segment_contingency(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("segment", "priority")
     )
+
+
+@query(
+    "lineitem_returns_by_brand",
+    oracle="""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS returned_cents,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS return_bp
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+    tags=("aggregate", "analytics", "join", "qa"),
+)
+def lineitem_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand in basis points plus returned revenue — the
+    merchandise-quality league table (a brand returning at 2× the fleet
+    rate is a supplier-quality or listing-accuracy problem).  Broadcast
+    part dimension, one brand rollup of exact integers."""
+    v = views(spark, sf_dir)
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    cents = F.when(
+        F.col("l_returnflag") == "R",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        v["lineitem"]
+        .join(
+            F.broadcast(v["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(ret).cast("bigint").alias("n_returned"),
+            F.sum(cents).cast("bigint").alias("returned_cents"),
+            F.expr(
+                "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("return_bp"),
+        )
+        .orderBy("p_brand")
+    )
