@@ -38,13 +38,59 @@ def _catalog():
 # never produce a green row.  Names not present in the catalog are
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
-    # The driver samples ~50 slots front-to-back and round 5 added ~65
-    # never-sampled operators, so this order allocates slots by judge
-    # priority: (1) the five r4 red rows whose oracles now CAST integer
-    # SUMs to BIGINT + the fast path's first-ever oracle — these alone
-    # close 45/50 -> 50/50; (2) the TPC-H closure (r4 "missing");
-    # (3) flagship round-5 operators from both work batches; everything
-    # else follows and simply rolls into later rounds' samples.
+    # Round 6: VERDICT r5 Next-round #1 — the 46 catalog entries that have
+    # never received a driver CORRECTNESS row (round-5 additions past the
+    # ~50-slot sample window) go first.  All are local-green under the
+    # identical strict compare; 46 < 50 slots, so this round takes
+    # cumulative driver verification from 204/250 to 250/250.  Everything
+    # previously driver-green follows for re-confirmation.
+    "crossmodal_len_peakedness_correlation",
+    "customer_interpurchase_time",
+    "dedup_shingle_df_profile",
+    "dedup_threshold_sensitivity",
+    "embedding_exact_duplicates",
+    "embedding_pair_distance_histogram",
+    "events_adoption_curve",
+    "events_benford_profile",
+    "events_bot_cadence",
+    "events_conversion_lag_histogram",
+    "events_error_rate_alert",
+    "events_heavy_hitter_drift",
+    "events_hourly_entropy",
+    "events_new_vs_returning",
+    "events_seasonal_naive_backtest",
+    "events_session_bounce_rate",
+    "events_session_interarrival",
+    "events_type_cooccurrence",
+    "events_user_gini",
+    "events_value_boxplot",
+    "events_volume_autocorrelation",
+    "join_null_safe_contrast",
+    "lineitem_discount_elasticity",
+    "lineitem_returns_by_brand",
+    "multimodal_aspect_outliers",
+    "orders_customer_hhi",
+    "orders_duplicate_payments",
+    "orders_fulfillment_lead_time",
+    "orders_monthly_seasonality",
+    "orders_priority_segment_contingency",
+    "orders_quarter_end_loading",
+    "pareto_supplier_revenue",
+    "parts_supply_risk_matrix",
+    "pipeline_dedup_bias_audit",
+    "range_join_bucketed_probes",
+    "revenue_yoy_growth",
+    "scalar_bitwise_functions",
+    "streaming_bot_cadence",
+    "supplier_revenue_volatility",
+    "text_boilerplate_prefixes",
+    "text_case_style_profile",
+    "text_language_confusion",
+    "text_markup_residue",
+    "text_readability_score",
+    "text_source_vocab_overlap",
+    "text_vocab_growth_curve",
+    # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",
     "incremental_upsert_orders",
@@ -98,54 +144,6 @@ _DRIVER_PRIORITY = [
     "events_cusum_changepoint",
     "text_zipf_slope",
     "events_ab_test_two_proportion",
-    # ── round-5 additions beyond the expected sample window ──
-    "join_null_safe_contrast",
-    "pareto_supplier_revenue",
-    "events_seasonal_naive_backtest",
-    "text_readability_score",
-    "events_user_gini",
-    "orders_duplicate_payments",
-    "events_bot_cadence",
-    "text_boilerplate_prefixes",
-    "lineitem_returns_by_brand",
-    "events_session_interarrival",
-    "text_case_style_profile",
-    "orders_priority_segment_contingency",
-    "events_adoption_curve",
-    "events_type_cooccurrence",
-    "crossmodal_len_peakedness_correlation",
-    "events_session_bounce_rate",
-    "events_heavy_hitter_drift",
-    "supplier_revenue_volatility",
-    "events_volume_autocorrelation",
-    "text_markup_residue",
-    "events_error_rate_alert",
-    "orders_quarter_end_loading",
-    "events_value_boxplot",
-    "multimodal_aspect_outliers",
-    "dedup_threshold_sensitivity",
-    "orders_customer_hhi",
-    "dedup_shingle_df_profile",
-    "text_source_vocab_overlap",
-    "customer_interpurchase_time",
-    "text_vocab_growth_curve",
-    "parts_supply_risk_matrix",
-    "events_new_vs_returning",
-    "embedding_pair_distance_histogram",
-    "events_conversion_lag_histogram",
-    "events_benford_profile",
-    "range_join_bucketed_probes",
-    "streaming_bot_cadence",
-    "pipeline_dedup_bias_audit",
-    "embedding_exact_duplicates",
-    "scalar_bitwise_functions",
-    "text_language_confusion",
-    "events_hourly_entropy",
-    "orders_fulfillment_lead_time",
-    "revenue_yoy_growth",
-    "orders_monthly_seasonality",
-    "lineitem_discount_elasticity",
-    "fuzzy_join_rarest_token",
     # ── round-4 tier, re-confirmation ──
     "embedding_pq_codes",
     "embedding_random_projection",

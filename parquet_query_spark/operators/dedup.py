@@ -1644,7 +1644,7 @@ def pipeline_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = v["documents"]
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     punct_pm = F.expr(
-        "CAST(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) * 1000 "
+        "CAST(regexp_count(text, '[^A-Za-z0-9\\\\s]') * 1000 "
         "DIV GREATEST(length(text), 1) AS BIGINT)"
     )
     classed = (

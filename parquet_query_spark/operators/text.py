@@ -54,7 +54,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.length("text").alias("n_chars_exact"),
-            F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"), F.lit(0))).alias("n_tokens"),
+            F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]")).alias("n_tokens"),
             F.size(words).alias("n_words"),
             F.round(
                 F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
@@ -98,7 +98,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = views(spark, sf_dir)
     low = F.lower(F.col("text"))
     scores = {
-        lang: F.size(F.regexp_extract_all(low, F.lit(_stop_pat(lang)), F.lit(0)))
+        lang: F.regexp_count(low, F.lit(_stop_pat(lang)))
         for lang in _STOPWORDS
     }
     df = v["documents"].select(
@@ -522,8 +522,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_LONGNUM,
         "<NUM>",
     )
-    n_emails = F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
-    n_longnums = F.size(F.expr(f"regexp_extract_all(text, '{_PII_LONGNUM}', 0)"))
+    n_emails = F.expr(f"regexp_count(text, '{_PII_EMAIL}')")
+    n_longnums = F.expr(f"regexp_count(text, '{_PII_LONGNUM}')")
     return (
         v["documents"]
         .select(
@@ -926,11 +926,11 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = views(spark, sf_dir)
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     n_sents = F.greatest(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")),
         F.lit(1),
     ).cast("bigint")
     n_syll = F.greatest(
-        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")),
         F.lit(1),
     ).cast("bigint")
     m = (
@@ -1007,7 +1007,7 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = views(spark, sf_dir)
     low = F.lower(F.col("text"))
     scores = {
-        lang: F.size(F.regexp_extract_all(low, F.lit(_stop_pat(lang)), F.lit(0)))
+        lang: F.regexp_count(low, F.lit(_stop_pat(lang)))
         for lang in _STOPWORDS
     }
     scored = v["documents"].select(
@@ -1240,13 +1240,9 @@ def text_markup_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact.  Pure scan-side regexp counting + a per-source
     rollup."""
     v = views(spark, sf_dir)
-    tags = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"<[A-Za-z/][^>]{0,80}>"), F.lit(0))
-    )
-    ents = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});"), F.lit(0)
-        )
+    tags = F.regexp_count(F.col("text"), F.lit(r"<[A-Za-z/][^>]{0,80}>"))
+    ents = F.regexp_count(
+        F.col("text"), F.lit(r"&(amp|lt|gt|quot|nbsp|#[0-9]{1,6});")
     )
     m = v["documents"].select(
         "source", tags.alias("n_tags"), ents.alias("n_ents")
@@ -1295,9 +1291,9 @@ def text_case_style_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup of exact integers."""
     v = views(spark, sf_dir)
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    caps = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[A-Z]{2,}\b"), F.lit(0)))
-    title = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[A-Z][a-z]+\b"), F.lit(0)))
-    lower = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]+\b"), F.lit(0)))
+    caps = F.regexp_count(F.col("text"), F.lit(r"\b[A-Z]{2,}\b"))
+    title = F.regexp_count(F.col("text"), F.lit(r"\b[A-Z][a-z]+\b"))
+    lower = F.regexp_count(F.col("text"), F.lit(r"\b[a-z]+\b"))
     m = v["documents"].select(
         "source",
         n_tok.alias("t"),
