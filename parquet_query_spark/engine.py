@@ -27,6 +27,10 @@ from parquet_query_spark.workbench.dialect import (
     rewrite_duckdb_dialect_fallbacks,
 )
 from parquet_query_spark.workbench.formatting import format_cell
+from parquet_query_spark.workbench.summarize import (
+    summarize,
+    summarize_statement_body,
+)
 from parquet_query_spark.workbench.statements import (
     has_executable_text,
     rewrite_path_tables,
@@ -177,6 +181,11 @@ class Engine:
         # pass-through, src/duckdb.ts:46-49), then the path-literal
         # rewrite re-lexes the transformed text.
         registered = assign_view_names(self.registry)
+        # DuckDB SUMMARIZE statement (pass-through parity): profile the
+        # inner query via one map-side-combined aggregation pass.
+        inner = summarize_statement_body(statement)
+        if inner is not None:
+            return summarize(self.sql(inner))
         primary = rewrite_duckdb_dialect(statement)
         try:
             return self.spark.sql(rewrite_path_tables(primary, self.root, registered))

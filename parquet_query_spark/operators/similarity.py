@@ -83,6 +83,16 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv"))
     )
     e = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ev"))
+    # Pair scoring is compute-bound.  At 100 TB the corpus scan arrives
+    # with far more splits than cores, but a small corpus file arrives
+    # row-group-bounded (8 splits for the 33 MB 64x file) and leaves 3/4
+    # of the machine idle on the dominant stage.  Fan out only in that
+    # case — the corpus-vector shuffle this adds is negligible next to
+    # the per-pair scoring math, and the result is partition-invariant
+    # (the per-partition top-K union always contains the global top-K).
+    target = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < target:
+        e = e.repartition(target)
     scored = (
         e.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("qid"))

@@ -595,7 +595,22 @@ _FN_MAP = {
     "list_transform": "transform",
     "list_filter": "filter",
     "list_concat": "concat",
+    "list_cat": "concat",
     "array_to_string": "array_join",
+    # round 6: remaining unambiguous 1:1 list_*/array_* renames (same
+    # argument order; DuckDB list_extract/element_at are both 1-based
+    # with negative-from-end support)
+    "list_extract": "element_at",
+    "array_extract": "element_at",
+    "list_element": "element_at",
+    "list_reverse": "reverse",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_intersect": "array_intersect",
+    "list_has_any": "arrays_overlap",
+    "array_has_any": "arrays_overlap",
+    "list_pack": "array",
+    "array_concat": "concat",
 }
 
 _FN_CALL = re.compile(
@@ -620,6 +635,146 @@ def _rewrite_function_names(sql: str) -> str:
         repls.append((s, e, _FN_MAP[m.group(1).lower()]))
     for s, e, new in reversed(repls):
         sql = sql[:s] + new + sql[e:]
+    return sql
+
+
+# ── DuckDB list/array macros with no 1:1 Spark rename ───────────────────
+#
+# These expand into Spark expressions (argument text is spliced verbatim,
+# so arbitrary sub-expressions work; an argument referenced twice is
+# re-evaluated, which is semantically safe for the deterministic
+# expressions involved).  The vector-math trio mirrors DuckDB's
+# list_cosine_similarity / list_inner_product / list_distance family —
+# the idioms an embeddings user hits first — built on zip_with/aggregate
+# so they stay JVM-side.
+
+_D = "CAST(0 AS DOUBLE)"
+
+
+def _vec_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"{_D}, (s, v) -> s + v)"
+    )
+
+
+def _vec_norm2(a: str) -> str:
+    return f"aggregate({a}, {_D}, (s, v) -> s + CAST(v AS DOUBLE) * v)"
+
+
+def _macro_cosine(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    a, b = (x.strip() for x in args)
+    return (
+        f"({_vec_dot(a, b)} / (sqrt({_vec_norm2(a)}) * sqrt({_vec_norm2(b)})))"
+    )
+
+
+def _macro_cosine_distance(args: list[str]) -> str | None:
+    inner = _macro_cosine(args)
+    return None if inner is None else f"(1 - {inner})"
+
+
+def _macro_inner_product(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    a, b = (x.strip() for x in args)
+    return _vec_dot(a, b)
+
+
+def _macro_distance(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    a, b = (x.strip() for x in args)
+    return (
+        f"sqrt(aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"{_D}, (s, v) -> s + v))"
+    )
+
+
+def _macro_list_unique(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"size(array_distinct({args[0].strip()}))"
+
+
+def _macro_list_has_all(args: list[str]) -> str | None:
+    # list_has_all(l, sub): every element of sub present in l
+    if len(args) != 2:
+        return None
+    l, sub = (x.strip() for x in args)
+    return f"(size(array_except({sub}, {l})) = 0)"
+
+
+_UINT = re.compile(r"^\s*(\d+)\s*$")
+
+
+def _macro_list_slice(args: list[str]) -> str | None:
+    # DuckDB list_slice(l, begin, end): 1-based, INCLUSIVE end; Spark
+    # slice(l, start, length).  Only rewritten for non-negative integer
+    # literal bounds — DuckDB's negative-index/clamping rules diverge from
+    # Spark's there, and a wrong answer is worse than Spark's own error.
+    if len(args) != 3:
+        return None
+    ma, mb = _UINT.match(args[1]), _UINT.match(args[2])
+    if not ma or not mb:
+        return None
+    a, b = int(ma.group(1)), int(mb.group(1))
+    return f"slice({args[0].strip()}, {a}, {max(b - a + 1, 0)})"
+
+
+_FN_MACROS = {
+    "array_cosine_similarity": _macro_cosine,
+    "list_cosine_similarity": _macro_cosine,
+    "array_cosine_distance": _macro_cosine_distance,
+    "list_cosine_distance": _macro_cosine_distance,
+    "array_inner_product": _macro_inner_product,
+    "list_inner_product": _macro_inner_product,
+    "array_dot_product": _macro_inner_product,
+    "list_dot_product": _macro_inner_product,
+    "array_distance": _macro_distance,
+    "list_distance": _macro_distance,
+    "list_unique": _macro_list_unique,
+    "list_has_all": _macro_list_has_all,
+    "array_has_all": _macro_list_has_all,
+    "list_slice": _macro_list_slice,
+    "array_slice": _macro_list_slice,
+}
+
+_MACRO_CALL = re.compile(
+    r"\b(" + "|".join(_FN_MACROS) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_fn_macros(sql: str) -> str:
+    """Expand DuckDB list/array macros into Spark expressions.  Iterates
+    because an expansion may contain another macro's argument text; each
+    pass re-lexes.  Unrewritable forms (wrong arity, non-literal slice
+    bounds) are left untouched so Spark's error names the construct."""
+    for _ in range(64):  # one macro spliced per pass; cap is a safety net
+        mask = _code_mask(sql)
+        changed = False
+        for m in reversed(list(_MACRO_CALL.finditer(sql))):
+            s, e = m.start(1), m.end(1)
+            if not all(mask[s:e]):
+                continue
+            prev = sql[s - 1] if s > 0 else ""
+            if prev in ".@:":
+                continue
+            parsed = _split_call_args(sql, mask, m.end() - 1)
+            if parsed is None:
+                continue
+            args, close = parsed
+            out = _FN_MACROS[m.group(1).lower()](args)
+            if out is None:
+                continue
+            sql = sql[:s] + out + sql[close + 1 :]
+            changed = True
+            break  # offsets shifted; re-lex
+        if not changed:
+            return sql
     return sql
 
 
@@ -658,7 +813,9 @@ def rewrite_duckdb_dialect(sql: str) -> str:
             _rewrite_strftime(
                 _rewrite_exclude(
                     _rewrite_using_sample(
-                        _rewrite_function_names(_rewrite_asof_join(sql))
+                        _rewrite_function_names(
+                            _rewrite_fn_macros(_rewrite_asof_join(sql))
+                        )
                     )
                 )
             )
@@ -674,7 +831,9 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
             _rewrite_strftime(
                 _rewrite_exclude(
                     _rewrite_using_sample(
-                        _rewrite_function_names(_rewrite_asof_join(sql))
+                        _rewrite_function_names(
+                            _rewrite_fn_macros(_rewrite_asof_join(sql))
+                        )
                     )
                 )
             )

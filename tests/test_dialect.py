@@ -422,3 +422,123 @@ def test_list_function_renames_execute(engine):
 def test_strptime_inside_string_untouched(engine):
     r = engine.run("SELECT 'strptime(a, b)' AS lit")
     assert r.rows[0][0] == "strptime(a, b)"
+
+
+# ── round-6 list_*/array_* breadth + SUMMARIZE ───────────────────────────
+
+
+def test_fn_map_list_extract_and_reverse():
+    out = rewrite_duckdb_dialect("SELECT list_extract(xs, 2), list_reverse(xs) FROM t")
+    assert out == "SELECT element_at(xs, 2), reverse(xs) FROM t"
+
+
+def test_fn_map_list_min_max_intersect_overlap():
+    out = rewrite_duckdb_dialect(
+        "SELECT list_min(a), list_max(a), list_intersect(a, b), list_has_any(a, b) FROM t"
+    )
+    assert out == (
+        "SELECT array_min(a), array_max(a), array_intersect(a, b), arrays_overlap(a, b) FROM t"
+    )
+
+
+def test_list_unique_wraps_distinct():
+    out = rewrite_duckdb_dialect("SELECT list_unique(xs) FROM t")
+    assert out == "SELECT size(array_distinct(xs)) FROM t"
+
+
+def test_list_has_all_via_array_except():
+    out = rewrite_duckdb_dialect("SELECT list_has_all(a, b) FROM t")
+    assert out == "SELECT (size(array_except(b, a)) = 0) FROM t"
+
+
+def test_list_slice_literal_bounds():
+    out = rewrite_duckdb_dialect("SELECT list_slice(xs, 2, 4) FROM t")
+    assert out == "SELECT slice(xs, 2, 3) FROM t"
+
+
+def test_list_slice_non_literal_untouched():
+    sql = "SELECT list_slice(xs, i, j) FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_array_cosine_similarity_engine_matches_duckdb(engine, sf_dir):
+    import duckdb
+
+    sql = (
+        "SELECT a.vec_id AS qid, b.vec_id AS cid, "
+        "round(array_cosine_similarity(a.embedding, b.embedding), 6) AS cos "
+        "FROM 'embeddings.parquet' a JOIN 'embeddings.parquet' b "
+        "ON a.vec_id < b.vec_id WHERE a.vec_id <= 3 AND b.vec_id <= 6 "
+        "ORDER BY qid, cid"
+    )
+    r = engine.run(sql)
+    con = duckdb.connect()
+    # DuckDB's array_cosine_similarity needs fixed-size ARRAY, not LIST
+    dsql = (
+        "SELECT a.vec_id AS qid, b.vec_id AS cid, "
+        "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos "
+        f"FROM '{sf_dir}/embeddings.parquet' a JOIN '{sf_dir}/embeddings.parquet' b "
+        "ON a.vec_id < b.vec_id WHERE a.vec_id <= 3 AND b.vec_id <= 6 "
+        "ORDER BY qid, cid"
+    )
+    expect = con.execute(dsql).fetchall()
+    con.close()
+    assert len(r.rows) == len(expect)
+    for got, want in zip(r.rows, expect):
+        assert abs(float(got[2]) - float(want[2])) < 1e-5
+
+
+def test_array_inner_product_and_distance_engine(engine, sf_dir):
+    import duckdb
+    import math
+
+    sql = (
+        "SELECT round(array_inner_product(a.embedding, b.embedding), 5) AS ip, "
+        "round(array_distance(a.embedding, b.embedding), 5) AS d "
+        "FROM 'embeddings.parquet' a JOIN 'embeddings.parquet' b "
+        "ON a.vec_id = 1 AND b.vec_id = 2"
+    )
+    r = engine.run(sql)
+    con = duckdb.connect()
+    ip, d = con.execute(
+        "SELECT list_inner_product(a.embedding, b.embedding), "
+        "list_distance(a.embedding, b.embedding) "
+        f"FROM '{sf_dir}/embeddings.parquet' a JOIN '{sf_dir}/embeddings.parquet' b "
+        "ON a.vec_id = 1 AND b.vec_id = 2"
+    ).fetchone()
+    con.close()
+    assert abs(float(r.rows[0][0]) - ip) < 1e-3
+    assert abs(float(r.rows[0][1]) - d) < 1e-3
+
+
+def test_summarize_table(engine):
+    r = engine.run("SUMMARIZE 'orders.parquet'")
+    assert r.columns == [
+        "column_name",
+        "column_type",
+        "min",
+        "max",
+        "approx_unique",
+        "avg",
+        "std",
+        "q25",
+        "q50",
+        "q75",
+        "count",
+        "null_percentage",
+    ]
+    names = [row[0] for row in r.rows]
+    assert "o_orderkey" in names and "o_orderdate" in names
+    byname = {row[0]: row for row in r.rows}
+    ok = byname["o_orderkey"]
+    # count is the table row count; min/max stringified like DuckDB
+    assert int(ok[10]) == int(engine.run("SELECT count(*) FROM 'orders.parquet'").rows[0][0])
+    assert float(ok[11]) == 0.0
+
+
+def test_summarize_query(engine):
+    r = engine.run("SUMMARIZE SELECT o_totalprice FROM 'orders.parquet' WHERE o_totalprice > 100")
+    assert len(r.rows) == 1
+    row = r.rows[0]
+    assert row[0] == "o_totalprice"
+    assert float(row[2]) > 100  # min respects the filter
