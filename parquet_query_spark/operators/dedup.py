@@ -1644,7 +1644,7 @@ def pipeline_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = v["documents"]
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     punct_pm = F.expr(
-        "CAST(regexp_count(text, '[^A-Za-z0-9\\\\s]') * 1000 "
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\\\s]+', '')) * 1000 "
         "DIV GREATEST(length(text), 1) AS BIGINT)"
     )
     classed = (

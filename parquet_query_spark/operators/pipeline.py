@@ -56,7 +56,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]+", "")).alias("n_punct"),
     )
     kept = m.where(
         (F.col("lang") == "en")
@@ -414,7 +414,7 @@ def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.trim("text"), r"\s+").alias("words"),
         F.length("text").alias("n_chars"),
-        F.expr(r"regexp_count(text, '[^A-Za-z0-9\\s]')").alias("n_sym"),
+        F.expr(r"length(regexp_replace(text, '[A-Za-z0-9\\s]+', ''))").alias("n_sym"),
     )
     r = m.select(
         "doc_id",
@@ -576,7 +576,7 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en")
         & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 20)
         & (
-            F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]+", "")).cast("double")
             / F.length("text")
             < 0.1
         )

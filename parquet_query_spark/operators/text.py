@@ -167,7 +167,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        # char-class count via run-collapsed replace: regexp_count here
+        # walks one match per punct character; deleting the complement
+        # runs and taking length is ~5x faster at 8x (same value).
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]+", "")).alias("n_punct"),
         F.regexp_count(F.lower(F.col("text")), F.lit(_stop_pat("en"))).alias("n_stop"),
     )
     return m.select(
