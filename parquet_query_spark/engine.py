@@ -186,6 +186,20 @@ class Engine:
         inner = summarize_statement_body(statement)
         if inner is not None:
             return summarize(self.sql(inner))
+        # DuckDB PIVOT statement / COLUMNS(...) templates — both need the
+        # source schema, so they dispatch here rather than in the
+        # pure-text dialect shim.
+        from parquet_query_spark.workbench.pivot import (
+            expand_columns,
+            has_columns_expr,
+            is_pivot_statement,
+            run_pivot,
+        )
+
+        if is_pivot_statement(statement):
+            return run_pivot(self, statement)
+        if has_columns_expr(statement):
+            return self.sql(expand_columns(self, statement))
         primary = rewrite_duckdb_dialect(statement)
         try:
             return self.spark.sql(rewrite_path_tables(primary, self.root, registered))

@@ -1,0 +1,340 @@
+"""DuckDB ``PIVOT`` statement and ``COLUMNS(...)`` expression support.
+
+The reference forwards user SQL to DuckDB untouched
+(``/root/reference/src/duckdb.ts:46-49``), where both constructs work out
+of the box.  Spark SQL has a PIVOT *clause* but demands an explicit
+``IN (...)`` value list; DuckDB's statement auto-discovers the values.
+``COLUMNS(*)`` / ``COLUMNS('regex')`` templates a select-list expression
+over matching columns and has no Spark equivalent at all.  Both need the
+source schema, so they live at the engine layer (like SUMMARIZE) rather
+than in the pure-text dialect shim.
+
+Scale notes: the PIVOT path is ``df.groupBy(...).pivot(on)`` — Spark's
+pivot runs one bounded distinct job to discover values (capped by
+``spark.sql.pivotMaxValues``) and then a single map-side-combined
+aggregation; column naming (``value`` for one agg, ``value_alias`` for
+several) matches DuckDB's.  COLUMNS expansion is pure text templating —
+zero runtime cost.
+"""
+
+from __future__ import annotations
+
+import re
+
+from parquet_query_spark.workbench.dialect import (
+    _code_mask,
+    _keyword_matches,
+    _split_call_args,
+)
+
+_PIVOT = re.compile(r"^\s*PIVOT\b", re.IGNORECASE)
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+
+
+def is_pivot_statement(statement: str) -> bool:
+    return bool(_PIVOT.match(statement))
+
+
+def _top_level_split(text: str, mask: list[bool], sep: str = ",") -> list[str]:
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(text):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
+
+
+def parse_pivot(statement: str) -> dict:
+    """Parse ``PIVOT <source> ON <col> [USING <agg> [AS alias], ...]
+    [GROUP BY <cols>] [ORDER BY ... / LIMIT ...]``.
+
+    Returns dict(source, on, using=[(expr, alias|None), ...] | None,
+    group_by=[col, ...] | None, tail=str).  Raises ValueError on the
+    DuckDB forms outside this scope (multiple ON columns, IN lists).
+    """
+    m = _PIVOT.match(statement)
+    body = statement[m.end() :].strip().rstrip(";")
+    mask = _code_mask(body)
+
+    def find_kw(pattern):
+        ms = [
+            k
+            for k in _keyword_matches(body, mask, pattern)
+            if _depth_at(body, mask, k.start()) == 0
+        ]
+        return ms[0] if ms else None
+
+    on_kw = find_kw(r"\bON\b")
+    if on_kw is None:
+        raise ValueError("PIVOT: expected ON <column>")
+    using_kw = find_kw(r"\bUSING\b")
+    group_kw = find_kw(r"\bGROUP\s+BY\b")
+    tail_kw = find_kw(r"\b(?:ORDER\s+BY|LIMIT)\b")
+
+    source = body[: on_kw.start()].strip()
+    on_end = min(
+        x.start() for x in (using_kw, group_kw, tail_kw) if x is not None
+    ) if any((using_kw, group_kw, tail_kw)) else len(body)
+    on_text = body[on_kw.end() : on_end].strip()
+    if not re.fullmatch(_IDENT, on_text):
+        raise ValueError(
+            f"PIVOT: only a single ON column is supported, got {on_text!r}"
+        )
+
+    using = None
+    if using_kw is not None:
+        using_end = min(
+            x.start() for x in (group_kw, tail_kw) if x is not None and x.start() > using_kw.end()
+        ) if any(x is not None and x.start() > using_kw.end() for x in (group_kw, tail_kw)) else len(body)
+        using_text = body[using_kw.end() : using_end]
+        umask = _code_mask(using_text)
+        using = []
+        for item in _top_level_split(using_text, umask):
+            am = re.search(r"\s+AS\s+(" + _IDENT + r")\s*$", item, re.IGNORECASE)
+            if am:
+                using.append((item[: am.start()].strip(), am.group(1)))
+            else:
+                using.append((item.strip(), None))
+
+    group_by = None
+    if group_kw is not None:
+        group_end = tail_kw.start() if tail_kw is not None and tail_kw.start() > group_kw.end() else len(body)
+        group_by = [
+            g.strip().strip('"').strip("`")
+            for g in body[group_kw.end() : group_end].split(",")
+            if g.strip()
+        ]
+
+    tail = body[tail_kw.start() :].strip() if tail_kw is not None else ""
+    return {
+        "source": source,
+        "on": on_text,
+        "using": using,
+        "group_by": group_by,
+        "tail": tail,
+    }
+
+
+def _depth_at(sql: str, mask: list[bool], pos: int) -> int:
+    depth = 0
+    for i in range(pos):
+        if not mask[i]:
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+    return depth
+
+
+def _referenced_idents(expr: str) -> set[str]:
+    mask = _code_mask(expr)
+    out = set()
+    for m in re.finditer(_IDENT, expr):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        nxt = expr[m.end() :].lstrip()
+        if nxt.startswith("("):  # function name, not a column
+            continue
+        out.add(m.group(0).lower())
+    return out
+
+
+def run_pivot(engine, statement: str):
+    """Execute a DuckDB PIVOT statement on the engine; returns a DataFrame."""
+    from pyspark.sql import functions as F
+
+    p = parse_pivot(statement)
+    src = p["source"]
+    if src.startswith("(") and src.endswith(")"):
+        src = src[1:-1]
+        base = engine.sql(src)
+    elif re.match(r"^(SELECT|WITH|VALUES)\b", src, re.IGNORECASE):
+        base = engine.sql(src)
+    else:
+        base = engine.sql(f"SELECT * FROM {src}")
+
+    cols_lower = {c.lower(): c for c in base.columns}
+    on_col = cols_lower.get(p["on"].lower(), p["on"])
+
+    using = p["using"] or [("count(*)", None)]
+    aggs = []
+    for expr, alias in using:
+        c = F.expr(expr)
+        if alias is not None:
+            c = c.alias(alias)
+        aggs.append(c)
+
+    if p["group_by"] is not None:
+        groups = [cols_lower.get(g.lower(), g) for g in p["group_by"]]
+    else:
+        # DuckDB default: every column not pivoted on and not consumed by
+        # a USING aggregate is an implicit group column.
+        used = set()
+        for expr, _ in using:
+            used |= _referenced_idents(expr)
+        groups = [
+            c
+            for c in base.columns
+            if c.lower() != on_col.lower() and c.lower() not in used
+        ]
+
+    out = base.groupBy(*groups).pivot(on_col).agg(*aggs)
+    if len(using) == 1 and using[0][1] is not None:
+        # DuckDB appends an explicit USING alias even with one aggregate
+        # (column "F" → "F_s"); Spark only does so with several.
+        alias = using[0][1]
+        gset = {g.lower() for g in groups}
+        for c in out.columns:
+            if c.lower() not in gset:
+                out = out.withColumnRenamed(c, f"{c}_{alias}")
+    if p["tail"]:
+        out.createOrReplaceTempView("__pivot_result")
+        out = engine.spark.sql(f"SELECT * FROM __pivot_result {p['tail']}")
+    return out
+
+
+# ── COLUMNS(...) expansion ──────────────────────────────────────────────
+
+_COLUMNS_CALL = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def has_columns_expr(statement: str) -> bool:
+    mask = _code_mask(statement)
+    return any(
+        all(mask[m.start() : m.end() - 1])
+        for m in _COLUMNS_CALL.finditer(statement)
+    )
+
+
+_FROM_SRC = re.compile(
+    r"\bFROM\s+((?:'[^']*')|(?:" + _IDENT + r"(?:\.(?:" + _IDENT + r"|parquet|csv|json|ndjson))*))",
+    re.IGNORECASE,
+)
+
+
+def expand_columns(engine, statement: str) -> str:
+    """Expand ``COLUMNS(*)`` / ``COLUMNS('regex')`` select-list templates.
+
+    DuckDB semantics: the smallest select-list item containing the
+    COLUMNS call is replicated once per matching column, with the call
+    replaced by the column reference; the result column keeps the source
+    column's name (explicit ``AS`` aliases apply only to single-column
+    matches).  Scope: the statement's first top-level FROM names one
+    table / path literal (joins and subquery sources stay out — Spark's
+    error will name the construct).
+    """
+    mask = _code_mask(statement)
+    fm = None
+    for m in _keyword_matches(statement, mask, r"\bFROM\b"):
+        if _depth_at(statement, mask, m.start()) == 0:
+            fm = m
+            break
+    if fm is None:
+        raise ValueError("COLUMNS(...) needs a FROM clause to resolve against")
+    after = statement[fm.end() :].lstrip()
+    if after.startswith("("):
+        # subquery source: take the balanced-paren body
+        off = fm.end() + (len(statement[fm.end() :]) - len(after))
+        depth = 0
+        end = None
+        for i in range(off, len(statement)):
+            if not mask[i]:
+                continue
+            if statement[i] == "(":
+                depth += 1
+            elif statement[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            raise ValueError("unbalanced subquery after FROM")
+        src = statement[off : end + 1]
+    else:
+        sm = _FROM_SRC.match(statement, fm.start())
+        if sm is None:
+            raise ValueError(
+                "COLUMNS(...) is supported only over a single table, path "
+                "literal, or parenthesized subquery FROM source"
+            )
+        src = sm.group(1)
+    schema_cols = engine.sql(f"SELECT * FROM {src} __cols_src WHERE 1=0").columns
+
+    sel = [
+        k
+        for k in _keyword_matches(statement, mask, r"\bSELECT\b")
+        if _depth_at(statement, mask, k.start()) == 0
+    ]
+    if not sel:
+        raise ValueError("COLUMNS(...) outside a SELECT list is unsupported")
+    sel_start = sel[0].end()
+    sel_end = fm.start()
+    select_list = statement[sel_start:sel_end]
+    smask = _code_mask(select_list)
+
+    items = _top_level_split(select_list, smask)
+    out_items: list[str] = []
+    for item in items:
+        imask = _code_mask(item)
+        calls = [
+            c
+            for c in _COLUMNS_CALL.finditer(item)
+            if all(imask[c.start() : c.end() - 1])
+        ]
+        if not calls:
+            out_items.append(item.strip())
+            continue
+        if len(calls) > 1:
+            raise ValueError("multiple COLUMNS(...) in one select item")
+        call = calls[0]
+        parsed = _split_call_args(item, imask, call.end() - 1)
+        if parsed is None:
+            raise ValueError("unbalanced COLUMNS(...) call")
+        args, close = parsed
+        arg = args[0].strip() if args else ""
+        if arg == "*":
+            matched = list(schema_cols)
+        else:
+            lit = re.fullmatch(r"'((?:[^']|'')*)'", arg)
+            if not lit:
+                raise ValueError(
+                    "COLUMNS(...) takes * or a regex string literal"
+                )
+            pat = re.compile(lit.group(1).replace("''", "'"))
+            matched = [c for c in schema_cols if pat.search(c)]
+        if not matched:
+            raise ValueError(f"COLUMNS({arg}) matched no columns")
+        alias_m = re.search(
+            r"\s+AS\s+(" + _IDENT + r")\s*$", item, re.IGNORECASE
+        )
+        body_end = alias_m.start() if alias_m else len(item)
+        for col in matched:
+            expanded = (
+                item[: call.start()] + f"`{col}`" + item[close + 1 : body_end]
+            ).strip()
+            if alias_m and len(matched) == 1:
+                alias = alias_m.group(1)
+            elif expanded == f"`{col}`":
+                alias = None  # bare column keeps its own name
+            else:
+                alias = col  # DuckDB names fn(COLUMNS(*)) after the column
+            out_items.append(
+                expanded if alias is None else f"{expanded} AS `{alias}`"
+            )
+    return (
+        statement[:sel_start]
+        + " "
+        + ", ".join(out_items)
+        + " "
+        + statement[sel_end:]
+    )

@@ -542,3 +542,77 @@ def test_summarize_query(engine):
     row = r.rows[0]
     assert row[0] == "o_totalprice"
     assert float(row[2]) > 100  # min respects the filter
+
+
+# ── round-6 PIVOT statement + COLUMNS(...) templates ─────────────────────
+
+
+def test_pivot_statement_matches_duckdb(engine, sf_dir):
+    import duckdb
+
+    r = engine.run(
+        "PIVOT 'orders.parquet' ON o_orderstatus USING sum(o_totalprice) AS s "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    con = duckdb.connect()
+    expect = con.execute(
+        f"PIVOT '{sf_dir}/orders.parquet' ON o_orderstatus "
+        "USING sum(o_totalprice) AS s "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ).fetchall()
+    cols = [d[0] for d in con.description]
+    con.close()
+    assert r.columns == cols
+    assert len(r.rows) == len(expect)
+    for got, want in zip(r.rows, expect):
+        assert got[0] == want[0]
+        for g, w in zip(got[1:], want[1:]):
+            if w is None:
+                assert g is None or g == ""
+            else:
+                assert abs(float(g) - float(w)) < 0.05
+
+
+def test_pivot_default_count_and_implicit_groups(engine, sf_dir):
+    import duckdb
+
+    r = engine.run(
+        "PIVOT (SELECT o_orderpriority, o_orderstatus FROM 'orders.parquet') "
+        "ON o_orderstatus ORDER BY o_orderpriority"
+    )
+    con = duckdb.connect()
+    expect = con.execute(
+        f"PIVOT (SELECT o_orderpriority, o_orderstatus FROM '{sf_dir}/orders.parquet') "
+        "ON o_orderstatus ORDER BY o_orderpriority"
+    ).fetchall()
+    cols = [d[0] for d in con.description]
+    con.close()
+    assert r.columns == cols
+    assert [[str(x) for x in row] for row in r.rows] == [
+        [str(x) for x in row] for row in expect
+    ]
+
+
+def test_columns_star_aggregate(engine):
+    r = engine.run(
+        "SELECT max(COLUMNS(*)) FROM (SELECT o_orderkey, o_custkey FROM 'orders.parquet')"
+    )
+    assert r.columns == ["o_orderkey", "o_custkey"]
+    assert len(r.rows) == 1
+
+
+def test_columns_regex_projection(engine):
+    r = engine.run(
+        "SELECT COLUMNS('o_order.*') FROM 'orders.parquet' ORDER BY o_orderkey LIMIT 3"
+    )
+    assert all(c.startswith("o_order") for c in r.columns)
+    assert len(r.rows) == 3
+
+
+def test_columns_template_expression(engine):
+    r = engine.run(
+        "SELECT round(COLUMNS('price|total.*'), 0) FROM "
+        "(SELECT o_totalprice FROM 'orders.parquet' ORDER BY o_orderkey LIMIT 2)"
+    )
+    assert r.columns == ["o_totalprice"]
+    assert len(r.rows) == 2
