@@ -90,6 +90,16 @@ _DRIVER_PRIORITY = [
     "text_readability_score",
     "text_source_vocab_overlap",
     "text_vocab_growth_curve",
+    # ── round-6 additions (sampled after the 46 close out) ──
+    "embedding_norm_outliers",
+    "embedding_label_centroid_drift",
+    "events_peak_hours",
+    "text_char_trigram_entropy",
+    "pipeline_token_budget_mix",
+    "warehouse_snapshot_diff",
+    "lineitem_rolling_revenue_zscore",
+    "text_contamination_hit_rate",
+    "incremental_minhash_update",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

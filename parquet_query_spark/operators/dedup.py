@@ -1775,3 +1775,125 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in (0.1, 0.2, 0.3, 0.5, 0.8)
         ],
     )
+
+
+@query(
+    "text_contamination_hit_rate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCKDB_SHINGLES} AS shingles FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 20
+),
+hit AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id >= 20) c
+  JOIN bench b ON c.shingle = b.shingle
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(h.doc_id) * 10000 // COUNT(*) AS BIGINT) AS hit_rate_bp
+FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= 20
+GROUP BY d.source
+ORDER BY d.source
+""",
+    tags=("text", "dedup", "decontamination"),
+)
+def text_contamination_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: per-source share of corpus documents
+    (basis points) sharing at least one 3-token shingle with the held-out
+    benchmark set (doc_id < 20 stands in for the eval suite).  The audit
+    twin of dedup_decontaminate — run it BEFORE training to size the
+    leakage, not just drop it.
+
+    Scale shape: the benchmark shingle set is eval-suite-bounded and
+    BROADCAST; the corpus side is one scan + explode with a broadcast
+    LEFT SEMI join (no shuffle of corpus shingles) and a per-source
+    rollup.  Exact integer basis points."""
+    v = views(spark, sf_dir)
+    sh = _with_shingles(v["documents"])
+    bench = (
+        sh.where(F.col("doc_id") < 20)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hit = (
+        sh.where(F.col("doc_id") >= 20)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    return (
+        v["documents"]
+        .where(F.col("doc_id") >= 20)
+        .join(hit, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("is_hit").cast("bigint").alias("n_contaminated"),
+            F.expr("COUNT(is_hit) * 10000 DIV COUNT(*)")
+            .cast("bigint")
+            .alias("hit_rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "incremental_minhash_update",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCKDB_SHINGLES} AS shingles FROM documents
+),
+h AS (
+  SELECT doc_id, {_DUCKDB_H12} AS h12 FROM sh
+),
+mh AS (
+  SELECT doc_id,
+       {_minhash_cols_duckdb()}
+  FROM h
+)
+SELECT doc_id,
+       {_band_cols_duckdb()},
+       CASE WHEN doc_id % 13 = 0 THEN 'recomputed' ELSE 'carried' END AS provenance
+FROM mh
+ORDER BY doc_id
+""",
+    tags=("dedup", "minhash", "incremental"),
+)
+def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental signature maintenance: when a delta of changed
+    documents arrives (here the deterministic doc_id % 13 slice), only
+    that slice re-runs the shingle→minhash→band map; untouched rows are
+    CARRIED from the previous signature store (simulated by the same
+    computation — at 100 TB it is a parquet signature table) and the two
+    are unioned.  Correctness statement: carried ∪ recomputed must be
+    bit-identical to a full recompute — which is exactly what the oracle
+    checks.
+
+    Scale shape: the delta path scans only the changed partition
+    (filter pushed to the scan); the carried path is a signature-table
+    scan with no text parsing at all.  Union is partition-local (no
+    shuffle); the presentation sort is the only exchange."""
+    v = views(spark, sf_dir)
+
+    def signatures(df):
+        sh = _with_shingles(df)
+        h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
+        mh = h.select("doc_id", *_minhash_cols_spark())
+        return mh.select("doc_id", *_band_cols_spark())
+
+    docs = v["documents"]
+    changed = F.col("doc_id") % 13 == 0
+    recomputed = signatures(docs.where(changed)).withColumn(
+        "provenance", F.lit("recomputed")
+    )
+    carried = signatures(docs.where(~changed)).withColumn(
+        "provenance", F.lit("carried")
+    )
+    return carried.unionByName(recomputed).orderBy("doc_id")

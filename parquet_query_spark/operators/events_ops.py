@@ -2432,3 +2432,73 @@ def events_session_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.90).alias("p90_away_min"),
         F.max("away_min").cast("bigint").alias("max_away_min"),
     )
+
+
+@query(
+    "events_peak_hours",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour_start, n,
+         lag(n)  OVER (ORDER BY hour_start) AS prev_n,
+         lead(n) OVER (ORDER BY hour_start) AS next_n,
+         avg(n)  OVER (ORDER BY hour_start
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base,
+         COUNT(*) OVER (ORDER BY hour_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_n
+  FROM h
+)
+SELECT hour_start, n, prev_n, next_n, round(base, 2) AS baseline
+FROM w
+WHERE base_n = 24
+  AND n > prev_n AND n >= next_n
+  AND CAST(n AS DOUBLE) >= 1.2 * base
+ORDER BY hour_start
+""",
+    tags=("events", "window", "anomaly"),
+)
+def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic peaks: hours that are a local maximum AND >= 1.2x their own
+    trailing-24h baseline.  Both conditions matter — local maxima alone
+    flag every wiggle, baseline alone misses short spikes inside a busy
+    day.  Integer counts keep the predicate cross-engine exact.
+
+    Scale shape: the hourly rollup map-side combines to one row per hour,
+    so the window runs over a series whose length is time-, not
+    volume-, bound; single unpartitioned window over that tiny series is
+    deliberate (documented same as source mixing)."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    h = v["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.orderBy("hour_start")
+    wb = w.rowsBetween(-24, -1)
+    scored = h.select(
+        "hour_start",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+        F.avg("n").over(wb).alias("base"),
+        F.count("n").over(wb).alias("base_n"),
+    )
+    return (
+        scored.where(
+            (F.col("base_n") == 24)
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") >= F.col("next_n"))
+            & (F.col("n").cast("double") >= 1.2 * F.col("base"))
+        )
+        .select(
+            "hour_start",
+            "n",
+            "prev_n",
+            "next_n",
+            F.round("base", 2).alias("baseline"),
+        )
+        .orderBy("hour_start")
+    )

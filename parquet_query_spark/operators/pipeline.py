@@ -624,3 +624,62 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return stages.orderBy("stage_no")
+
+
+@query(
+    "pipeline_token_budget_mix",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_sources FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(CAST(s.n_tokens AS DOUBLE) / t.total, 4)            AS observed_share,
+       round(1.0 / t.n_sources, 4)                               AS target_share,
+       round((1.0 / t.n_sources) * t.total / s.n_tokens, 3)      AS epochs_at_budget,
+       CASE WHEN (1.0 / t.n_sources) * t.total / s.n_tokens > 3.0
+            THEN 1 ELSE 0 END                                    AS overrepeat_risk
+FROM s, t
+ORDER BY source
+""",
+    tags=("pipeline", "aggregate"),
+)
+def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation for a target mixture: given per-source
+    token mass and a (here uniform) target share, how many epochs of each
+    source does the budget imply — the data-budgeting arithmetic behind
+    mixture reweighting, with a >3-epoch repeat-risk flag (repeating a
+    small source many times degrades models faster than downweighting).
+
+    Scale shape: one scan, per-source map-side-combined token sums, and
+    a broadcast one-row total — the rollup is |sources| rows."""
+    v = views(spark, sf_dir)
+    s = v["documents"].groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    epochs = (F.lit(1.0) / F.col("n_sources")) * F.col("total") / F.col("n_tokens")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 4).alias(
+                "observed_share"
+            ),
+            F.round(F.lit(1.0) / F.col("n_sources"), 4).alias("target_share"),
+            F.round(epochs, 3).alias("epochs_at_budget"),
+            F.when(epochs > 3.0, 1).otherwise(0).alias("overrepeat_risk"),
+        )
+        .orderBy("source")
+    )

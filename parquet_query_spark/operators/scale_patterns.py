@@ -634,3 +634,75 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+@query(
+    "warehouse_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+FROM d GROUP BY status
+ORDER BY status
+""",
+    tags=("warehouse", "join"),
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff (added / removed / changed /
+    unchanged counts) — the reconciliation report behind incremental
+    ingestion audits.  Snapshots are derived deterministically from the
+    orders table (key-mod drops simulate churn, a key-mod price bump
+    simulates updates) so both engines diff identical inputs.
+
+    Scale shape: ONE key-partitioned full-outer join of the two
+    snapshots — the canonical unbroadcastable fact-by-fact merge where
+    sort-merge is the plan you want — followed by a 4-row rollup.  At
+    100 TB both sides would be bucketed on the key to make the merge
+    shuffle-free."""
+    v = views(spark, sf_dir)
+    o = v["orders"]
+    old = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.where(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    d = old.join(new, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
+            F.max("o_orderkey").cast("bigint").alias("last_key"),
+        )
+        .orderBy("status")
+    )

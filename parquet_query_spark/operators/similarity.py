@@ -1856,3 +1856,113 @@ def crossmodal_len_peakedness_correlation(spark: SparkSession, sf_dir: str) -> D
         )
     )
     return s.select(F.col("n").alias("n_docs"), corr.alias("len_peak_corr"))
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS l2
+  FROM embeddings
+),
+s AS (
+  SELECT avg(l2) AS mu, stddev_samp(l2) AS sigma FROM n
+)
+SELECT vec_id, label,
+       round(l2, 4) AS l2_norm,
+       round((l2 - mu) / sigma, 3) AS z
+FROM n, s
+WHERE abs(round((l2 - mu) / sigma, 3)) >= 2.0
+ORDER BY vec_id
+""",
+    tags=("embedding", "quality"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors whose L2 norm is a >=2-sigma outlier — broken encoders and
+    truncated inputs show up here before they poison cosine similarity
+    (an un-normalized stray vector dominates every dot product).
+
+    Scale shape: one scan computes norms (codegen lambda), the global
+    mean/stddev is a two-double aggregate broadcast back — no shuffle of
+    vectors, no collect beyond the 2-row stat."""
+    v = views(spark, sf_dir)
+    norms = v["embeddings"].select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x)"
+            )
+        ).alias("l2"),
+    )
+    stats = norms.agg(
+        F.avg("l2").alias("mu"), F.stddev_samp("l2").alias("sigma")
+    )
+    z = F.round((F.col("l2") - F.col("mu")) / F.col("sigma"), 3)
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "label",
+            F.round("l2", 4).alias("l2_norm"),
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= 2.0)
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embedding_label_centroid_drift",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(t.i AS INTEGER) AS i,
+         CAST(list_extract(embedding, CAST(t.i AS INTEGER)) AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+c AS (
+  SELECT label, i, avg(x) AS m
+  FROM e GROUP BY label, i
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(SUM(a.m * b.m)
+             / (sqrt(SUM(a.m * a.m)) * sqrt(SUM(b.m * b.m))), 6) AS centroid_cosine
+FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+""",
+    tags=("embedding", "quality"),
+)
+def embedding_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroid vectors — the drift
+    matrix that tells a mixture owner whether two supposedly-distinct
+    slices of the corpus have collapsed into the same region (cos → 1)
+    or live in different regions worth separate sampling weights.
+
+    Scale shape: posexplode is n_vectors x dim rows but aggregates
+    map-side onto (label, dim) — the shuffle carries |labels| x dim
+    partial sums, corpus-size-independent; the centroid pair join is a
+    tiny self-join on dim."""
+    v = views(spark, sf_dir)
+    e = v["embeddings"].select(
+        "label", F.posexplode(_as_double("embedding")).alias("i", "x")
+    )
+    c = e.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    a = c.select(F.col("label").alias("label_a"), "i", F.col("m").alias("ma"))
+    b = c.select(F.col("label").alias("label_b"), "i", F.col("m").alias("mb"))
+    pairs = a.join(b, (a.i == b.i) & (F.col("label_a") < F.col("label_b"))).drop("i")
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("centroid_cosine")
+        )
+        .orderBy("label_a", "label_b")
+    )

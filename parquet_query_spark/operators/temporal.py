@@ -349,3 +349,75 @@ def events_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").cast("bigint").alias("n_conversions"))
         .orderBy("lag_bucket")
     )
+
+
+@query(
+    "lineitem_rolling_revenue_zscore",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT ship_month, CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
+         avg(CAST(rev_e4 AS DOUBLE) / 10000.0)         OVER t AS mu,
+         stddev_samp(CAST(rev_e4 AS DOUBLE) / 10000.0) OVER t AS sigma,
+         COUNT(*)                                      OVER t AS n_win
+  FROM m
+  WINDOW t AS (ORDER BY ship_month ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT ship_month, round(revenue, 2) AS revenue,
+       round(mu, 2) AS trailing_mean,
+       round((revenue - mu) / sigma, 3) AS z
+FROM w
+WHERE n_win = 6 AND sigma > 0
+ORDER BY ship_month
+""",
+    tags=("window", "temporal", "anomaly"),
+)
+def lineitem_rolling_revenue_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue z-scored against its own trailing six months —
+    the seasonality-robust revenue anomaly screen.  The monthly revenue
+    is rounded to cents BEFORE the window statistics so both engines
+    feed identical inputs to mean/stddev (float-sum ulps never reach the
+    z-score).
+
+    Scale shape: the fact scan rolls up map-side to one row per month;
+    the window runs over a time-bounded series."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    m = (
+        v["lineitem"]
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            # exact integer e4 units (price has 2dp, discount 2dp): the
+            # monthly sum is order-independent, so both engines window
+            # over bit-identical doubles
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_e4")
+        )
+        .select("ship_month", (F.col("rev_e4").cast("double") / 10000.0).alias("revenue"))
+    )
+    t = W.orderBy("ship_month").rowsBetween(-6, -1)
+    w = m.select(
+        "ship_month",
+        "revenue",
+        F.avg("revenue").over(t).alias("mu"),
+        F.stddev_samp("revenue").over(t).alias("sigma"),
+        F.count("revenue").over(t).alias("n_win"),
+    )
+    return (
+        w.where((F.col("n_win") == 6) & (F.col("sigma") > 0))
+        .select(
+            "ship_month",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("mu", 2).alias("trailing_mean"),
+            F.round((F.col("revenue") - F.col("mu")) / F.col("sigma"), 3).alias("z"),
+        )
+        .orderBy("ship_month")
+    )

@@ -1317,3 +1317,72 @@ def text_case_style_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_char_trigram_entropy",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lower(substr(text, CAST(i AS INTEGER), 3)) AS tri
+  FROM documents, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)
+),
+g AS (
+  SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tri
+),
+d AS (
+  SELECT doc_id, SUM(c) AS total,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS clogc,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, n_distinct,
+       round(ln(CAST(total AS DOUBLE)) - clogc / total, 4) AS trigram_entropy_nats
+FROM d
+WHERE total > 0
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document (nats) — the
+    classic gibberish/boilerplate detector: natural prose sits in a
+    narrow entropy band, keyboard mash scores high, repeated template
+    text scores low.
+
+    Numeric determinism: entropy is computed as ln(N) - sum(c*ln c)/N
+    from exact BIGINT counts — both engines sum the same c*ln(c) terms;
+    rounding at 4dp absorbs the summation-order ulps.
+
+    Scale shape: the explode is n_chars rows per doc but aggregates
+    map-side onto (doc_id, trigram) (~hundreds of distinct trigrams per
+    doc reach the shuffle, not every position); the per-doc rollup is a
+    second map-side-combined pass.  No joins, no corpus^2."""
+    v = views(spark, sf_dir)
+    tri = v["documents"].select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)), "
+                "i -> lower(substr(text, i, 3)))"
+            )
+        ).alias("tri"),
+    )
+    g = tri.groupBy("doc_id", "tri").agg(F.count("*").cast("bigint").alias("c"))
+    d = g.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clogc"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    return (
+        d.where(F.col("total") > 0)
+        .select(
+            "doc_id",
+            "n_distinct",
+            F.round(
+                F.log(F.col("total").cast("double"))
+                - F.col("clogc") / F.col("total"),
+                4,
+            ).alias("trigram_entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
