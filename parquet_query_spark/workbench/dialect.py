@@ -611,6 +611,13 @@ _FN_MAP = {
     "array_has_any": "arrays_overlap",
     "list_pack": "array",
     "array_concat": "concat",
+    # aggregates (string_agg/listagg/median are Spark-native already)
+    "arg_min": "min_by",
+    "arg_max": "max_by",
+    "quantile_cont": "percentile",
+    # lists/strings
+    "array_length": "size",
+    "strlen": "octet_length",
 }
 
 _FN_CALL = re.compile(
@@ -737,6 +744,7 @@ _FN_MACROS = {
     "array_distance": _macro_distance,
     "list_distance": _macro_distance,
     "list_unique": _macro_list_unique,
+    "array_unique": _macro_list_unique,
     "list_has_all": _macro_list_has_all,
     "array_has_all": _macro_list_has_all,
     "list_slice": _macro_list_slice,

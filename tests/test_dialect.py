@@ -616,3 +616,36 @@ def test_columns_template_expression(engine):
     )
     assert r.columns == ["o_totalprice"]
     assert len(r.rows) == 2
+
+
+def test_fn_map_argminmax_quantile(engine, sf_dir):
+    import duckdb
+
+    sql = (
+        "SELECT o_orderpriority, "
+        "arg_min(o_orderkey, o_totalprice) AS cheapest, "
+        "arg_max(o_orderkey, o_totalprice) AS dearest, "
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS med "
+        "FROM 'orders.parquet' GROUP BY ALL ORDER BY ALL"
+    )
+    r = engine.run(sql)
+    con = duckdb.connect()
+    expect = con.execute(sql.replace("'orders.parquet'", f"'{sf_dir}/orders.parquet'")).fetchall()
+    con.close()
+    assert [[str(c) for c in row] for row in r.rows] == [
+        [str(c) for c in row] for row in expect
+    ]
+
+
+def test_fn_map_array_length_strlen(engine):
+    r = engine.run(
+        "SELECT array_length(string_split('a-b-c', '-')) AS n, strlen('héllo') AS b"
+    )
+    assert r.rows[0] == ["3", "6"]
+
+
+def test_string_agg_native(engine):
+    r = engine.run(
+        "SELECT string_agg(DISTINCT o_orderstatus, '|') AS s FROM 'orders.parquet'"
+    )
+    assert len(r.rows) == 1
