@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = [
     "lineitem_rolling_revenue_zscore",
     "text_contamination_hit_rate",
     "incremental_minhash_update",
+    "streaming_ingest_decontaminate",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

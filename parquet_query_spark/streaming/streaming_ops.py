@@ -356,3 +356,104 @@ def streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(agg, "ohlc")
     return spark.table(name).orderBy("event_type", "bar_hour")
+
+
+@query(
+    "streaming_ingest_decontaminate",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+             i -> concat_ws(' ',
+                    list_extract(string_split_regex(trim(text), '\\s+'), i),
+                    list_extract(string_split_regex(trim(text), '\\s+'), i + 1),
+                    list_extract(string_split_regex(trim(text), '\\s+'), i + 2)))) AS shingles
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 20
+),
+dirty AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id >= 20) c
+  JOIN bench b ON c.shingle = b.shingle
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
+FROM sh s LEFT JOIN dirty d ON s.doc_id = d.doc_id
+WHERE s.doc_id >= 20
+GROUP BY s.source
+ORDER BY s.source
+""",
+    tags=("streaming", "dedup", "decontamination"),
+)
+def streaming_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time benchmark decontamination: documents arriving on a
+    stream are screened against the held-out benchmark's 3-token shingle
+    set (doc_id < 20 stands in for the eval suite) and admitted only when
+    they share none — leakage never lands downstream, instead of being
+    scrubbed after the fact.
+
+    Stream shape: the benchmark shingle set is a STATIC one-row
+    collect_set broadcast into the stream (eval-suite-bounded, the same
+    legitimacy class as the Bloom word array); the stream side is
+    stateless scan-side shingling + arrays_overlap, so there is no state
+    store at all — admission control at full scan speed.  The per-source
+    admit/reject rollup here is the monitoring view a gate would emit."""
+    from parquet_query_spark.operators.dedup import _with_shingles
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")  # schema only
+    bench = (
+        _with_shingles(batch.where(F.col("doc_id") < 20))
+        .select(F.explode("shingles").alias("shingle"))
+        .agg(F.collect_set("shingle").alias("bench_shingles"))
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    shingle_expr = F.expr(
+        """
+        array_distinct(
+          transform(
+            sequence(1, greatest(size(toks) - 2, 1)),
+            i -> concat_ws(' ', element_at(toks, i),
+                           element_at(toks, i + 1),
+                           element_at(toks, i + 2))
+          )
+        )
+        """
+    )
+    screened = (
+        stream.where(F.col("doc_id") >= 20)
+        .select(
+            "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        )
+        .select("source", shingle_expr.alias("shingles"))
+        .crossJoin(F.broadcast(bench))
+        .select(
+            "source",
+            F.arrays_overlap("shingles", "bench_shingles").alias("is_dirty"),
+        )
+    )
+    name = _run_to_table(screened, "ingest_decon", mode="append")
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seen"),
+            F.sum(F.when(F.col("is_dirty"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_admitted"),
+            F.sum(F.when(F.col("is_dirty"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rejected"),
+        )
+        .orderBy("source")
+    )
