@@ -101,6 +101,11 @@ _DRIVER_PRIORITY = [
     "text_contamination_hit_rate",
     "incremental_minhash_update",
     "streaming_ingest_decontaminate",
+    "events_user_active_streaks",
+    "orders_cohort_ltv",
+    "supplier_lead_time_control_chart",
+    "pipeline_holdout_split",
+    "dedup_minhash_estimator_error",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

@@ -1897,3 +1897,87 @@ def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "provenance", F.lit("carried")
     )
     return carried.unionByName(recomputed).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_estimator_error",
+    oracle=f"""
+WITH {_DUCKDB_LSH_PAIR_CTES},
+mh2 AS (
+  SELECT doc_id, {_minhash_cols_duckdb()} FROM h
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(p.sh_a, p.sh_b)) AS DOUBLE)
+           / len(list_distinct(list_concat(p.sh_a, p.sh_b))) AS exact_j,
+         CAST({' + '.join(f'CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END' for i in range(16))}
+              AS BIGINT) AS n_match
+  FROM pairs p
+  JOIN mh2 a ON a.doc_id = p.doc_a
+  JOIN mh2 b ON b.doc_id = p.doc_b
+)
+SELECT CAST(round(abs(CAST(n_match AS DOUBLE) / 16 - exact_j) * 16) AS BIGINT)
+         AS abs_err_16ths,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(avg(exact_j), 4) AS mean_exact_jaccard,
+       round(avg(CAST(n_match AS DOUBLE) / 16), 4) AS mean_estimated_jaccard
+FROM scored
+GROUP BY abs_err_16ths
+ORDER BY abs_err_16ths
+""",
+    tags=("dedup", "minhash", "quality"),
+)
+def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: on every LSH candidate pair,
+    compare the 16-hash MinHash Jaccard estimate (matching-component
+    fraction) against the exact shingle Jaccard, rolled up into a
+    16th-granular absolute-error histogram — the ann_recall_eval
+    counterpart for the dedup kernel, answering "are 16 hashes enough at
+    our similarity threshold?" before anyone tunes bands.
+
+    Scale shape: reuses the slim band-join candidate kernel; the two
+    signature re-attach joins are doc-keyed; the histogram is <=17 rows.
+    Both the estimate (n/16) and the exact Jaccard are small rationals,
+    so the error bucket is cross-engine exact."""
+    v = views(spark, sf_dir)
+    pairs = _lsh_candidate_pairs_with_shingles(spark, sf_dir)
+    sh = _with_shingles(v["documents"])
+    h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
+    mh = h.select("doc_id", *_minhash_cols_spark())
+    a = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_HASHES)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ).cast("bigint")
+    exact_j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            exact_j.alias("exact_j"),
+            n_match.alias("n_match"),
+        )
+    )
+    est = F.col("n_match").cast("double") / N_HASHES
+    return (
+        scored.groupBy(
+            F.round(F.abs(est - F.col("exact_j")) * N_HASHES)
+            .cast("bigint")
+            .alias("abs_err_16ths")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("exact_j"), 4).alias("mean_exact_jaccard"),
+            F.round(F.avg(est), 4).alias("mean_estimated_jaccard"),
+        )
+        .orderBy("abs_err_16ths")
+    )

@@ -2502,3 +2502,71 @@ def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@query(
+    "events_user_active_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(d) AS streak_start
+  FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MIN(streak_start) AS first_active_day
+FROM streaks
+GROUP BY user_id
+HAVING MAX(len) >= 3
+ORDER BY longest_streak_days DESC, user_id
+""",
+    tags=("events", "window", "analytics"),
+)
+def events_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands pattern (date minus dense row_number is constant
+    within an island), the engagement metric behind every habit loop.
+
+    Scale shape: distinct (user, day) collapses the event volume
+    map-side; the row_number window is per-user (keyed shuffle, no
+    global sort); the island rollup is two more map-side-combined
+    groupings on the same user partitioning."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    days = (
+        v["events"]
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            "d", F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+        ).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .where(F.col("longest_streak_days") >= 3)
+        .orderBy(F.desc("longest_streak_days"), "user_id")
+    )

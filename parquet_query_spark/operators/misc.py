@@ -1398,3 +1398,168 @@ def lineitem_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+labeled AS (
+  SELECT f.cohort_month,
+         CAST((extract(year FROM o.o_orderdate) - extract(year FROM f.cohort_month)) * 12
+              + (extract(month FROM o.o_orderdate) - extract(month FROM f.cohort_month))
+              AS BIGINT) AS cohort_age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+),
+cell AS (
+  SELECT cohort_month, cohort_age, SUM(cents) AS rev_cents
+  FROM labeled GROUP BY cohort_month, cohort_age
+)
+SELECT cohort_month, cohort_age,
+       round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
+       round(CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                                       ORDER BY cohort_age) AS DOUBLE) / 100, 2)
+         AS cumulative_revenue
+FROM cell
+WHERE cohort_age <= 11
+ORDER BY cohort_month, cohort_age
+""",
+    tags=("window", "analytics", "aggregate"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue accumulated by cohort age (months since first order,
+    first year) — the LTV curve behind acquisition-spend decisions.
+    Revenue sums in exact integer cents so the cumulative window is
+    order-independent.
+
+    Scale shape: first-order is a map-side-combined min per customer;
+    the fact join is key-partitioned (customer); the triangle itself is
+    |cohorts| x 12 cells, so the cumulative window runs over a bounded
+    series."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    first = v["orders"].groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    labeled = (
+        v["orders"]
+        .join(first, "o_custkey")
+        .select(
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            )
+            .cast("bigint")
+            .alias("cohort_age"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    cell = labeled.groupBy("cohort_month", "cohort_age").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = W.partitionBy("cohort_month").orderBy("cohort_age")
+    return (
+        cell.where(F.col("cohort_age") <= 11)
+        .select(
+            "cohort_month",
+            "cohort_age",
+            F.round(F.col("rev_cents").cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                F.sum("rev_cents").over(w).cast("double") / 100, 2
+            ).alias("cumulative_revenue"),
+        )
+        .orderBy("cohort_month", "cohort_age")
+    )
+
+
+@query(
+    "supplier_lead_time_control_chart",
+    oracle="""
+WITH lt AS (
+  SELECT l.l_suppkey AS suppkey,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+g AS (SELECT avg(CAST(days AS DOUBLE)) AS mu, stddev_samp(CAST(days AS DOUBLE)) AS sigma FROM lt),
+s AS (
+  SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(days) AS day_sum,
+         CAST(MIN(days) AS BIGINT) AS min_days,
+         CAST(MAX(days) AS BIGINT) AS max_days
+  FROM lt GROUP BY suppkey
+)
+SELECT s.suppkey, s.n,
+       round(CAST(s.day_sum AS DOUBLE) / s.n, 3) AS mean_days,
+       s.min_days, s.max_days,
+       round(g.mu, 3) AS center_line,
+       round((CAST(s.day_sum AS DOUBLE) / s.n - g.mu)
+             / (g.sigma / sqrt(CAST(s.n AS DOUBLE))), 2) AS z,
+       CASE WHEN abs(round((CAST(s.day_sum AS DOUBLE) / s.n - g.mu)
+                     / (g.sigma / sqrt(CAST(s.n AS DOUBLE))), 2)) > 3.0
+            THEN 1 ELSE 0 END AS out_of_control
+FROM s, g
+WHERE s.n >= 30
+ORDER BY s.suppkey
+""",
+    tags=("aggregate", "analytics", "anomaly"),
+)
+def supplier_lead_time_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC control chart over supplier shipping lead times: each
+    supplier's mean lead time z-tested against the process center line
+    (global mean, sigma/sqrt(n) limits) — out-of-control suppliers are
+    the ones to call.  Lead times are exact integer days; per-supplier
+    means divide an exact BIGINT day sum so both engines feed identical
+    doubles to the z computation.
+
+    Scale shape: one fact-fact key join (orderkey), then a supplier
+    rollup and a broadcast 2-double global stat."""
+    v = views(spark, sf_dir)
+    lt = (
+        v["lineitem"]
+        .join(v["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("days"),
+        )
+    )
+    g = lt.agg(
+        F.avg(F.col("days").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("days").cast("double")).alias("sigma"),
+    )
+    s = lt.groupBy("suppkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("days").alias("day_sum"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+    mean_days = F.col("day_sum").cast("double") / F.col("n")
+    z = F.round(
+        (mean_days - F.col("mu"))
+        / (F.col("sigma") / F.sqrt(F.col("n").cast("double"))),
+        2,
+    )
+    return (
+        s.crossJoin(F.broadcast(g))
+        .where(F.col("n") >= 30)
+        .select(
+            "suppkey",
+            "n",
+            F.round(mean_days, 3).alias("mean_days"),
+            "min_days",
+            "max_days",
+            F.round("mu", 3).alias("center_line"),
+            z.alias("z"),
+            F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("out_of_control"),
+        )
+        .orderBy("suppkey")
+    )

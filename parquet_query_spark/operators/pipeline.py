@@ -683,3 +683,52 @@ def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "pipeline_holdout_split",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80
+                THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM tagged
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+    tags=("pipeline", "sample"),
+)
+def pipeline_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable key
+    hash (md5-prefix bucket on doc_id, the same engine-portable hash the
+    deterministic sampler uses) with the per-(split, lang) census that
+    verifies the split didn't skew any language — assignment must be a
+    pure function of the key so re-runs, engines, and backfills agree.
+
+    Scale shape: pure scan-side bucketing + a |splits| x |langs|
+    map-side-combined rollup; no shuffle of documents."""
+    v = views(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        v["documents"]
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split", "lang")
+    )
