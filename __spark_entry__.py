@@ -106,6 +106,11 @@ _DRIVER_PRIORITY = [
     "supplier_lead_time_control_chart",
     "pipeline_holdout_split",
     "dedup_minhash_estimator_error",
+    "dq_rule_violations",
+    "text_ngram_novelty_curve",
+    "text_lang_mix_entropy_by_source",
+    "dedup_modality_agreement",
+    "warehouse_partition_skew_report",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

@@ -1981,3 +1981,89 @@ def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("abs_err_16ths")
     )
+
+
+@query(
+    "dedup_modality_agreement",
+    oracle="""
+WITH tkey AS (
+  SELECT doc_id, md5(text) AS tk FROM documents
+),
+tdup AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY tk) > 1 THEN 1 ELSE 0 END AS is_text_dup
+  FROM tkey
+),
+ekey AS (
+  SELECT e.vec_id AS doc_id,
+         md5(array_to_string(list_transform(e.embedding, x ->
+             CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',')) AS ek
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+edup AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY ek) > 1 THEN 1 ELSE 0 END AS is_emb_dup
+  FROM ekey
+)
+SELECT t.is_text_dup, e.is_emb_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(t.doc_id) AS BIGINT) AS example_doc
+FROM tdup t JOIN edup e ON t.doc_id = e.doc_id
+GROUP BY t.is_text_dup, e.is_emb_dup
+ORDER BY is_text_dup, is_emb_dup
+""",
+    tags=("dedup", "embedding", "quality"),
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix between two dedup modalities on the docs that
+    carry both: exact text duplicates (md5 of raw text) vs exact
+    embedding duplicates (md5 of the 1e-6-quantized vector).  The
+    off-diagonal cells are the interesting ones — text-dup/emb-distinct
+    means the embedder is input-sensitive noise, text-distinct/emb-dup
+    means near-identical content the text hash missed (the SemDeDup
+    motivation), and their sizes tell you which dedup stage to trust.
+
+    Scale shape: two independent hash-keyed window counts (16-byte keys)
+    and one doc-keyed join; the matrix is 4 cells."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    tdup = v["documents"].select(
+        "doc_id",
+        F.when(
+            F.count("*").over(W.partitionBy(F.md5("text"))) > 1, 1
+        )
+        .otherwise(0)
+        .alias("is_text_dup"),
+    )
+    ekey = (
+        v["embeddings"]
+        .join(
+            v["documents"].select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(embedding, x -> "
+                    "CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ',')"
+                )
+            ).alias("ek"),
+        )
+    )
+    edup = ekey.select(
+        "doc_id",
+        F.when(F.count("*").over(W.partitionBy("ek")) > 1, 1)
+        .otherwise(0)
+        .alias("is_emb_dup"),
+    )
+    return (
+        tdup.join(edup, "doc_id")
+        .groupBy("is_text_dup", "is_emb_dup")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("is_text_dup", "is_emb_dup")
+    )

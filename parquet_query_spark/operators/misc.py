@@ -1563,3 +1563,87 @@ def supplier_lead_time_control_chart(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("suppkey")
     )
+
+
+@query(
+    "dq_rule_violations",
+    oracle="""
+SELECT 'orders_null_priority' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_violations,
+       CAST(MIN(o_orderkey) AS BIGINT) AS example_key
+FROM orders WHERE o_orderpriority IS NULL
+UNION ALL
+SELECT 'orders_nonpositive_price',
+       CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+FROM orders WHERE o_totalprice <= 0
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(COUNT(*) AS BIGINT), CAST(MIN(l_orderkey) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       CAST(COUNT(*) AS BIGINT), CAST(MIN(l.l_orderkey) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST(COUNT(*) AS BIGINT), CAST(MIN(l.l_orderkey) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'customer_dup_names',
+       CAST(COUNT(*) AS BIGINT), CAST(MIN(k) AS BIGINT)
+FROM (
+  SELECT MIN(c_custkey) AS k
+  FROM customer GROUP BY c_name HAVING COUNT(*) > 1
+)
+ORDER BY rule
+""",
+    tags=("quality", "aggregate", "join"),
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule sweep (the Deequ/great-expectations
+    shape): six constraint classes — null check, range check, value
+    bound, cross-table temporal sanity, referential orphans, uniqueness
+    — each reported as (rule, violation count, example key).  Zero
+    counts stay in the report: "checked and clean" is the deliverable.
+
+    Scale shape: each rule is one scan-side filter or one keyed
+    join/anti-join rollup; the report is |rules| rows.  At 100 TB the
+    rules share scans via a single pass per table (Catalyst reuses the
+    cached scan across the union branches)."""
+    v = views(spark, sf_dir)
+    o, l, c = v["orders"], v["lineitem"], v["customer"]
+
+    def rule(name, df, key):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").cast("bigint").alias("n_violations"),
+            F.min(key).cast("bigint").alias("example_key"),
+        )
+
+    ship_before = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") < F.col("o_orderdate"))
+    )
+    orphans = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+    dup_names = (
+        c.groupBy("c_name")
+        .agg(F.count("*").alias("cnt"), F.min("c_custkey").alias("k"))
+        .where(F.col("cnt") > 1)
+    )
+    report = (
+        rule("orders_null_priority", o.where(F.col("o_orderpriority").isNull()), "o_orderkey")
+        .unionByName(rule("orders_nonpositive_price", o.where(F.col("o_totalprice") <= 0), "o_orderkey"))
+        .unionByName(
+            rule(
+                "lineitem_discount_range",
+                l.where((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+                "l_orderkey",
+            )
+        )
+        .unionByName(rule("lineitem_ship_before_order", ship_before, "l_orderkey"))
+        .unionByName(rule("lineitem_orphan_orderkey", orphans, "l_orderkey"))
+        .unionByName(rule("customer_dup_names", dup_names, "k"))
+    )
+    return report.orderBy("rule")

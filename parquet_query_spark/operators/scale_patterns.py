@@ -706,3 +706,61 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "warehouse_partition_skew_report",
+    oracle="""
+WITH p AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS part_day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows
+  FROM p
+)
+SELECT p.part_day, p.n_rows,
+       round(CAST(p.n_rows AS DOUBLE) * s.n_parts / s.total_rows, 3) AS skew_factor,
+       CASE WHEN CAST(p.n_rows AS DOUBLE) * s.n_parts / s.total_rows > 2.0
+            THEN 1 ELSE 0 END AS is_hot
+FROM p, s
+WHERE CAST(p.n_rows AS DOUBLE) * s.n_parts / s.total_rows > 1.5
+   OR p.n_rows = s.max_rows
+ORDER BY part_day
+""",
+    tags=("warehouse", "aggregate", "skew"),
+)
+def warehouse_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-health report for a day-partitioned events table: each
+    day's row count against the uniform expectation (skew factor =
+    n_rows x n_parts / total), listing days above 1.5x plus the single
+    largest day.  Hot partitions are what turn a 1000-executor scan into
+    a one-straggler scan; this is the report that justifies salting or
+    sub-partitioning BEFORE the job falls over.
+
+    Scale shape: one map-side-combined day rollup and a broadcast 3-int
+    global stat; the report is bounded by the calendar."""
+    v = views(spark, sf_dir)
+    p = v["events"].groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("part_day")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    s = p.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    skew = F.col("n_rows").cast("double") * F.col("n_parts") / F.col("total_rows")
+    return (
+        p.crossJoin(F.broadcast(s))
+        .where((skew > 1.5) | (F.col("n_rows") == F.col("max_rows")))
+        .select(
+            "part_day",
+            "n_rows",
+            F.round(skew, 3).alias("skew_factor"),
+            F.when(skew > 2.0, 1).otherwise(0).alias("is_hot"),
+        )
+        .orderBy("part_day")
+    )

@@ -1386,3 +1386,148 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_ngram_novelty_curve",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+             i -> concat_ws(' ',
+                    list_extract(string_split_regex(trim(text), '\\s+'), i),
+                    list_extract(string_split_regex(trim(text), '\\s+'), i + 1),
+                    list_extract(string_split_regex(trim(text), '\\s+'), i + 2)))) AS shingles
+  FROM documents
+),
+expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM expl GROUP BY shingle
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM expl e JOIN first_seen f ON e.shingle = f.shingle
+  GROUP BY e.doc_id
+),
+decile AS (
+  SELECT CAST(doc_id * 10 // (SELECT MAX(doc_id) + 1 FROM documents) AS BIGINT) AS ingest_decile,
+         n_shingles, n_novel
+  FROM per_doc
+)
+SELECT ingest_decile,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) * 10000 // SUM(n_shingles) AS BIGINT) AS novelty_bp
+FROM decile
+GROUP BY ingest_decile
+ORDER BY ingest_decile
+""",
+    tags=("text", "dedup", "quality"),
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty saturation: treating doc_id as ingest order, the
+    share of each ingest decile's 3-gram shingles never seen in any
+    earlier document (basis points).  A collapsing curve is the signal
+    to stop ingesting a source — new data is no longer new.
+
+    Scale shape: shingle first-seen is one map-side-combined MIN per
+    shingle; the novelty join is shingle-keyed; the decile rollup is 10
+    rows.  Exact integer basis points."""
+    v = views(spark, sf_dir)
+    from parquet_query_spark.operators.dedup import _with_shingles
+
+    sh = _with_shingles(v["documents"])
+    expl = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # No shingle-keyed re-join of the full explode: per-doc totals come
+    # from the shingle arrays directly, and per-doc NOVEL counts are the
+    # first-seen rollup grouped by its own first_doc — the explode is
+    # shuffled once (min per shingle, map-side combined), not twice.
+    novel = (
+        expl.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    per_doc = (
+        sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_shingles"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+    )
+    max_doc = v["documents"].agg((F.max("doc_id") + 1).alias("m"))
+    return (
+        per_doc.crossJoin(F.broadcast(max_doc))
+        .groupBy(
+            F.expr("doc_id * 10 DIV m").cast("bigint").alias("ingest_decile")
+        )
+        .agg(
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.expr("SUM(n_novel) * 10000 DIV SUM(n_shingles)")
+            .cast("bigint")
+            .alias("novelty_bp"),
+        )
+        .orderBy("ingest_decile")
+    )
+
+
+@query(
+    "text_lang_mix_entropy_by_source",
+    oracle="""
+WITH cell AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 4) AS lang_entropy_nats,
+       arg_max(lang, lpad(CAST(c AS VARCHAR), 12, '0') || '|' || lang)
+         AS dominant_lang
+FROM cell
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "aggregate", "quality"),
+)
+def text_lang_mix_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source (nats) plus the dominant language
+    — zero entropy means a monolingual source, high entropy means a
+    crawler that needs per-language routing before mixture weighting.
+    Entropy from exact BIGINT cell counts (ln N - sum c*ln c / N);
+    dominant-language argmax uses a zero-padded count||lang key so ties
+    break identically in both engines.
+
+    Scale shape: the (source, lang) contingency is a bounded map-side-
+    combined rollup; everything after runs on <=|sources|x|langs| rows."""
+    v = views(spark, sf_dir)
+    cell = v["documents"].groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    key = F.concat_ws(
+        "|", F.lpad(F.col("c").cast("string"), 12, "0"), F.col("lang")
+    )
+    return (
+        cell.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+                4,
+            ).alias("lang_entropy_nats"),
+            F.expr(
+                "max_by(lang, concat_ws('|', lpad(CAST(c AS STRING), 12, '0'), lang))"
+            ).alias("dominant_lang"),
+        )
+        .orderBy("source")
+    )
