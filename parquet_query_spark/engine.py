@@ -191,7 +191,9 @@ class Engine:
         # pure-text dialect shim.
         from parquet_query_spark.workbench.pivot import (
             expand_columns,
+            expand_star_replace,
             has_columns_expr,
+            has_star_replace,
             is_pivot_statement,
             run_pivot,
         )
@@ -200,6 +202,8 @@ class Engine:
             return run_pivot(self, statement)
         if has_columns_expr(statement):
             return self.sql(expand_columns(self, statement))
+        if has_star_replace(statement):
+            return self.sql(expand_star_replace(self, statement))
         primary = rewrite_duckdb_dialect(statement)
         try:
             return self.spark.sql(rewrite_path_tables(primary, self.root, registered))

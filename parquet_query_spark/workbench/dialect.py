@@ -786,6 +786,55 @@ def _rewrite_fn_macros(sql: str) -> str:
     return sql
 
 
+# ── DuckDB FROM-first statements ────────────────────────────────────────
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB allows ``FROM t`` (implicit SELECT *) and ``FROM t SELECT
+    cols`` (FROM-first).  Spark wants SELECT first; reorder at top level.
+    Only statements that BEGIN with FROM are touched."""
+    if not re.match(r"^\s*FROM\b", sql, re.IGNORECASE):
+        return sql
+    body = sql.strip().rstrip(";")
+    mask = _code_mask(body)
+    sel = [
+        m
+        for m in _keyword_matches(body, mask, r"\bSELECT\b")
+        if _paren_depth_at(body, mask, m.start()) == 0
+    ]
+    if not sel:
+        return f"SELECT * {body}"
+    m = sel[0]
+    pre = body[: m.start()].strip()  # FROM <src> [WHERE ...]
+    rest = body[m.end() :].strip()  # <select list> [GROUP BY/ORDER BY/...]
+    rmask = _code_mask(rest)
+    tail = [
+        t
+        for t in _keyword_matches(
+            rest,
+            rmask,
+            r"\b(?:WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b",
+        )
+        if _paren_depth_at(rest, rmask, t.start()) == 0
+    ]
+    if tail:
+        cut = tail[0].start()
+        return f"SELECT {rest[:cut].strip()} {pre} {rest[cut:].strip()}"
+    return f"SELECT {rest} {pre}"
+
+
+def _paren_depth_at(sql: str, mask: list[bool], pos: int) -> int:
+    depth = 0
+    for i in range(pos):
+        if not mask[i]:
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+    return depth
+
+
 # ── USING SAMPLE → TABLESAMPLE ──────────────────────────────────────────
 
 _USING_SAMPLE = re.compile(
@@ -822,7 +871,9 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                 _rewrite_exclude(
                     _rewrite_using_sample(
                         _rewrite_function_names(
-                            _rewrite_fn_macros(_rewrite_asof_join(sql))
+                            _rewrite_fn_macros(
+                                _rewrite_asof_join(_rewrite_from_first(sql))
+                            )
                         )
                     )
                 )
@@ -840,7 +891,9 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                 _rewrite_exclude(
                     _rewrite_using_sample(
                         _rewrite_function_names(
-                            _rewrite_fn_macros(_rewrite_asof_join(sql))
+                            _rewrite_fn_macros(
+                                _rewrite_asof_join(_rewrite_from_first(sql))
+                            )
                         )
                     )
                 )

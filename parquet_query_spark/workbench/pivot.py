@@ -222,25 +222,16 @@ _FROM_SRC = re.compile(
 )
 
 
-def expand_columns(engine, statement: str) -> str:
-    """Expand ``COLUMNS(*)`` / ``COLUMNS('regex')`` select-list templates.
-
-    DuckDB semantics: the smallest select-list item containing the
-    COLUMNS call is replicated once per matching column, with the call
-    replaced by the column reference; the result column keeps the source
-    column's name (explicit ``AS`` aliases apply only to single-column
-    matches).  Scope: the statement's first top-level FROM names one
-    table / path literal (joins and subquery sources stay out — Spark's
-    error will name the construct).
-    """
-    mask = _code_mask(statement)
+def _resolve_from_schema(engine, statement, mask, construct):
+    """Locate the first top-level FROM and return (match, source columns).
+    Supports a single table, path literal, or parenthesized subquery."""
     fm = None
     for m in _keyword_matches(statement, mask, r"\bFROM\b"):
         if _depth_at(statement, mask, m.start()) == 0:
             fm = m
             break
     if fm is None:
-        raise ValueError("COLUMNS(...) needs a FROM clause to resolve against")
+        raise ValueError(f"{construct} needs a FROM clause to resolve against")
     after = statement[fm.end() :].lstrip()
     if after.startswith("("):
         # subquery source: take the balanced-paren body
@@ -264,11 +255,75 @@ def expand_columns(engine, statement: str) -> str:
         sm = _FROM_SRC.match(statement, fm.start())
         if sm is None:
             raise ValueError(
-                "COLUMNS(...) is supported only over a single table, path "
+                f"{construct} is supported only over a single table, path "
                 "literal, or parenthesized subquery FROM source"
             )
         src = sm.group(1)
     schema_cols = engine.sql(f"SELECT * FROM {src} __cols_src WHERE 1=0").columns
+    return fm, schema_cols
+
+
+_STAR_REPLACE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+
+
+def has_star_replace(statement: str) -> bool:
+    mask = _code_mask(statement)
+    return any(
+        all(mask[m.start() : m.end() - 1])
+        for m in _STAR_REPLACE.finditer(statement)
+    )
+
+
+def expand_star_replace(engine, statement: str) -> str:
+    """DuckDB ``SELECT * REPLACE (expr AS col, ...)`` — the star expands
+    with the named columns replaced by the expressions IN PLACE (column
+    order preserved, unlike an ``* EXCEPT + append`` rewrite).  Needs the
+    source schema, so it lives at the engine layer with COLUMNS."""
+    mask = _code_mask(statement)
+    m = next(
+        (
+            c
+            for c in _STAR_REPLACE.finditer(statement)
+            if all(mask[c.start() : c.end() - 1])
+        ),
+        None,
+    )
+    if m is None:
+        return statement
+    _, schema_cols = _resolve_from_schema(engine, statement, mask, "* REPLACE")
+    parsed = _split_call_args(statement, mask, m.end() - 1)
+    if parsed is None:
+        raise ValueError("unbalanced * REPLACE (...) list")
+    args, close = parsed
+    repl: dict[str, str] = {}
+    for item in args:
+        am = re.search(r"\s+AS\s+(" + _IDENT + r")\s*$", item, re.IGNORECASE)
+        if not am:
+            raise ValueError("* REPLACE entries must be '<expr> AS <column>'")
+        col = am.group(1)
+        matches = [c for c in schema_cols if c.lower() == col.lower()]
+        if not matches:
+            raise ValueError(f"* REPLACE names unknown column {col!r}")
+        repl[matches[0]] = item[: am.start()].strip()
+    out = ", ".join(
+        f"({repl[c]}) AS `{c}`" if c in repl else f"`{c}`" for c in schema_cols
+    )
+    return statement[: m.start()] + out + statement[close + 1 :]
+
+
+def expand_columns(engine, statement: str) -> str:
+    """Expand ``COLUMNS(*)`` / ``COLUMNS('regex')`` select-list templates.
+
+    DuckDB semantics: the smallest select-list item containing the
+    COLUMNS call is replicated once per matching column, with the call
+    replaced by the column reference; the result column keeps the source
+    column's name (explicit ``AS`` aliases apply only to single-column
+    matches).  Scope: the statement's first top-level FROM names one
+    table / path literal (joins and subquery sources stay out — Spark's
+    error will name the construct).
+    """
+    mask = _code_mask(statement)
+    fm, schema_cols = _resolve_from_schema(engine, statement, mask, "COLUMNS(...)")
 
     sel = [
         k

@@ -649,3 +649,54 @@ def test_string_agg_native(engine):
         "SELECT string_agg(DISTINCT o_orderstatus, '|') AS s FROM 'orders.parquet'"
     )
     assert len(r.rows) == 1
+
+
+# ── round-6 FROM-first statements + * REPLACE ────────────────────────────
+
+
+def test_from_first_bare():
+    out = rewrite_duckdb_dialect("FROM t")
+    assert out == "SELECT * FROM t"
+
+
+def test_from_first_with_select():
+    out = rewrite_duckdb_dialect("FROM t SELECT a, b")
+    assert out == "SELECT a, b FROM t"
+
+
+def test_from_first_subquery_select_untouched():
+    sql = "SELECT * FROM (SELECT a FROM t) q"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_engine_from_first(engine):
+    r = engine.run("FROM 'region.parquet'")
+    assert r.num_rows == 5
+    r2 = engine.run(
+        "FROM 'orders.parquet' SELECT o_orderstatus, count(*) AS n GROUP BY ALL ORDER BY ALL"
+    )
+    assert r2.columns == ["o_orderstatus", "n"]
+
+
+def test_star_replace_preserves_column_order(engine):
+    r = engine.run(
+        "SELECT * REPLACE (upper(r_name) AS r_name) FROM 'region.parquet' ORDER BY r_regionkey"
+    )
+    base = engine.run("SELECT * FROM 'region.parquet' ORDER BY r_regionkey")
+    assert r.columns == base.columns  # in-place, not moved to the end
+    assert r.rows[0][base.columns.index("r_name")] == base.rows[0][
+        base.columns.index("r_name")
+    ].upper()
+
+
+def test_star_replace_two_columns(engine):
+    r = engine.run(
+        "SELECT * REPLACE (o_totalprice * 2 AS o_totalprice, upper(o_orderpriority) AS o_orderpriority) "
+        "FROM 'orders.parquet' LIMIT 1"
+    )
+    assert "o_totalprice" in r.columns and "o_orderpriority" in r.columns
+
+
+def test_star_replace_unknown_column_raises(engine):
+    with pytest.raises(Exception):
+        engine.run("SELECT * REPLACE (1 AS nope) FROM 'region.parquet'")
