@@ -78,3 +78,35 @@ def test_empty_buffer_raises_clean_error(spark):
     eng = Engine(spark=spark)
     with pytest.raises(ValueError, match="no SQL statement"):
         eng.run("   -- only a comment\n")
+
+
+def test_restage_fixes_fat_row_groups(spark, tmp_path):
+    """A file with a few fat row groups must be restaged so scan-side
+    compute parallelizes (the 64x regression: 3 row groups -> 3 of 32
+    cores -> minhash signatures 149s instead of 13s)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_query_spark.sources.registry import _needs_restage, load_table
+
+    n = 30_000
+    tbl = pa.table({"doc_id": list(range(n)), "text": ["word " * 10] * n})
+    path = tmp_path / "documents.parquet"
+    pq.write_table(tbl, path, row_group_size=n // 3 + 1)  # 3 fat groups
+    assert pq.ParquetFile(path).metadata.num_row_groups <= 3
+    assert _needs_restage(str(path))
+    df = load_table(spark, str(tmp_path), "documents")
+    assert df.rdd.getNumPartitions() >= 16
+    assert df.count() == n
+
+
+def test_tiny_tables_not_restaged(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_query_spark.sources.registry import _needs_restage
+
+    tbl = pa.table({"k": [1, 2, 3]})
+    path = tmp_path / "region.parquet"
+    pq.write_table(tbl, path)
+    assert not _needs_restage(str(path))
