@@ -111,6 +111,10 @@ _DRIVER_PRIORITY = [
     "text_lang_mix_entropy_by_source",
     "dedup_modality_agreement",
     "warehouse_partition_skew_report",
+    "scalar_datetime_functions",
+    "agg_exact_mode_per_group",
+    "events_outage_windows",
+    "embedding_dimension_profile",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

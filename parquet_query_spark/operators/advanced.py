@@ -581,3 +581,91 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE)      AS quarter_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)     AS month_end,
+       CAST(extract(quarter FROM o_orderdate) AS INTEGER)    AS q,
+       CAST(extract(dow FROM o_orderdate) AS INTEGER)        AS dow_sun0,
+       CAST(extract(doy FROM o_orderdate) AS INTEGER)        AS doy,
+       CAST(o_orderdate + INTERVAL 45 DAY AS DATE)           AS plus45,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+                                                             AS days_since_95,
+       strftime(o_orderdate, '%Y-%m')                        AS ym
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+    tags=("scalar", "temporal"),
+)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function parity sweep (the date twin of the
+    string/bitwise sweeps): quarter truncation, month end, quarter/
+    day-of-week/day-of-year extraction, interval arithmetic, day diffs,
+    and formatting.  DOW is normalized to DuckDB's Sunday=0 convention
+    (Spark's dayofweek is Sunday=1)."""
+    v = views(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        v["orders"]
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+            F.last_day(d).alias("month_end"),
+            F.quarter(d).cast("int").alias("q"),
+            (F.dayofweek(d) - 1).cast("int").alias("dow_sun0"),
+            F.dayofyear(d).cast("int").alias("doy"),
+            F.date_add(d.cast("date"), 45).alias("plus45"),
+            F.datediff(d, F.lit("1995-01-01")).cast("bigint").alias("days_since_95"),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "agg_exact_mode_per_group",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT o_orderpriority,
+       arg_max(o_orderstatus,
+               lpad(CAST(n AS VARCHAR), 12, '0') || '|' || o_orderstatus)
+         AS mode_status,
+       CAST(MAX(n) AS BIGINT) AS mode_n,
+       CAST(SUM(n) AS BIGINT) AS total_n
+FROM c
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("aggregate",),
+)
+def agg_exact_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group statistical mode with a total tie-break (highest
+    count, then highest value — one zero-padded count||value max_by key,
+    so both engines agree bit-for-bit).  Spark has no mode() aggregate;
+    the two-level rollup IS the scalable formulation — the value-count
+    layer map-side combines, and the argmax layer runs on
+    |groups|x|values| rows."""
+    v = views(spark, sf_dir)
+    c = v["orders"].groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "max_by(o_orderstatus, concat_ws('|', lpad(CAST(n AS STRING), 12, '0'), o_orderstatus))"
+            ).alias("mode_status"),
+            F.max("n").cast("bigint").alias("mode_n"),
+            F.sum("n").cast("bigint").alias("total_n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2570,3 +2570,54 @@ def events_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("longest_streak_days") >= 3)
         .orderBy(F.desc("longest_streak_days"), "user_id")
     )
+
+
+@query(
+    "events_outage_windows",
+    oracle="""
+WITH m AS (
+  SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events
+),
+g AS (
+  SELECT minute,
+         lag(minute) OVER (ORDER BY minute) AS prev_minute
+  FROM m
+)
+SELECT prev_minute AS gap_start, minute AS gap_end,
+       CAST(date_diff('minute', prev_minute, minute) - 1 AS BIGINT)
+         AS silent_minutes
+FROM g
+WHERE date_diff('minute', prev_minute, minute) > 5
+ORDER BY gap_start
+""",
+    tags=("events", "window", "anomaly"),
+)
+def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection: stretches of >5 silent minutes in the event
+    stream, found as gaps between consecutive ACTIVE minutes — the
+    monitoring question ("when did ingest stop?") answered from the data
+    itself.
+
+    Scale shape: the event volume collapses map-side to distinct active
+    minutes (time-bounded series, corpus-size-independent), and only
+    that series flows through the unpartitioned lag window — the same
+    bounded-series justification as the hourly anomaly ops."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    m = v["events"].select(F.date_trunc("minute", "ts").alias("minute")).distinct()
+    g = m.select(
+        "minute", F.lag("minute").over(W.orderBy("minute")).alias("prev_minute")
+    )
+    gap_min = (
+        F.col("minute").cast("long") - F.col("prev_minute").cast("long")
+    ) / 60
+    return (
+        g.where(gap_min > 5)
+        .select(
+            F.col("prev_minute").alias("gap_start"),
+            F.col("minute").alias("gap_end"),
+            (gap_min - 1).cast("bigint").alias("silent_minutes"),
+        )
+        .orderBy("gap_start")
+    )

@@ -1966,3 +1966,48 @@ def embedding_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "embedding_dimension_profile",
+    oracle="""
+WITH e AS (
+  SELECT CAST(t.i AS INTEGER) AS dim,
+         CAST(list_extract(embedding, CAST(t.i AS INTEGER)) AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT dim,
+       round(avg(x), 4) AS mean,
+       round(stddev_samp(x), 4) AS std,
+       round(MIN(x), 4) AS min_x,
+       round(MAX(x), 4) AS max_x,
+       CASE WHEN stddev_samp(x) < 0.01 THEN 1 ELSE 0 END AS is_dead
+FROM e
+GROUP BY dim
+ORDER BY dim
+""",
+    tags=("embedding", "quality"),
+)
+def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — dead dimensions (near-zero
+    variance) waste index space and signal a truncated or collapsed
+    encoder; a skewed per-dimension mean breaks cosine assumptions.  The
+    column-profile idea applied inside the vector column.
+
+    Scale shape: posexplode aggregates map-side onto the dim key — the
+    shuffle carries dim-bounded partials, corpus-size-independent."""
+    v = views(spark, sf_dir)
+    e = v["embeddings"].select(
+        F.posexplode(_as_double("embedding")).alias("i", "x")
+    ).select((F.col("i") + 1).cast("int").alias("dim"), "x")
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 4).alias("mean"),
+            F.round(F.stddev_samp("x"), 4).alias("std"),
+            F.round(F.min("x"), 4).alias("min_x"),
+            F.round(F.max("x"), 4).alias("max_x"),
+            F.when(F.stddev_samp("x") < 0.01, 1).otherwise(0).alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
