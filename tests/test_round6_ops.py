@@ -120,3 +120,34 @@ def test_streaming_decontaminate_agrees_with_batch_audit(catalog, spark):
         a = audit[src]
         assert g.n_seen == a.n_docs
         assert g.n_rejected == a.n_contaminated
+
+
+def test_datetime_sweep_dow_range(catalog, spark):
+    rows = catalog["scalar_datetime_functions"].fn(spark, SF).limit(200).collect()
+    for r in rows:
+        assert 0 <= r.dow_sun0 <= 6
+        assert 1 <= r.q <= 4
+        assert r.month_end >= r.quarter_start
+
+
+def test_mode_bounded_by_total(catalog, spark):
+    rows = catalog["agg_exact_mode_per_group"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.mode_n <= r.total_n
+
+
+def test_outage_windows_ordered_nonoverlapping(catalog, spark):
+    rows = catalog["events_outage_windows"].fn(spark, SF).collect()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.gap_end <= cur.gap_start
+    for r in rows:
+        assert r.silent_minutes >= 5
+
+
+def test_dimension_profile_consistent(catalog, spark):
+    rows = catalog["embedding_dimension_profile"].fn(spark, SF).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.min_x <= r.mean <= r.max_x
+        assert (r.is_dead == 1) == (r.std < 0.01)
