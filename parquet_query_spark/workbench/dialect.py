@@ -23,7 +23,11 @@ hits first:
   ``AsofRewriteError`` rather than risk wrong results).
 - ``USING SAMPLE`` → ``TABLESAMPLE``; DuckDB-spelled function names
   (``string_split``, ``list_*``, ``list``, ``regexp_matches``,
-  ``epoch_ms``/``epoch_us``) → their Spark equivalents.
+  ``epoch_ms``/``epoch_us``, ``arg_min/arg_max``, vector-math macros) →
+  their Spark equivalents.
+- ``FROM``-first statements (``FROM t`` / ``FROM t SELECT ...``) and
+  ``SELECT DISTINCT ON (keys) ... [ORDER BY ...]`` (ranked-window
+  rewrite with hidden order columns).
 
 Every rewrite is lexer-aware (single/double/backtick quotes, ``--`` and
 ``/* */`` comments — the A6 lexer's rules) so occurrences inside strings,
@@ -835,6 +839,101 @@ def _paren_depth_at(sql: str, mask: list[bool], pos: int) -> int:
     return depth
 
 
+# ── DISTINCT ON → ranked window ─────────────────────────────────────────
+
+_DISTINCT_ON = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _top_level_split(text: str, mask: list[bool], sep: str = ",") -> list[str]:
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(text):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """Postgres/DuckDB ``SELECT DISTINCT ON (keys) list FROM ... [ORDER BY
+    o]`` → one row per key group (the first under the ORDER BY; arbitrary
+    but deterministic — the keys themselves — when no ORDER BY is given),
+    expressed as a row_number window + filter.  Order expressions are
+    projected as hidden ``__don_o<i>`` columns so the outer ORDER BY works
+    even when they aren't in the select list, then dropped with
+    ``* EXCEPT``."""
+    m = _DISTINCT_ON.match(sql)
+    if m is None:
+        return sql
+    body = sql.strip().rstrip(";")
+    mask = _code_mask(body)
+    parsed = _split_call_args(body, mask, m.end() - 1)
+    if parsed is None:
+        return sql
+    keys, close = parsed
+    keys = [k.strip() for k in keys]
+
+    def top_kw(pattern, start=0):
+        for k in _keyword_matches(body, mask, pattern):
+            if k.start() >= start and _paren_depth_at(body, mask, k.start()) == 0:
+                return k
+        return None
+
+    fm = top_kw(r"\bFROM\b", close)
+    if fm is None:
+        return sql
+    select_list = body[close + 1 : fm.start()].strip()
+    ob = top_kw(r"\bORDER\s+BY\b", fm.end())
+    lim = top_kw(r"\bLIMIT\b|\bOFFSET\b", fm.end())
+    src_end = min(x.start() for x in (ob, lim) if x is not None) if (ob or lim) else len(body)
+    src = body[fm.start() : src_end].strip()
+    tail_limit = body[lim.start() :].strip() if lim is not None else ""
+
+    if ob is not None:
+        ob_end = lim.start() if lim is not None and lim.start() > ob.end() else len(body)
+        items = [
+            i.strip()
+            for i in _top_level_split(
+                body[ob.end() : ob_end], _code_mask(body[ob.end() : ob_end])
+            )
+        ]
+    else:
+        items = list(keys)
+
+    dir_re = re.compile(
+        r"\s+(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$", re.IGNORECASE
+    )
+    hidden, win_items, outer_items = [], [], []
+    for i, item in enumerate(items):
+        dm = dir_re.search(item)
+        expr = item[: dm.start()].strip() if dm and dm.group(0).strip() else item
+        suffix = item[len(expr) :].strip()
+        hidden.append(f"{expr} AS __don_o{i}")
+        win_items.append(item)
+        outer_items.append(f"__don_o{i} {suffix}".strip())
+
+    inner = (
+        f"SELECT {select_list}, {', '.join(hidden)}, "
+        f"row_number() OVER (PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {', '.join(win_items)}) AS __don_rn {src}"
+    )
+    excl = ", ".join([f"__don_o{i}" for i in range(len(items))] + ["__don_rn"])
+    out = f"SELECT * EXCEPT ({excl}) FROM ({inner}) __don WHERE __don_rn = 1"
+    if ob is not None:
+        out += f" ORDER BY {', '.join(outer_items)}"
+    if tail_limit:
+        out += f" {tail_limit}"
+    return out
+
+
 # ── USING SAMPLE → TABLESAMPLE ──────────────────────────────────────────
 
 _USING_SAMPLE = re.compile(
@@ -872,7 +971,9 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                     _rewrite_using_sample(
                         _rewrite_function_names(
                             _rewrite_fn_macros(
-                                _rewrite_asof_join(_rewrite_from_first(sql))
+                                _rewrite_asof_join(
+                                    _rewrite_distinct_on(_rewrite_from_first(sql))
+                                )
                             )
                         )
                     )
@@ -892,7 +993,9 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                     _rewrite_using_sample(
                         _rewrite_function_names(
                             _rewrite_fn_macros(
-                                _rewrite_asof_join(_rewrite_from_first(sql))
+                                _rewrite_asof_join(
+                                    _rewrite_distinct_on(_rewrite_from_first(sql))
+                                )
                             )
                         )
                     )

@@ -700,3 +700,55 @@ def test_star_replace_two_columns(engine):
 def test_star_replace_unknown_column_raises(engine):
     with pytest.raises(Exception):
         engine.run("SELECT * REPLACE (1 AS nope) FROM 'region.parquet'")
+
+
+# ── round-6 DISTINCT ON ──────────────────────────────────────────────────
+
+
+def test_distinct_on_matches_duckdb(engine, sf_dir):
+    import duckdb
+
+    sql = (
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice "
+        "FROM 'orders.parquet' WHERE o_custkey <= 40 "
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"
+    )
+    r = engine.run(sql)
+    con = duckdb.connect()
+    expect = con.execute(
+        sql.replace("'orders.parquet'", f"'{sf_dir}/orders.parquet'")
+    ).fetchall()
+    con.close()
+    assert len(r.rows) == len(expect)
+    for got, want in zip(r.rows, expect):
+        assert int(got[0]) == want[0] and int(got[1]) == want[1]
+        assert abs(float(got[2]) - want[2]) < 0.005
+
+
+def test_distinct_on_hidden_order_column(engine, sf_dir):
+    import duckdb
+
+    # the order column (o_orderdate) is NOT in the select list
+    sql = (
+        "SELECT DISTINCT ON (o_custkey) o_orderkey "
+        "FROM 'orders.parquet' WHERE o_custkey <= 25 "
+        "ORDER BY o_custkey, o_orderdate DESC, o_orderkey"
+    )
+    r = engine.run(sql)
+    assert r.columns == ["o_orderkey"]
+    con = duckdb.connect()
+    expect = con.execute(
+        sql.replace("'orders.parquet'", f"'{sf_dir}/orders.parquet'")
+    ).fetchall()
+    con.close()
+    assert [[str(c) for c in row] for row in r.rows] == [
+        [str(c) for c in row] for row in expect
+    ]
+
+
+def test_distinct_on_no_order_by(engine):
+    r = engine.run(
+        "SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey FROM 'orders.parquet'"
+    )
+    statuses = [row[0] for row in r.rows]
+    assert len(statuses) == len(set(statuses))  # one row per key
