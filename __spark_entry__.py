@@ -115,6 +115,10 @@ _DRIVER_PRIORITY = [
     "agg_exact_mode_per_group",
     "events_outage_windows",
     "embedding_dimension_profile",
+    "events_spike_attribution",
+    "text_code_detection",
+    "orders_weekday_effect_ftest",
+    "nation_revenue_rank_shift",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

@@ -2621,3 +2621,91 @@ def events_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+@query(
+    "events_spike_attribution",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour_start, n,
+         avg(n) OVER (ORDER BY hour_start
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base,
+         COUNT(*) OVER (ORDER BY hour_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_n
+  FROM h
+),
+spikes AS (
+  SELECT hour_start, n, base FROM w
+  WHERE base_n = 24 AND CAST(n AS DOUBLE) >= 1.3 * base
+),
+bytype AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS type_n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour_start, s.n AS spike_n, round(s.base, 2) AS baseline,
+       arg_max(b.event_type,
+               lpad(CAST(b.type_n AS VARCHAR), 12, '0') || '|' || b.event_type)
+         AS top_type,
+       CAST(MAX(b.type_n) AS BIGINT) AS top_type_n,
+       CAST(MAX(b.type_n) * 10000 // s.n AS BIGINT) AS top_type_share_bp
+FROM spikes s JOIN bytype b ON b.hour_start = s.hour_start
+GROUP BY s.hour_start, s.n, s.base
+ORDER BY s.hour_start
+""",
+    tags=("events", "window", "anomaly"),
+)
+def events_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike drill-down: for every hour running >=1.3x its trailing-24h
+    baseline, which event type contributed most and what share of the
+    spike it owns — the first question an on-call asks after the pager
+    fires.  Tie-break via the padded count||type argmax key.
+
+    Scale shape: both rollups map-side combine onto hour(-type) keys; the
+    join is hour-keyed against the tiny spike set."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    h = v["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wb = W.orderBy("hour_start").rowsBetween(-24, -1)
+    spikes = (
+        h.select(
+            "hour_start",
+            "n",
+            F.avg("n").over(wb).alias("base"),
+            F.count("n").over(wb).alias("base_n"),
+        )
+        .where((F.col("base_n") == 24) & (F.col("n").cast("double") >= 1.3 * F.col("base")))
+        .select("hour_start", F.col("n").alias("spike_n"), "base")
+    )
+    bytype = v["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("type_n"))
+    return (
+        bytype.join(spikes, "hour_start")
+        .groupBy("hour_start", "spike_n", "base")
+        .agg(
+            F.expr(
+                "max_by(event_type, concat_ws('|', lpad(CAST(type_n AS STRING), 12, '0'), event_type))"
+            ).alias("top_type"),
+            F.max("type_n").cast("bigint").alias("top_type_n"),
+            F.expr("MAX(type_n) * 10000 DIV MAX(spike_n)")
+            .cast("bigint")
+            .alias("top_type_share_bp"),
+        )
+        .select(
+            "hour_start",
+            "spike_n",
+            F.round("base", 2).alias("baseline"),
+            "top_type",
+            "top_type_n",
+            "top_type_share_bp",
+        )
+        .orderBy("hour_start")
+    )

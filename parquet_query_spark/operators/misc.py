@@ -1647,3 +1647,161 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule("customer_dup_names", dup_names, "k"))
     )
     return report.orderBy("rule")
+
+
+@query(
+    "orders_weekday_effect_ftest",
+    oracle="""
+WITH d AS (
+  SELECT CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cents) AS s, SUM(CAST(cents AS HUGEINT) * cents) AS ss
+  FROM d GROUP BY dow
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total, SUM(s) AS s_total,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(s AS DOUBLE) * s / n) AS sum_group_means
+  FROM g
+),
+parts AS (
+  SELECT t.k, t.n_total,
+         t.sum_group_means - CAST(t.s_total AS DOUBLE) * t.s_total / t.n_total
+           AS ss_between,
+         (SELECT SUM(CAST(ss AS DOUBLE)) FROM g)
+           - t.sum_group_means AS ss_within
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS n_groups, n_total,
+       round(ss_between / (k - 1) / (ss_within / (n_total - k)), 4) AS f_stat,
+       CASE WHEN ss_between / (k - 1) / (ss_within / (n_total - k)) > 2.01
+            THEN 1 ELSE 0 END AS weekday_effect
+FROM parts
+""",
+    tags=("aggregate", "analytics"),
+)
+def orders_weekday_effect_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for a day-of-week effect on order value
+    — the seasonality-significance screen run before anyone builds
+    per-weekday pricing.  All sums accumulate in exact integer cents
+    (sum and sum-of-squares per group), so both engines assemble the F
+    ratio from identical integers and round once.
+
+    Scale shape: one map-side-combined 7-group rollup; everything after
+    is arithmetic on 7 rows."""
+    v = views(spark, sf_dir)
+    d = v["orders"].select(
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").alias("s"),
+        # cents^2 sums overflow BIGINT at sf0.1; decimal(38,0) keeps the
+        # accumulation exact (DuckDB side uses HUGEINT)
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").alias("s_total"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sum_group_means"
+        ),
+        F.sum(F.col("ss")).cast("double").alias("ss_all"),
+    )
+    ss_between = (
+        F.col("sum_group_means")
+        - F.col("s_total").cast("double") * F.col("s_total") / F.col("n_total")
+    )
+    ss_within = F.col("ss_all") - F.col("sum_group_means")
+    f_stat = (ss_between / (F.col("k") - 1)) / (
+        ss_within / (F.col("n_total") - F.col("k"))
+    )
+    return t.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        "n_total",
+        F.round(f_stat, 4).alias("f_stat"),
+        F.when(f_stat > 2.01, 1).otherwise(0).alias("weekday_effect"),
+    )
+
+
+@query(
+    "nation_revenue_rank_shift",
+    oracle="""
+WITH r AS (
+  SELECT n.n_name AS nation,
+         CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS yr,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, yr
+),
+ranked AS (
+  SELECT nation, yr, rev_cents,
+         CAST(rank() OVER (PARTITION BY yr
+                           ORDER BY rev_cents DESC, nation) AS BIGINT) AS rnk
+  FROM r
+)
+SELECT nation, yr, round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
+       rnk,
+       CAST(lag(rnk) OVER (PARTITION BY nation ORDER BY yr) - rnk AS BIGINT)
+         AS rank_gain
+FROM ranked
+ORDER BY yr, rnk
+""",
+    tags=("window", "join", "analytics"),
+)
+def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year league table of nations by customer revenue with
+    each nation's rank change — the market-movement view (who is
+    climbing, who is sliding).  Revenue in exact integer cents; rank
+    ties break by name so both engines agree.
+
+    Scale shape: the fact join broadcasts the nation dim; the rollup is
+    |nations|x|years| rows, and both windows run on that bounded grid."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    r = (
+        v["orders"]
+        .join(v["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(v["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    ranked = r.select(
+        "nation",
+        "yr",
+        "rev_cents",
+        F.rank()
+        .over(W.partitionBy("yr").orderBy(F.desc("rev_cents"), F.asc("nation")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return (
+        ranked.select(
+            "nation",
+            "yr",
+            F.round(F.col("rev_cents").cast("double") / 100, 2).alias("revenue"),
+            "rnk",
+            (
+                F.lag("rnk").over(W.partitionBy("nation").orderBy("yr")) - F.col("rnk")
+            )
+            .cast("bigint")
+            .alias("rank_gain"),
+        )
+        .orderBy("yr", "rnk")
+    )

@@ -1531,3 +1531,69 @@ def text_lang_mix_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source,
+         length(regexp_replace(text, '[^{}();\\[\\]=<>]+', '', 'g')) AS n_codechars,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '(?m)^[ \\t]{4,}\\S'))
+           AS n_indented_lines,
+         len(string_split(text, chr(10))) AS n_lines
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(n_codechars * 10000 // greatest(n_chars, 1) AS BIGINT)
+         AS codechar_bp,
+       CAST(n_indented_lines AS BIGINT) AS n_indented_lines,
+       CASE WHEN n_codechars * 10000 // greatest(n_chars, 1) >= 300
+              OR n_indented_lines * 10 >= n_lines * 3
+            THEN 1 ELSE 0 END AS looks_like_code
+FROM m
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic per document: density of code punctuation
+    ({}();[]=<>, counted via the run-collapsed replace trick) and
+    heavily-indented line share — the filter that routes source code out
+    of a prose corpus (or into a code corpus) before training.  Exact
+    integer basis points keep the flag cross-engine deterministic.
+
+    Scale shape: pure scan-side counting, zero shuffles beyond the
+    presentation sort."""
+    v = views(spark, sf_dir)
+    n_codechars = F.length(
+        F.regexp_replace(F.col("text"), r"[^{}();\[\]=<>]+", "")
+    )
+    n_indent = F.regexp_count(F.col("text"), F.lit(r"(?m)^[ \t]{4,}\S"))
+    n_lines = F.size(F.split(F.col("text"), "\n", -1))
+    m = v["documents"].select(
+        "doc_id",
+        "source",
+        n_codechars.alias("n_codechars"),
+        F.length("text").alias("n_chars"),
+        n_indent.cast("bigint").alias("n_indented_lines"),
+        n_lines.alias("n_lines"),
+    )
+    code_bp = F.expr("n_codechars * 10000 DIV greatest(n_chars, 1)")
+    return (
+        m.select(
+            "doc_id",
+            "source",
+            code_bp.cast("bigint").alias("codechar_bp"),
+            "n_indented_lines",
+            F.when(
+                (code_bp >= 300)
+                | (F.col("n_indented_lines") * 10 >= F.col("n_lines") * 3),
+                1,
+            )
+            .otherwise(0)
+            .alias("looks_like_code"),
+        )
+        .orderBy("doc_id")
+    )
