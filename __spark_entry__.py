@@ -119,6 +119,9 @@ _DRIVER_PRIORITY = [
     "text_code_detection",
     "orders_weekday_effect_ftest",
     "nation_revenue_rank_shift",
+    "events_error_budget_burn",
+    "events_alert_flap_detector",
+    "embedding_knn_label_eval",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

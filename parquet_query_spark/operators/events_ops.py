@@ -2709,3 +2709,156 @@ def events_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@query(
+    "events_error_budget_burn",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_err
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour_start, n, n_err,
+         SUM(n_err) OVER s1 AS err_1h, SUM(n) OVER s1 AS all_1h,
+         SUM(n_err) OVER s6 AS err_6h, SUM(n) OVER s6 AS all_6h
+  FROM h
+  WINDOW s1 AS (ORDER BY hour_start ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+         s6 AS (ORDER BY hour_start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour_start,
+       round(CAST(err_1h AS DOUBLE) / all_1h / 0.25, 3) AS burn_1h,
+       round(CAST(err_6h AS DOUBLE) / all_6h / 0.25, 3) AS burn_6h,
+       CASE WHEN CAST(err_1h AS DOUBLE) / all_1h / 0.25 > 1.2
+              AND CAST(err_6h AS DOUBLE) / all_6h / 0.25 > 1.1
+            THEN 1 ELSE 0 END AS page
+FROM w
+WHERE CAST(err_1h AS DOUBLE) / all_1h / 0.25 > 1.0
+ORDER BY hour_start
+""",
+    tags=("events", "window", "anomaly"),
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the SRE workbook
+    pattern): against a 25% error-share SLO, page only when BOTH the
+    fast (1 h) and slow (6 h) windows burn above threshold — the fast
+    window catches the incident, the slow one suppresses blips.
+
+    Scale shape: the event volume collapses map-side to hourly
+    (n, n_err) pairs; both burn windows run over that time-bounded
+    series."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    h = v["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    s1 = W.orderBy("hour_start").rowsBetween(0, 0)
+    s6 = W.orderBy("hour_start").rowsBetween(-5, 0)
+    w = h.select(
+        "hour_start",
+        (F.sum("n_err").over(s1).cast("double") / F.sum("n").over(s1) / 0.25).alias(
+            "b1"
+        ),
+        (F.sum("n_err").over(s6).cast("double") / F.sum("n").over(s6) / 0.25).alias(
+            "b6"
+        ),
+    )
+    return (
+        w.where(F.col("b1") > 1.0)
+        .select(
+            "hour_start",
+            F.round("b1", 3).alias("burn_1h"),
+            F.round("b6", 3).alias("burn_6h"),
+            F.when((F.col("b1") > 1.2) & (F.col("b6") > 1.1), 1)
+            .otherwise(0)
+            .alias("page"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@query(
+    "events_alert_flap_detector",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CASE WHEN CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*) > 0.22
+              THEN 1 ELSE 0 END AS firing
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(hour_start AS DATE) AS day, firing,
+         lag(firing) OVER (ORDER BY hour_start) AS prev_firing
+  FROM h
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(firing) AS BIGINT) AS firing_hours,
+       CAST(SUM(CASE WHEN prev_firing IS NOT NULL AND firing <> prev_firing
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+       CASE WHEN SUM(CASE WHEN prev_firing IS NOT NULL AND firing <> prev_firing
+                          THEN 1 ELSE 0 END) >= 6
+            THEN 1 ELSE 0 END AS is_flapping
+FROM t
+GROUP BY day
+ORDER BY day
+""",
+    tags=("events", "window", "anomaly"),
+)
+def events_alert_flap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-flap audit: per day, how often the error-rate alert state
+    TRANSITIONED (fired/cleared) — ≥6 transitions a day means the
+    threshold is tuned wrong and the on-call is being paged by noise.
+    Integer comparisons on exact counts keep the state cross-engine
+    deterministic (0.22 is never an attainable ratio boundary at these
+    counts? it can be — the threshold compares an exact rational to a
+    short decimal, which both engines evaluate identically in binary).
+
+    Scale shape: hourly state map-side combines; the lag window and day
+    rollup run over the bounded hour series."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    h = v["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*")
+            > 0.22,
+            1,
+        )
+        .otherwise(0)
+        .alias("firing")
+    )
+    t = h.select(
+        F.col("hour_start").cast("date").alias("day"),
+        "firing",
+        F.lag("firing").over(W.orderBy("hour_start")).alias("prev_firing"),
+    )
+    flip = F.when(
+        F.col("prev_firing").isNotNull() & (F.col("firing") != F.col("prev_firing")),
+        1,
+    ).otherwise(0)
+    return (
+        t.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("firing").cast("bigint").alias("firing_hours"),
+            F.sum(flip).cast("bigint").alias("n_transitions"),
+            F.when(F.sum(flip) >= 6, 1).otherwise(0).alias("is_flapping"),
+        )
+        .orderBy("day")
+    )

@@ -2011,3 +2011,123 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embedding_knn_label_eval",
+    oracle="""
+WITH sub AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200
+),
+pairs AS (
+  SELECT a.vec_id AS qid, a.label AS true_label, b.vec_id AS nid,
+         b.label AS nlabel,
+         round(
+           list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+),
+top5 AS (
+  SELECT qid, true_label, nlabel
+  FROM (
+    SELECT qid, true_label, nlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT qid, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS n
+  FROM top5 GROUP BY qid, true_label, nlabel
+),
+pred AS (
+  SELECT qid, true_label,
+         arg_max(nlabel, lpad(CAST(n AS VARCHAR), 3, '0') || '|'
+                         || lpad(CAST(99 - nlabel AS VARCHAR), 2, '0')) AS predicted
+  FROM votes GROUP BY qid, true_label
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS accuracy_bp
+FROM pred
+GROUP BY true_label
+ORDER BY true_label
+""",
+    tags=("embedding", "similarity", "quality"),
+)
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy on a fixed 200-vector
+    evaluation slice — the embedding-quality eval that answers "do
+    nearest neighbors share labels?" before anyone trusts the space for
+    retrieval.  Majority vote with a (count, lowest-label) tie-break
+    encoded in one max_by key; cosine rounded to 6dp + neighbor-id
+    tie-break makes the top-5 cut cross-engine identical.
+
+    Scale shape: the eval slice is FIXED (200 vectors — all-pairs there
+    is 40k scored rows, eval-suite-bounded, not corpus-bounded); the
+    per-qid ranking partitions on qid."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    sub = v["embeddings"].where(F.col("vec_id") < 200).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = sub.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("ev"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "true_label",
+            "nid",
+            "nlabel",
+            F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cos"),
+        )
+    )
+    top5 = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+            ),
+        )
+        .where(F.col("rn") <= 5)
+        .select("qid", "true_label", "nlabel")
+    )
+    votes = top5.groupBy("qid", "true_label", "nlabel").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    pred = votes.groupBy("qid", "true_label").agg(
+        F.expr(
+            "max_by(nlabel, concat_ws('|', lpad(CAST(n AS STRING), 3, '0'), "
+            "lpad(CAST(99 - nlabel AS STRING), 2, '0')))"
+        ).alias("predicted")
+    )
+    hit = F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.expr(
+                "SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) * 10000 DIV COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("accuracy_bp"),
+        )
+        .orderBy("label")
+    )
