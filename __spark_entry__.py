@@ -122,6 +122,8 @@ _DRIVER_PRIORITY = [
     "events_error_budget_burn",
     "events_alert_flap_detector",
     "embedding_knn_label_eval",
+    "dedup_cluster_size_distribution",
+    "text_js_divergence_by_source",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

@@ -2067,3 +2067,87 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_text_dup", "is_emb_dup")
     )
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(root, node) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT root AS doc_id, MIN(node) AS component_id FROM reach GROUP BY root
+),
+sizes AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+  FROM comp GROUP BY component_id
+),
+hist AS (
+  SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(component_size * COUNT(*) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY component_size
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS component_size,
+         CAST((SELECT COUNT(*) FROM documents)
+              - COALESCE((SELECT SUM(n_docs) FROM hist), 0) AS BIGINT)
+           AS n_components,
+         CAST((SELECT COUNT(*) FROM documents)
+              - COALESCE((SELECT SUM(n_docs) FROM hist), 0) AS BIGINT) AS n_docs
+  UNION ALL
+  SELECT component_size, n_components, n_docs FROM hist
+)
+ORDER BY component_size
+""",
+    tags=("dedup", "minhash", "iterative", "quality"),
+)
+def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram, singletons included — the
+    power-law check that tells you whether dedup savings come from a few
+    giant template clusters (fix the source) or a long tail of pairs
+    (LSH is earning its keep).  Size-1 row = documents in no verified
+    cluster.
+
+    Scale shape: runs the production LSH→verify→components kernel, then
+    two map-side-combined rollups on |components| rows and one broadcast
+    corpus count."""
+    v = views(spark, sf_dir)
+    pairs = _lsh_verified_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    labels = _min_label_components(_both_directions(pairs))
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("component_size")
+    )
+    hist = sizes.groupBy("component_size").agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        (F.col("component_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
+    totals = hist.agg(F.sum("n_docs").alias("clustered"))
+    n_docs_total = v["documents"].agg(F.count("*").alias("total"))
+    singles = (
+        n_docs_total.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(1).cast("bigint").alias("component_size"),
+            (F.col("total") - F.coalesce(F.col("clustered"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_components"),
+            (F.col("total") - F.coalesce(F.col("clustered"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+    return singles.unionByName(hist).orderBy("component_size")

@@ -1597,3 +1597,113 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_js_divergence_by_source",
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS gc
+  FROM w GROUP BY word HAVING COUNT(*) >= 50
+),
+gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt FROM vocab),
+sc AS (
+  SELECT w.source, w.word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w JOIN vocab v ON w.word = v.word
+  GROUP BY w.source, w.word
+),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM sc GROUP BY source),
+terms AS (
+  SELECT s.source,
+         CAST(s.c AS DOUBLE) / t.st AS p,
+         CAST(v.gc AS DOUBLE) / g.gt AS q
+  FROM sc s
+  JOIN stot t ON s.source = t.source
+  JOIN vocab v ON s.word = v.word
+  CROSS JOIN gtot g
+),
+parts AS (
+  SELECT source,
+         SUM(p * ln(p / ((p + q) / 2))) AS kl_p,
+         SUM(q * ln(q / ((p + q) / 2))) AS kl_q_seen,
+         SUM(q) AS q_seen
+  FROM terms GROUP BY source
+)
+SELECT source,
+       round(0.5 * kl_p + 0.5 * (kl_q_seen + (1 - q_seen) * ln(2.0)), 4)
+         AS js_divergence_nats
+FROM parts
+ORDER BY source
+""",
+    tags=("text", "quality", "aggregate"),
+)
+def text_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus distribution (restricted to the >=50-occurrence
+    vocabulary) — the distribution-shift score that ranks sources by how
+    far their language drifts from the mixture; vocabulary words ABSENT
+    from a source contribute their full q*ln(2) mass (m = q/2 there), so
+    narrow sources score high as they should.
+
+    Determinism: p and q divide exact BIGINT counts by exact totals —
+    both engines feed identical doubles into the same ln terms; one
+    round at 4dp absorbs summation-order ulps.
+
+    Scale shape: word counts map-side combine; the vocabulary is
+    frequency-bounded; per-source term joins run on |sources|x|vocab|
+    rows."""
+    v = views(spark, sf_dir)
+    w = v["documents"].select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    vocab = w.groupBy("word").agg(F.count("*").cast("bigint").alias("gc")).where(
+        F.col("gc") >= 50
+    )
+    gtot = vocab.agg(F.sum("gc").cast("bigint").alias("gt"))
+    sc = (
+        w.join(F.broadcast(vocab.select("word")), "word")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("st"))
+    terms = (
+        sc.join(stot, "source")
+        .join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("st")).alias("p"),
+            (F.col("gc").cast("double") / F.col("gt")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    parts = terms.groupBy("source").agg(
+        F.sum(F.col("p") * F.log(F.col("p") / m)).alias("kl_p"),
+        F.sum(F.col("q") * F.log(F.col("q") / m)).alias("kl_q_seen"),
+        F.sum("q").alias("q_seen"),
+    )
+    import math
+
+    return (
+        parts.select(
+            "source",
+            F.round(
+                0.5 * F.col("kl_p")
+                + 0.5
+                * (F.col("kl_q_seen") + (1 - F.col("q_seen")) * math.log(2.0)),
+                4,
+            ).alias("js_divergence_nats"),
+        )
+        .orderBy("source")
+    )
