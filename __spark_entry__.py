@@ -124,6 +124,7 @@ _DRIVER_PRIORITY = [
     "embedding_knn_label_eval",
     "dedup_cluster_size_distribution",
     "text_js_divergence_by_source",
+    "orders_open_order_aging",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

@@ -1805,3 +1805,57 @@ def nation_revenue_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "rnk")
     )
+
+
+@query(
+    "orders_open_order_aging",
+    oracle="""
+WITH now_ref AS (SELECT MAX(o_orderdate) AS ref FROM orders),
+open_orders AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(date_diff('day', o.o_orderdate, r.ref) AS BIGINT) AS age_days
+  FROM orders o CROSS JOIN now_ref r
+  WHERE o.o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CASE WHEN age_days < 30 THEN '0-29'
+            WHEN age_days < 90 THEN '30-89'
+            WHEN age_days < 365 THEN '90-364'
+            ELSE '365+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS oldest_example
+FROM open_orders
+GROUP BY o_orderpriority, age_bucket
+ORDER BY o_orderpriority, age_bucket
+""",
+    tags=("aggregate", "analytics"),
+)
+def orders_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: unfulfilled ('O') orders bucketed by age
+    against the dataset's reference date, per priority — the backlog
+    triage view (an URGENT order aging past a year is a process failure,
+    not a queue).  Integer day arithmetic against a broadcast one-row
+    reference keeps the buckets exact.
+
+    Scale shape: scan-side filter + bucket, one broadcast scalar, one
+    bounded rollup."""
+    v = views(spark, sf_dir)
+    ref = v["orders"].agg(F.max("o_orderdate").alias("ref"))
+    age = F.datediff(F.col("ref"), F.col("o_orderdate")).cast("bigint")
+    bucket = (
+        F.when(age < 30, "0-29")
+        .when(age < 90, "30-89")
+        .when(age < 365, "90-364")
+        .otherwise("365+")
+    )
+    return (
+        v["orders"]
+        .where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("oldest_example"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
