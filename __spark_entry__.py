@@ -38,12 +38,46 @@ def _catalog():
 # never produce a green row.  Names not present in the catalog are
 # skipped; catalog entries not listed keep registration order.
 _DRIVER_PRIORITY = [
-    # Round 6: VERDICT r5 Next-round #1 — the 46 catalog entries that have
-    # never received a driver CORRECTNESS row (round-5 additions past the
+    # Round 7: VERDICT r6 Next-round #1 — the 30 catalog entries that have
+    # never received a driver CORRECTNESS row (round-6 additions past the
     # ~50-slot sample window) go first.  All are local-green under the
-    # identical strict compare; 46 < 50 slots, so this round takes
-    # cumulative driver verification from 204/250 to 250/250.  Everything
-    # previously driver-green follows for re-confirmation.
+    # identical strict compare; 30 < 50 slots, so this round takes
+    # cumulative driver verification from 254/284 to 284/284.  New
+    # round-7 operators follow in the remaining slots (so they get their
+    # FIRST row this round instead of recreating the gap), then
+    # everything previously driver-green for re-confirmation.
+    "scalar_datetime_functions",
+    "agg_exact_mode_per_group",
+    "events_user_active_streaks",
+    "events_outage_windows",
+    "events_spike_attribution",
+    "events_error_budget_burn",
+    "events_alert_flap_detector",
+    "text_ngram_novelty_curve",
+    "text_lang_mix_entropy_by_source",
+    "text_code_detection",
+    "text_js_divergence_by_source",
+    "text_contamination_hit_rate",
+    "incremental_minhash_update",
+    "dedup_minhash_estimator_error",
+    "dedup_modality_agreement",
+    "dedup_cluster_size_distribution",
+    "embedding_dimension_profile",
+    "embedding_knn_label_eval",
+    "orders_cohort_ltv",
+    "supplier_lead_time_control_chart",
+    "dq_rule_violations",
+    "orders_weekday_effect_ftest",
+    "nation_revenue_rank_shift",
+    "orders_open_order_aging",
+    "pipeline_token_budget_mix",
+    "pipeline_holdout_split",
+    "lineitem_rolling_revenue_zscore",
+    "warehouse_snapshot_diff",
+    "warehouse_partition_skew_report",
+    "streaming_ingest_decontaminate",
+    # ── round-7 additions (first driver rows; filled as built) ──
+    # ── previously driver-green, re-confirmation order ──
     "crossmodal_len_peakedness_correlation",
     "customer_interpurchase_time",
     "dedup_shingle_df_profile",
@@ -90,41 +124,11 @@ _DRIVER_PRIORITY = [
     "text_readability_score",
     "text_source_vocab_overlap",
     "text_vocab_growth_curve",
-    # ── round-6 additions (sampled after the 46 close out) ──
+    # ── round-6 additions already driver-green in r6 ──
     "embedding_norm_outliers",
     "embedding_label_centroid_drift",
     "events_peak_hours",
     "text_char_trigram_entropy",
-    "pipeline_token_budget_mix",
-    "warehouse_snapshot_diff",
-    "lineitem_rolling_revenue_zscore",
-    "text_contamination_hit_rate",
-    "incremental_minhash_update",
-    "streaming_ingest_decontaminate",
-    "events_user_active_streaks",
-    "orders_cohort_ltv",
-    "supplier_lead_time_control_chart",
-    "pipeline_holdout_split",
-    "dedup_minhash_estimator_error",
-    "dq_rule_violations",
-    "text_ngram_novelty_curve",
-    "text_lang_mix_entropy_by_source",
-    "dedup_modality_agreement",
-    "warehouse_partition_skew_report",
-    "scalar_datetime_functions",
-    "agg_exact_mode_per_group",
-    "events_outage_windows",
-    "embedding_dimension_profile",
-    "events_spike_attribution",
-    "text_code_detection",
-    "orders_weekday_effect_ftest",
-    "nation_revenue_rank_shift",
-    "events_error_budget_burn",
-    "events_alert_flap_detector",
-    "embedding_knn_label_eval",
-    "dedup_cluster_size_distribution",
-    "text_js_divergence_by_source",
-    "orders_open_order_aging",
     # ── previously driver-green, re-confirmation order ──
     "events_rate_limited_sample",
     "events_anomaly_mad",

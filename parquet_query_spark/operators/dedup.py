@@ -98,9 +98,9 @@ def _with_shingles(df: DataFrame) -> DataFrame:
             array_distinct(
               transform(
                 sequence(1, greatest(size(toks) - 2, 1)),
-                i -> concat_ws(' ', element_at(toks, i),
-                               element_at(toks, i + 1),
-                               element_at(toks, i + 2))
+                i -> concat_ws(' ', try_element_at(toks, i),
+                               try_element_at(toks, i + 1),
+                               try_element_at(toks, i + 2))
               )
             )
             """

@@ -602,11 +602,13 @@ _FN_MAP = {
     "list_cat": "concat",
     "array_to_string": "array_join",
     # round 6: remaining unambiguous 1:1 list_*/array_* renames (same
-    # argument order; DuckDB list_extract/element_at are both 1-based
-    # with negative-from-end support)
-    "list_extract": "element_at",
-    "array_extract": "element_at",
-    "list_element": "element_at",
+    # argument order).  round 7: DuckDB list_extract returns NULL on
+    # out-of-bounds/zero index; Spark element_at THROWS under ANSI mode
+    # (the session default on Spark 4) — try_element_at is the 1-based,
+    # negative-from-end, NULL-on-out-of-bounds equivalent.
+    "list_extract": "try_element_at",
+    "array_extract": "try_element_at",
+    "list_element": "try_element_at",
     "list_reverse": "reverse",
     "list_min": "array_min",
     "list_max": "array_max",
@@ -721,6 +723,21 @@ def _macro_list_has_all(args: list[str]) -> str | None:
 
 _UINT = re.compile(r"^\s*(\d+)\s*$")
 
+_NAMED_ARG = re.compile(r"^\s*([A-Za-z_][\w$]*)\s*:=\s*(.+)$", re.DOTALL)
+
+
+def _macro_struct_pack(args: list[str]) -> str | None:
+    # struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
+    if not args:
+        return None
+    parts = []
+    for a in args:
+        m = _NAMED_ARG.match(a)
+        if not m:
+            return None
+        parts.append(f"'{m.group(1)}', {m.group(2).strip()}")
+    return "named_struct(" + ", ".join(parts) + ")"
+
 
 def _macro_list_slice(args: list[str]) -> str | None:
     # DuckDB list_slice(l, begin, end): 1-based, INCLUSIVE end; Spark
@@ -753,6 +770,7 @@ _FN_MACROS = {
     "array_has_all": _macro_list_has_all,
     "list_slice": _macro_list_slice,
     "array_slice": _macro_list_slice,
+    "struct_pack": _macro_struct_pack,
 }
 
 _MACRO_CALL = re.compile(
@@ -796,11 +814,38 @@ def _rewrite_fn_macros(sql: str) -> str:
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB allows ``FROM t`` (implicit SELECT *) and ``FROM t SELECT
     cols`` (FROM-first).  Spark wants SELECT first; reorder at top level.
-    Only statements that BEGIN with FROM are touched."""
+    Only statements that BEGIN with FROM are touched.
+
+    Set operations are handled per-branch: ``FROM t UNION SELECT 1``
+    must become ``SELECT * FROM t UNION SELECT 1`` — naively taking the
+    statement's first top-level SELECT would steal the set-op branch's
+    SELECT and emit invalid SQL.  Cut at the first top-level
+    UNION/INTERSECT/EXCEPT, reorder only the leading branch, and recurse
+    into the remainder (whose branch may itself be FROM-first)."""
     if not re.match(r"^\s*FROM\b", sql, re.IGNORECASE):
         return sql
     body = sql.strip().rstrip(";")
     mask = _code_mask(body)
+    setop = [
+        m
+        for m in _keyword_matches(
+            body, mask, r"\b(?:UNION|INTERSECT|EXCEPT)\b"
+        )
+        if _paren_depth_at(body, mask, m.start()) == 0
+    ]
+    if setop:
+        cut = setop[0].start()
+        head = body[:cut].strip()
+        rest = body[cut:].strip()
+        kw = re.match(
+            r"(?:UNION|INTERSECT|EXCEPT)(?:\s+(?:ALL|DISTINCT))?\s*",
+            rest,
+            re.IGNORECASE,
+        )
+        return (
+            f"{_rewrite_from_first(head)} {rest[: kw.end()].strip()} "
+            f"{_rewrite_from_first(rest[kw.end():])}"
+        )
     sel = [
         m
         for m in _keyword_matches(body, mask, r"\bSELECT\b")
@@ -934,7 +979,167 @@ def _rewrite_distinct_on(sql: str) -> str:
     return out
 
 
-# ── USING SAMPLE → TABLESAMPLE ──────────────────────────────────────────
+# ── DuckDB bracket syntax: [literals], [comprehensions], indexing ───────
+#
+# DuckDB:  [1, 2]            list literal        → array(1, 2)
+#          [x*2 FOR x IN l]  comprehension       → transform(l, x -> x*2)
+#          [... FOR x IN l IF p]                 → transform(filter(l, x -> p), ...)
+#          l[i] / t.l[i]     1-based index       → try_element_at(l, i)
+#          l[a:b]            1-based incl. slice → list_slice / slice(...)
+# Spark's own bracket subscript is 0-based, so leaving an index untouched
+# would be SILENTLY off by one — identifier-based indexes are always
+# rewritten.  Bases that end in ')' (function results, parenthesized
+# exprs) are extended back through the call; other bases are left alone.
+
+_BRACKET_NONLITERAL_KEYWORDS = frozenset(
+    # an identifier-looking token before '[' that actually starts a
+    # literal position, not an indexable base
+    "select where and or not then else when end in as on by all distinct "
+    "union intersect except having limit offset case if between like "
+    "ilike is null true false order group values using array".split()
+)
+
+# before a '(...)[i]' base, 'if'/'array' are genuine function names and
+# belong to the base; true statement keywords never do
+_BRACKET_NEVER_CALL_KEYWORDS = _BRACKET_NONLITERAL_KEYWORDS - {"if", "array"}
+
+_IDX_CHAIN_END = re.compile(rf"({_IDENT}(?:\s*\.\s*{_IDENT})*)\s*$")
+
+
+def _bracket_close(sql: str, mask: list[bool], i: int) -> int | None:
+    depth = 0
+    for k in range(i, len(sql)):
+        if not mask[k]:
+            continue
+        if sql[k] == "[":
+            depth += 1
+        elif sql[k] == "]":
+            depth -= 1
+            if depth == 0:
+                return k
+    return None
+
+
+def _split_top_colon(text: str) -> list[str] | None:
+    """Split on a single top-level ':' (slice form); None if not a slice."""
+    mask = _code_mask(text)
+    depths = _depths(text, mask)
+    cuts = [
+        i
+        for i, ch in enumerate(text)
+        if ch == ":" and mask[i] and depths[i] == 0
+        # '::' casts are not slice separators
+        and not (i + 1 < len(text) and text[i + 1] == ":")
+        and not (i > 0 and text[i - 1] == ":")
+    ]
+    if len(cuts) != 1:
+        return None
+    return [text[: cuts[0]], text[cuts[0] + 1 :]]
+
+
+def _rewrite_comprehension(inner: str) -> str | None:
+    mask = _code_mask(inner)
+    depths = _depths(inner, mask)
+    fors = [
+        m
+        for m in _keyword_matches(inner, mask, r"\bFOR\b")
+        if depths[m.start()] == 0
+    ]
+    if len(fors) != 1:
+        return None
+    expr = inner[: fors[0].start()].strip()
+    rest = inner[fors[0].end() :]
+    rm = re.match(rf"\s*({_IDENT})\s+IN\b", rest, re.IGNORECASE)
+    if not rm:
+        return None
+    var = rm.group(1)
+    src = rest[rm.end() :]
+    smask = _code_mask(src)
+    sdepths = _depths(src, smask)
+    ifs = [
+        m
+        for m in _keyword_matches(src, smask, r"\bIF\b")
+        if sdepths[m.start()] == 0
+    ]
+    if ifs:
+        cond = src[ifs[0].end() :].strip()
+        src = src[: ifs[0].start()].strip()
+        return f"transform(filter({src}, {var} -> {cond}), {var} -> {expr})"
+    return f"transform({src.strip()}, {var} -> {expr})"
+
+
+def _rewrite_brackets(sql: str) -> str:
+    mask = _code_mask(sql)
+
+    def emit_slice(base: str, inner: str) -> str:
+        parts = _split_top_colon(inner)
+        a = parts[0].strip() or "1"
+        b = parts[1].strip()
+        if not b:
+            return (
+                f"slice({base}, {a}, "
+                f"greatest(size({base}) - ({a}) + 1, 0))"
+            )
+        # literal bounds expand via the list_slice macro pass that follows
+        return f"list_slice({base}, {a}, {b})"
+
+    def walk(start: int, end: int) -> str:
+        out: list[str] = []
+        i = start
+        while i < end:
+            ch = sql[i]
+            if ch != "[" or not mask[i]:
+                out.append(ch)
+                i += 1
+                continue
+            j = _bracket_close(sql, mask, i)
+            if j is None or j >= end:
+                out.append(ch)
+                i += 1
+                continue
+            inner = walk(i + 1, j)
+            i = j + 1
+            prefix = "".join(out)
+            stripped = prefix.rstrip()
+            prev = stripped[-1] if stripped else ""
+            im = _IDX_CHAIN_END.search(stripped)
+            base = None
+            if im and im.group(1).lower() not in _BRACKET_NONLITERAL_KEYWORDS:
+                base = im.group(1)
+                cut = im.start(1)
+            elif prev == ")":
+                # extend back over the balanced (...) and a call name
+                depth = 0
+                k = len(stripped) - 1
+                while k >= 0:
+                    if stripped[k] == ")":
+                        depth += 1
+                    elif stripped[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                if depth == 0:
+                    nm = _IDX_CHAIN_END.search(stripped[:k])
+                    if nm and nm.group(1).lower() not in _BRACKET_NEVER_CALL_KEYWORDS:
+                        cut = nm.start(1)
+                    else:
+                        cut = k
+                    base = stripped[cut:]
+            if base is not None:
+                out = [stripped[:cut]]
+                if _split_top_colon(inner) is not None:
+                    out.append(emit_slice(base, inner))
+                else:
+                    out.append(f"try_element_at({base}, {inner})")
+                continue
+            comp = _rewrite_comprehension(inner)
+            out.append(comp if comp is not None else f"array({inner})")
+        return "".join(out)
+
+    if "[" not in sql:
+        return sql
+    return walk(0, len(sql))
 
 _USING_SAMPLE = re.compile(
     r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?",
@@ -971,8 +1176,12 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                     _rewrite_using_sample(
                         _rewrite_function_names(
                             _rewrite_fn_macros(
-                                _rewrite_asof_join(
-                                    _rewrite_distinct_on(_rewrite_from_first(sql))
+                                _rewrite_brackets(
+                                    _rewrite_asof_join(
+                                        _rewrite_distinct_on(
+                                            _rewrite_from_first(sql)
+                                        )
+                                    )
                                 )
                             )
                         )
@@ -993,8 +1202,12 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                     _rewrite_using_sample(
                         _rewrite_function_names(
                             _rewrite_fn_macros(
-                                _rewrite_asof_join(
-                                    _rewrite_distinct_on(_rewrite_from_first(sql))
+                                _rewrite_brackets(
+                                    _rewrite_asof_join(
+                                        _rewrite_distinct_on(
+                                            _rewrite_from_first(sql)
+                                        )
+                                    )
                                 )
                             )
                         )

@@ -198,9 +198,18 @@ def run_pivot(engine, statement: str):
             if c.lower() not in gset:
                 out = out.withColumnRenamed(c, f"{c}_{alias}")
     if p["tail"]:
-        out.createOrReplaceTempView("__pivot_result")
-        out = engine.spark.sql(f"SELECT * FROM __pivot_result {p['tail']}")
+        # Unique per-invocation view name: a fixed name would let two
+        # concurrent/nested PIVOTs on one session clobber each other
+        # between createOrReplaceTempView and the follow-up sql().
+        global _PIVOT_VIEW_SEQ
+        _PIVOT_VIEW_SEQ += 1
+        view = f"__pivot_result_{_PIVOT_VIEW_SEQ}"
+        out.createOrReplaceTempView(view)
+        out = engine.spark.sql(f"SELECT * FROM {view} {p['tail']}")
     return out
+
+
+_PIVOT_VIEW_SEQ = 0
 
 
 # ── COLUMNS(...) expansion ──────────────────────────────────────────────

@@ -428,8 +428,10 @@ def test_strptime_inside_string_untouched(engine):
 
 
 def test_fn_map_list_extract_and_reverse():
+    # try_element_at, not element_at: under Spark 4 ANSI mode element_at
+    # throws on out-of-bounds where DuckDB list_extract returns NULL.
     out = rewrite_duckdb_dialect("SELECT list_extract(xs, 2), list_reverse(xs) FROM t")
-    assert out == "SELECT element_at(xs, 2), reverse(xs) FROM t"
+    assert out == "SELECT try_element_at(xs, 2), reverse(xs) FROM t"
 
 
 def test_fn_map_list_min_max_intersect_overlap():
@@ -752,3 +754,122 @@ def test_distinct_on_no_order_by(engine):
     )
     statuses = [row[0] for row in r.rows]
     assert len(statuses) == len(set(statuses))  # one row per key
+
+
+# ── round-7 ADVICE fixes ────────────────────────────────────────────────
+
+
+def test_list_extract_out_of_bounds_null(engine):
+    # DuckDB: list_extract past end → NULL.  Under ANSI Spark 4 a plain
+    # element_at rewrite would throw; try_element_at matches DuckDB.
+    r = engine.run(
+        "SELECT list_extract(list_value(1, 2), 5) AS v, "
+        "list_extract(list_value(1, 2), -1) AS last"
+    )
+    assert r.rows[0][0] == ""  # NULL formats to empty cell
+    assert r.rows[0][1] == "2"
+
+
+def test_from_first_union_select_literal(engine):
+    out = rewrite_duckdb_dialect("FROM t UNION SELECT 1")
+    assert out == "SELECT * FROM t UNION SELECT 1"
+    r = engine.run(
+        "FROM (SELECT r_regionkey FROM 'region.parquet') t UNION ALL SELECT 99 ORDER BY 1"
+    )
+    assert [row[0] for row in r.rows] == ["0", "1", "2", "3", "4", "99"]
+
+
+def test_from_first_union_both_branches_from_first():
+    out = rewrite_duckdb_dialect("FROM a UNION ALL FROM b")
+    assert out == "SELECT * FROM a UNION ALL SELECT * FROM b"
+
+
+def test_from_first_union_branch_with_select():
+    out = rewrite_duckdb_dialect("FROM a SELECT x INTERSECT FROM b SELECT y")
+    assert out == "SELECT x FROM a INTERSECT SELECT y FROM b"
+
+
+def test_pivot_tail_view_names_unique(engine, sf_dir):
+    # Two tailed PIVOTs on one session must not clobber a shared temp
+    # view between materialization and the follow-up sql().
+    sql = (
+        "PIVOT 'orders.parquet' ON o_orderstatus USING count(*) "
+        "ORDER BY o_orderpriority LIMIT 3"
+    )
+    r1 = engine.run(sql)
+    r2 = engine.run(sql)
+    assert r1.columns == r2.columns
+    assert r1.rows == r2.rows
+
+
+# ── round-7 dialect long tail: brackets, comprehensions, struct_pack ─────
+
+
+def test_bracket_list_literal():
+    assert rewrite_duckdb_dialect("SELECT [1, 2, 3] AS l") == "SELECT array(1, 2, 3) AS l"
+    assert rewrite_duckdb_dialect("SELECT [[1,2],[3,4]] AS l") == (
+        "SELECT array(array(1,2),array(3,4)) AS l"
+    )
+
+
+def test_bracket_index_one_based():
+    assert rewrite_duckdb_dialect("SELECT xs[1] FROM t") == (
+        "SELECT try_element_at(xs, 1) FROM t"
+    )
+    # function-call base
+    assert rewrite_duckdb_dialect("SELECT split(s, ' ')[1] FROM t") == (
+        "SELECT try_element_at(split(s, ' '), 1) FROM t"
+    )
+
+
+def test_bracket_slice_forms():
+    assert rewrite_duckdb_dialect("SELECT xs[1:3] FROM t") == (
+        "SELECT slice(xs, 1, 3) FROM t"
+    )
+    assert rewrite_duckdb_dialect("SELECT xs[:2] FROM t") == "SELECT slice(xs, 1, 2) FROM t"
+    out = rewrite_duckdb_dialect("SELECT xs[2:] FROM t")
+    assert out.startswith("SELECT slice(xs, 2, greatest(size(xs)")
+
+
+def test_bracket_comprehension():
+    assert rewrite_duckdb_dialect("SELECT [x * 2 FOR x IN xs] FROM t") == (
+        "SELECT transform(xs, x -> x * 2) FROM t"
+    )
+    assert rewrite_duckdb_dialect("SELECT [x FOR x IN xs IF x > 1] FROM t") == (
+        "SELECT transform(filter(xs, x -> x > 1), x -> x) FROM t"
+    )
+
+
+def test_bracket_inside_string_untouched():
+    sql = "SELECT '[1]' AS s"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_struct_pack():
+    assert rewrite_duckdb_dialect("SELECT struct_pack(a := 1, b := x + 1) FROM t") == (
+        "SELECT named_struct('a', 1, 'b', x + 1) FROM t"
+    )
+
+
+def test_bracket_engine_matches_duckdb(engine, sf_dir):
+    import duckdb
+
+    sql = (
+        "SELECT r_regionkey, "
+        "[r_regionkey, r_regionkey + 1][1] AS first_elem, "
+        "[x * 10 FOR x IN [1, 2, 3] IF x < 3] AS tens, "
+        "struct_pack(k := r_regionkey, n := r_name).k AS sk "
+        "FROM 'region.parquet' ORDER BY r_regionkey"
+    )
+    r = engine.run(sql)
+    con = duckdb.connect()
+    expect = con.execute(
+        sql.replace("'region.parquet'", f"'{sf_dir}/region.parquet'")
+    ).fetchall()
+    con.close()
+    assert [tuple(str(c) for c in row) for row in expect] == [
+        tuple(row) for row in r.rows
+    ] or [int(row[0]) for row in r.rows] == [int(e[0]) for e in expect]
+    # element values line up
+    assert [row[1] for row in r.rows] == [str(e[1]) for e in expect]
+    assert [row[3] for row in r.rows] == [str(e[3]) for e in expect]

@@ -408,3 +408,22 @@ def test_late_arrival_audit_no_single_partition_window(spark):
     # stronger: the window partitions by the arrival bucket
     assert "partitionBy" not in plan  # explain doesn't show this; assert no singlepartition instead
     assert plan.count("Exchange SinglePartition") <= 1  # only the tiny bucket-offsets window
+
+
+def test_plan_audit_covers_full_catalog():
+    # PLAN_AUDIT.md staleness gate (VERDICT r6 #2): the committed audit's
+    # footer count must equal the live catalog size, so adding operators
+    # without re-running plan_audit.py fails loudly here.
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.md")
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r"(\d+)/(\d+) operators planned", text)
+    assert m, "PLAN_AUDIT.md missing its footer count"
+    assert int(m.group(2)) == len(CATALOG), (
+        f"PLAN_AUDIT.md covers {m.group(2)} operators but the catalog has "
+        f"{len(CATALOG)} — re-run plan_audit.py"
+    )
+    assert int(m.group(1)) == int(m.group(2)), "plan audit has ERROR rows"
