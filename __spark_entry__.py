@@ -26,17 +26,13 @@ def _catalog():
 
 
 # Driver-facing presentation order.  The correctness harness samples the
-# catalog front-to-back (~50 slots per round), so the queries that still
-# need their FIRST green driver row come first: the five round-4 red rows
-# whose oracles now carry CAST(SUM(…) AS BIGINT) (DuckDB SUM(int) →
-# HUGEINT → pandas float64 vs Spark bigint — the exact q12 mechanism,
-# diagnosed in VERDICT r4), then dedup_minhash_signatures_fast which
-# gained its first oracle this round, then any round-5 additions.
-# All pass the local sf0.01 differential suite.  Queries already green in
-# CORRECTNESS_r01-r04 fill the remaining slots for re-confirmation; the
-# genuinely no-oracle entries go last — a sample slot spent on them can
-# never produce a green row.  Names not present in the catalog are
-# skipped; catalog entries not listed keep registration order.
+# catalog front-to-back (~50 slots per round), so queries that still need
+# their FIRST green driver row come first, new-this-round operators next
+# (inside the sample window, so the never-sampled gap cannot recur), then
+# everything previously driver-green for re-confirmation.  All entries
+# pass the local sf0.01 differential suite before they are listed here.
+# Names not present in the catalog are skipped; catalog entries not
+# listed keep registration order.
 _DRIVER_PRIORITY = [
     # Round 7: VERDICT r6 Next-round #1 — the 30 catalog entries that have
     # never received a driver CORRECTNESS row (round-6 additions past the
@@ -77,6 +73,33 @@ _DRIVER_PRIORITY = [
     "warehouse_partition_skew_report",
     "streaming_ingest_decontaminate",
     # ── round-7 additions (first driver rows; filled as built) ──
+    "orders_backlog_burndown",
+    "agg_weighted_median",
+    "events_sliding_distinct_users",
+    "scalar_regex_functions",
+    "profile_numeric_correlations",
+    "dedup_band_tuning_table",
+    "sample_bottom_k_mergeable",
+    "multimodal_exact_dupes_by_hash",
+    "text_c4_quality_filters",
+    "pipeline_curriculum_order",
+    "lineitem_returnflag_mix_shift",
+    "events_burstiness_fano",
+    "vocab_coverage_curve",
+    "window_rolling_median_revenue",
+    # ── streaming tier re-confirmation (VERDICT r6 #5: the slots after
+    #    the 44 first-row entries go to the streaming set) ──
+    "streaming_tumbling_counts",
+    "streaming_dedup_by_key",
+    "streaming_session_windows",
+    "streaming_static_join_enrich",
+    "streaming_stream_stream_join",
+    "streaming_corpus_ingest_dedup",
+    "streaming_hourly_ohlc",
+    "streaming_stateful_user_totals",
+    "streaming_foreach_batch_sink",
+    "streaming_ewma_hourly",
+    "streaming_bot_cadence",
     # ── previously driver-green, re-confirmation order ──
     "crossmodal_len_peakedness_correlation",
     "customer_interpurchase_time",
@@ -115,7 +138,6 @@ _DRIVER_PRIORITY = [
     "range_join_bucketed_probes",
     "revenue_yoy_growth",
     "scalar_bitwise_functions",
-    "streaming_bot_cadence",
     "supplier_revenue_volatility",
     "text_boilerplate_prefixes",
     "text_case_style_profile",
@@ -159,13 +181,11 @@ _DRIVER_PRIORITY = [
     "events_value_winsorize",
     "dedup_cross_source_matrix",
     "crossmodal_lang_label_profile",
-    "streaming_hourly_ohlc",
     # ── round-5 flagships, batch B ──
     "ann_recall_eval",
     "embedding_pca_top_component",
     "warehouse_forget_users",
     "neardup_kcore",
-    "streaming_ewma_hourly",
     "events_ewma_hourly",
     "agg_cms_heavy_hitters",
     "dedup_minhash_containment",
@@ -234,7 +254,6 @@ _DRIVER_PRIORITY = [
     "pipeline_quality_threshold",
     "text_chunk_for_training",
     "sample_stratified_per_lang",
-    "streaming_corpus_ingest_dedup",
     "dedup_cluster_best_keeper",
     "agg_approx_distinct",
     "multimodal_frame_sample",
@@ -268,8 +287,6 @@ _DRIVER_PRIORITY = [
     "multimodal_audio_meta",
     "multimodal_video_meta",
     "udf_grouped_zscore",
-    "streaming_tumbling_counts",
-    "streaming_stateful_user_totals",
     "asof_purchase_last_view",
     "recursive_cte_month_series",
     # (everything else keeps catalog registration order here)

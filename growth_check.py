@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Growth-exponent regression harness.
+
+Runs named catalog operators at {1×, 8×, 64×} sf0.1 (the 8×/64× copies
+come from ``scale_data.py``), fits the log-log slope of runtime vs data
+factor, and appends one JSON line per operator to ``growth_log.jsonl``.
+Slope ~0 = constant (floor-bound), ~0.33 = strongly sublinear, 1.0 =
+linear in data, >1 = superlinear (investigate, or adjudicate as
+output-bound — the scaled copies are genuine duplicates, so dedup-family
+outputs legitimately explode by construction).
+
+This mechanizes the by-hand 8× sweep protocol used since round 3:
+    python growth_check.py q1_pricing_summary text_stats ...
+    python growth_check.py --tier bench          # every bench-tagged op
+    python growth_check.py --factors 1,8 ...     # quick sweep
+
+Timing protocol matches BASELINE.md: one warm pass, then min of N=2
+measured runs, all on an otherwise-idle local[32].  Do NOT run while
+pytest/bench/plan_audit are active — contended numbers are worthless.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FACTOR_DIRS = {
+    1: os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    8: "/tmp/scale_x8",
+    64: "/tmp/scale_x64",
+}
+
+
+def fit_slope(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log(sec) vs log(factor)."""
+    xs = [math.log(f) for f, _ in points]
+    ys = [math.log(s) for _, s in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return 0.0
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def adjudicate(slope: float) -> str:
+    if slope < 0.15:
+        return "constant"
+    if slope < 0.67:
+        return "sublinear"
+    if slope <= 1.1:
+        return "linear"
+    return "superlinear"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ops", nargs="*", help="catalog operator names")
+    ap.add_argument("--tier", help="run every op carrying this tag")
+    ap.add_argument("--factors", default="1,8,64")
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--out", default="growth_log.jsonl")
+    args = ap.parse_args()
+
+    from parquet_query_spark.operators.catalog import load_all
+    from parquet_query_spark.session import get_spark
+
+    catalog = load_all()
+    names = list(args.ops)
+    if args.tier:
+        names += [
+            n for n, s in catalog.items() if args.tier in getattr(s, "tags", ())
+        ]
+    if not names:
+        ap.error("no operators selected (pass names or --tier)")
+    factors = sorted(int(f) for f in args.factors.split(","))
+    for f in factors:
+        if not os.path.isdir(FACTOR_DIRS[f]):
+            ap.error(
+                f"{FACTOR_DIRS[f]} missing — generate with "
+                f"`python scale_data.py --dst {FACTOR_DIRS[f]} --factor {f}`"
+            )
+
+    spark = get_spark("growth-check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    with open(args.out, "a") as log:
+        for name in names:
+            spec = catalog[name]
+            points, rows = [], {}
+            for f in factors:
+                sf = FACTOR_DIRS[f]
+                spec.fn(spark, sf).count()  # warm (plan + JIT + page cache)
+                best = math.inf
+                for _ in range(args.repeat):
+                    t0 = time.time()
+                    rows[f] = spec.fn(spark, sf).count()
+                    best = min(best, time.time() - t0)
+                points.append((f, best))
+            slope = fit_slope(points)
+            rec = {
+                "op": name,
+                "sec": {str(f): round(s, 2) for f, s in points},
+                "rows": {str(f): rows[f] for f in factors},
+                "slope": round(slope, 2),
+                "class": adjudicate(slope),
+            }
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

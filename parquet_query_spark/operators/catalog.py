@@ -91,6 +91,7 @@ def load_all() -> dict[str, QuerySpec]:
             sink_queries,
             udfs,
             graph,
+            round7,
         )
         from parquet_query_spark.streaming import (  # noqa: F401
             stateful,

@@ -1,0 +1,897 @@
+"""Round-7 operators: operational analytics (backlog burndown, sliding
+reach), exact weighted statistics, deterministic mergeable sampling,
+regex-function parity, LSH design tooling, and curriculum/data-governance
+pipeline reports.
+
+Parity model: reference (dotted-ai/parquet-query) delegates all SQL to
+DuckdB-WASM (src/duckdb.ts:46-49), so every operator here carries a
+DuckDB oracle and is verified by the differential harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_query_spark.operators.catalog import query, views
+
+
+# ── orders_backlog_burndown ─────────────────────────────────────────────
+
+
+@query(
+    "orders_backlog_burndown",
+    oracle="""
+WITH done AS (
+  SELECT l_orderkey AS okey, max(l_shipdate) AS ship_complete
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month, count(*)::BIGINT AS d
+  FROM orders o JOIN done ON o.o_orderkey = done.okey
+  GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('month', done.ship_complete) + INTERVAL 1 MONTH AS month,
+         -count(*)::BIGINT AS d
+  FROM orders o JOIN done ON o.o_orderkey = done.okey
+  GROUP BY 1
+),
+monthly AS (
+  SELECT month, CAST(SUM(d) AS BIGINT) AS net_delta FROM deltas GROUP BY month
+)
+SELECT CAST(month AS DATE) AS month, net_delta,
+       CAST(SUM(net_delta) OVER (ORDER BY month) AS BIGINT) AS open_backlog
+FROM monthly
+ORDER BY month
+""",
+    tags=("orders", "window"),
+)
+def orders_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly open-order backlog via the +1/−1 delta-cumsum pattern.
+
+    An order is open from its order month until the month AFTER its last
+    line ships.  Scale shape: the orderkey join is fact-by-fact (grows
+    with data), but the cumsum runs on the month-bounded delta series
+    (dozens of rows regardless of SF), so the single-partition window is
+    a constant-size reduction, never a data-volume sort."""
+    v = views(spark, sf_dir)
+    done = v["lineitem"].groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("ship_complete")
+    )
+    joined = v["orders"].join(done, F.col("o_orderkey") == F.col("okey"))
+    deltas = joined.select(
+        F.date_trunc("month", "o_orderdate").alias("month"), F.lit(1).alias("d")
+    ).unionAll(
+        joined.select(
+            F.add_months(F.date_trunc("month", "ship_complete"), 1).alias("month"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    monthly = deltas.groupBy("month").agg(F.sum("d").cast("bigint").alias("net_delta"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.select(
+            F.col("month").cast("date").alias("month"),
+            "net_delta",
+            F.sum("net_delta").over(w).cast("bigint").alias("open_backlog"),
+        )
+        .orderBy("month")
+    )
+
+
+# ── agg_weighted_median ─────────────────────────────────────────────────
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH pp AS (  -- collapse ties first so the cumsum is deterministic
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         SUM(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM pp
+)
+SELECT flag, round(MIN(price), 2) AS weighted_median,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw >= tw / 2
+GROUP BY flag
+ORDER BY flag
+""",
+    tags=("agg",),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity) per return flag.
+
+    Exactness: quantities are integral doubles, so every SUM here is
+    exact in float64 regardless of reduction order — no decimal needed.
+    Ties collapse in a pre-aggregation so the running sum is a function
+    of (flag, price), not of row order.  The per-flag window sorts only
+    the collapsed (flag, price) domain."""
+    v = views(spark, sf_dir)
+    pp = v["lineitem"].groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    wc = Window.partitionBy("flag").orderBy("price")
+    wt = Window.partitionBy("flag")
+    cum = pp.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ── events_sliding_distinct_users ───────────────────────────────────────
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+),
+expanded AS (
+  SELECT user_id, hour + to_hours(CAST(off AS BIGINT)) AS target
+  FROM uh, (SELECT unnest(range(0, 24)) AS off)
+),
+bounds AS (SELECT max(date_trunc('hour', ts)) AS hmax FROM events)
+SELECT CAST(target AS TIMESTAMP) AS window_end,
+       count(DISTINCT user_id)::BIGINT AS users_24h
+FROM expanded, bounds
+WHERE target <= hmax
+GROUP BY target
+ORDER BY target
+""",
+    tags=("events", "window"),
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users, evaluated at every hour.
+
+    Exact sliding COUNT(DISTINCT) does not decompose into window frames,
+    so: collapse to distinct (user, hour) map-side, explode each pair
+    into the 24 target hours it can serve (bounded fan-out — output is
+    hours×users, never events×24), then a plain grouped distinct.  The
+    shuffle carries the collapsed pair set, not raw events."""
+    v = views(spark, sf_dir)
+    uh = v["events"].select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    hmax = v["events"].agg(F.max(F.date_trunc("hour", "ts")).alias("hmax"))
+    expanded = uh.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("off"),
+        "hour",
+    ).select(
+        "user_id",
+        (F.col("hour") + F.make_interval(hours=F.col("off"))).alias("target"),
+    )
+    return (
+        expanded.join(F.broadcast(hmax), F.col("target") <= F.col("hmax"))
+        .groupBy(F.col("target").alias("window_end"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("users_24h"))
+        .orderBy("window_end")
+    )
+
+
+# ── scalar_regex_functions ──────────────────────────────────────────────
+
+
+@query(
+    "scalar_regex_functions",
+    oracle=r"""
+SELECT doc_id,
+       regexp_extract(text, '[a-z]+') AS first_word,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_prefix,
+       regexp_matches(text, 'agg|scan') AS mentions_op,
+       len(regexp_extract_all(text, '\b[a-z]{5,}\b')) AS long_words,
+       len(string_split_regex(text, '\s+')) AS n_tokens
+FROM (SELECT doc_id, substr(text, 1, 80) AS text FROM documents)
+ORDER BY doc_id
+""",
+    tags=("scalar",),
+)
+def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function parity sweep: extract (group 0 and group n), global
+    replace (DuckDB needs the 'g' flag; Spark replaces globally by
+    default), rlike, match counting, and regex split — all on a bounded
+    80-char prefix so the row stays cheap scan-side codegen."""
+    v = views(spark, sf_dir)
+    t = F.substring("text", 1, 80)
+    return (
+        v["documents"]
+        .select("doc_id", t.alias("text"))
+        .select(
+            "doc_id",
+            F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+            F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+            F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_prefix"),
+            F.col("text").rlike("agg|scan").alias("mentions_op"),
+            F.regexp_count("text", F.lit(r"\b[a-z]{5,}\b")).alias("long_words"),
+            F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ── profile_numeric_correlations ────────────────────────────────────────
+
+
+# Pearson r is scale-invariant, so each measure is quantized to integer
+# units first (quantity is integral; price → cents; discount/tax → bp).
+# Every co-moment sum then accumulates in BIGINT — exact and
+# reduction-order-independent — EXCEPT Σprice_cents² which exceeds int64
+# range at sf0.1 volumes (playbook: cents² overflows BIGINT) and uses
+# decimal(38,0)/HUGEINT.  One decimal aggregate instead of twelve: the
+# all-decimal first cut measured 14.0 s at 8× vs 0.57 s at sf0.1 —
+# Spark's decimal sum is the non-vectorized path; this version is
+# integer-vectorized except the single unavoidable column.
+# SQL-string expressions valid in BOTH dialects; the Spark side wraps
+# them in F.expr lazily (building Columns at module import would require
+# an active SparkContext before the catalog ever runs).
+_CORR_COLS = {
+    "qty": "CAST(l_quantity AS BIGINT)",
+    "price": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    "disc": "CAST(round(l_discount * 100) AS BIGINT)",
+    "tax": "CAST(round(l_tax * 100) AS BIGINT)",
+}
+
+_CORR_PAIRS = [("qty", "price"), ("qty", "disc"), ("price", "tax"), ("disc", "tax")]
+
+# the one square that overflows int64 at scale
+_DECIMAL_SQUARES = {"price"}
+
+
+def _corr_formula_sql(x: str, y: str) -> str:
+    def sq(c):
+        e = f"{_CORR_COLS[c]} * {_CORR_COLS[c]}"
+        if c in _DECIMAL_SQUARES:
+            return f"CAST(SUM(CAST({e} AS DECIMAL(38,0))) AS DOUBLE)"
+        return f"CAST(SUM({e}) AS DOUBLE)"
+
+    xs, ys = _CORR_COLS[x], _CORR_COLS[y]
+    return f"""round(
+      (count(*)::DOUBLE * CAST(SUM({xs} * {ys}) AS DOUBLE)
+        - CAST(SUM({xs}) AS DOUBLE) * CAST(SUM({ys}) AS DOUBLE))
+      / sqrt(
+          (count(*)::DOUBLE * {sq(x)}
+            - CAST(SUM({xs}) AS DOUBLE) * CAST(SUM({xs}) AS DOUBLE))
+          * (count(*)::DOUBLE * {sq(y)}
+            - CAST(SUM({ys}) AS DOUBLE) * CAST(SUM({ys}) AS DOUBLE))), 6)"""
+
+
+def _corr_formula(x: str, y: str):
+    def sq(c):
+        e = F.expr(_CORR_COLS[c]) * F.expr(_CORR_COLS[c])
+        if c in _DECIMAL_SQUARES:
+            return F.sum(e.cast("decimal(38,0)")).cast("double")
+        return F.sum(e).cast("double")
+
+    xc, yc = F.expr(_CORR_COLS[x]), F.expr(_CORR_COLS[y])
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(xc).cast("double"), F.sum(yc).cast("double")
+    sxy = F.sum(xc * yc).cast("double")
+    return F.round(
+        (n * sxy - sx * sy) / F.sqrt((n * sq(x) - sx * sx) * (n * sq(y) - sy * sy)),
+        6,
+    )
+
+
+@query(
+    "profile_numeric_correlations",
+    oracle="SELECT "
+    + ", ".join(
+        f"{_corr_formula_sql(x, y)} AS corr_{x}_{y}" for x, y in _CORR_PAIRS
+    )
+    + " FROM lineitem",
+    tags=("profile", "agg"),
+)
+def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson correlation profile of the lineitem
+    measures.  Integer-quantized co-moment sums (exact, order-free)
+    instead of the built-in corr() — float corr drifts in the last
+    digits under parallel reduction; these sums cannot.  The final
+    ratio mirrors the oracle's expression shape exactly, so both
+    engines run the identical IEEE operation sequence.  Single
+    aggregation, no shuffle beyond the 1-row reduce."""
+    v = views(spark, sf_dir)
+    return v["lineitem"].agg(
+        *[_corr_formula(x, y).alias(f"corr_{x}_{y}") for x, y in _CORR_PAIRS]
+    )
+
+
+# ── dedup_band_tuning_table ─────────────────────────────────────────────
+
+
+@query(
+    "dedup_band_tuning_table",
+    oracle="""
+WITH cfg AS (
+  SELECT * FROM (VALUES (64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64))
+       AS t(bands, rows_per_band)
+),
+sims AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9, 0.95]) AS DOUBLE) AS s)
+SELECT bands, rows_per_band,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 3) AS approx_threshold,
+       s AS jaccard,
+       round(1.0 - pow(1.0 - pow(s, rows_per_band), bands), 4) AS p_candidate
+FROM cfg, sims
+ORDER BY bands DESC, s
+""",
+    tags=("dedup",),
+)
+def dedup_band_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design table for a 64-hash MinHash signature: for each
+    (bands, rows) factorization, the S-curve candidate probability
+    1−(1−s^r)^b at representative Jaccard levels, plus the ~(1/b)^(1/r)
+    threshold.  This is the table you consult before picking the band
+    layout for a corpus-scale dedup run; pure literal compute, no scan."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cfg AS (
+          SELECT * FROM VALUES (64, 1), (32, 2), (16, 4), (8, 8), (4, 16),
+                               (2, 32), (1, 64) AS t(bands, rows_per_band)
+        ),
+        sims AS (SELECT explode(array(0.5D, 0.7D, 0.8D, 0.9D, 0.95D)) AS s)
+        SELECT bands, rows_per_band,
+               round(power(1.0 / bands, 1.0 / rows_per_band), 3) AS approx_threshold,
+               s AS jaccard,
+               round(1.0 - power(1.0 - power(s, rows_per_band), bands), 4) AS p_candidate
+        FROM cfg CROSS JOIN sims
+        ORDER BY bands DESC, s
+        """
+    )
+
+
+# ── sample_bottom_k_mergeable ───────────────────────────────────────────
+
+
+def _bottom_k_oracle() -> str:
+    from parquet_query_spark.functions.xxh64_sql import MASK56, hash_long_sql
+
+    h = hash_long_sql("o_orderkey")
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey, CAST(({h}) & {MASK56} AS BIGINT) AS draw
+  FROM orders
+)
+SELECT CAST(row_number() OVER (ORDER BY draw) AS BIGINT) AS sample_rank,
+       o_orderkey, draw
+FROM keyed
+ORDER BY draw
+LIMIT 100
+"""
+
+
+@query(
+    "sample_bottom_k_mergeable",
+    oracle=_bottom_k_oracle(),
+    tags=("sample",),
+)
+def sample_bottom_k_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable uniform sample: bottom-k by xxhash64 key.
+
+    The classic distributed sampling trick — each partition keeps its k
+    smallest hash draws, merging keeps the k smallest of the union, and
+    the result is a uniform k-sample of the whole dataset that is (a)
+    identical regardless of partitioning/arrival order and (b) unions
+    correctly across shards/days (sample(A ∪ B) = bottom_k(sample(A) ∪
+    sample(B))).  Spark plans the orderBy+limit as TakeOrdered — exactly
+    the per-partition top-k + merge, no global sort.  Oracle reproduces
+    Spark's xxhash64 bit-for-bit in pure SQL (functions/xxh64_sql.py);
+    both sides mask to 56 bits where u64/i64 agree."""
+    from parquet_query_spark.functions.xxh64_sql import MASK56
+
+    v = views(spark, sf_dir)
+    keyed = v["orders"].select(
+        "o_orderkey",
+        F.expr(f"xxhash64(o_orderkey) & {MASK56}").alias("draw"),
+    )
+    w = Window.orderBy("draw")
+    return (
+        keyed.orderBy("draw")
+        .limit(100)
+        .select(
+            F.row_number().over(w).cast("bigint").alias("sample_rank"),
+            "o_orderkey",
+            "draw",
+        )
+        .orderBy("draw")
+    )
+
+
+# ── multimodal_exact_dupes_by_hash ──────────────────────────────────────
+
+
+@query(
+    "multimodal_exact_dupes_by_hash",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+         64 + ((ascii(substr(text, 1, 1)) % 256) * 7 + strlen(text)) % 1856 AS w,
+         64 + ((ascii(substr(text, 1, 1)) % 256) * 13 + strlen(text) * 3) % 1016 AS h
+  FROM documents
+)
+SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n_copies, fmt
+FROM params
+GROUP BY fmt, w, h
+HAVING count(*) > 1
+ORDER BY keeper
+""",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def multimodal_exact_dupes_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup of media payloads by content digest.
+
+    The Spark side hashes the ACTUAL synthesized container bytes
+    (sha2-256 over the binary column) and clusters on the digest — the
+    pattern for byte-identical image/audio dedup over a lake, where the
+    digest shuffles (32 bytes) instead of payloads (MBs).  The oracle
+    cannot hash bytes it never materializes; it predicts the clusters
+    analytically from the payload-synthesis parameters (format cycle +
+    content-derived dimensions — multimodal.py:71), so a green row
+    proves the byte-level clustering matches the content identity."""
+    from parquet_query_spark.operators.multimodal import media_payloads
+
+    media = media_payloads(spark, sf_dir)
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("gif")
+    )
+    return (
+        media.select("doc_id", fmt.alias("fmt"), F.sha2("payload", 256).alias("digest"))
+        .groupBy("digest", "fmt")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("keeper", "n_copies", "fmt")
+        .orderBy("keeper")
+    )
+
+
+# ── text_c4_quality_filters ─────────────────────────────────────────────
+
+
+@query(
+    "text_c4_quality_filters",
+    oracle=r"""
+WITH scored AS (
+  SELECT source,
+         CASE WHEN NOT regexp_matches(text, '[.!?]\s*$') THEN 1 ELSE 0 END AS f_no_terminal_punct,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 50 THEN 1 ELSE 0 END AS f_too_short,
+         CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) NOT BETWEEN 3 AND 10
+              THEN 1 ELSE 0 END AS f_word_len,
+         CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS f_brace,
+         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS f_lorem
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       CAST(SUM(f_no_terminal_punct) AS BIGINT) AS no_terminal_punct,
+       CAST(SUM(f_too_short) AS BIGINT) AS too_short,
+       CAST(SUM(f_word_len) AS BIGINT) AS bad_word_len,
+       CAST(SUM(f_brace) AS BIGINT) AS has_brace,
+       CAST(SUM(f_lorem) AS BIGINT) AS has_lorem,
+       round(AVG(CASE WHEN f_no_terminal_punct + f_too_short + f_word_len
+                          + f_brace + f_lorem = 0 THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "pipeline"),
+)
+def text_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic filter census per source: terminal punctuation,
+    minimum word count, mean word length in [3,10], curly braces
+    (code/markup tell), 'lorem ipsum' boilerplate.  One scan, all rules
+    share the tokenization; per-source rollup is bounded by the source
+    vocabulary.  (C4: Raffel et al. 2020, §2.2 heuristics.)"""
+    v = views(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(words)
+    d = v["documents"].select(
+        "source",
+        (~F.col("text").rlike(r"[.!?]\s*$")).cast("int").alias("f_no_terminal_punct"),
+        (F.size(words) < 50).cast("int").alias("f_too_short"),
+        (~awl.between(3, 10)).cast("int").alias("f_word_len"),
+        F.col("text").contains("{").cast("int").alias("f_brace"),
+        F.lower(F.col("text")).contains("lorem ipsum").cast("int").alias("f_lorem"),
+    )
+    total_flags = (
+        F.col("f_no_terminal_punct") + F.col("f_too_short") + F.col("f_word_len")
+        + F.col("f_brace") + F.col("f_lorem")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("f_no_terminal_punct").cast("bigint").alias("no_terminal_punct"),
+            F.sum("f_too_short").cast("bigint").alias("too_short"),
+            F.sum("f_word_len").cast("bigint").alias("bad_word_len"),
+            F.sum("f_brace").cast("bigint").alias("has_brace"),
+            F.sum("f_lorem").cast("bigint").alias("has_lorem"),
+            F.round(F.avg(F.when(total_flags == 0, 1.0).otherwise(0.0)), 4).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ── pipeline_curriculum_order ───────────────────────────────────────────
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id,
+         round(
+           0.5 * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+                  / len(string_split_regex(trim(text), '\s+')))
+           + 0.5 * least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 500.0, 1.0),
+           6) AS score,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+tiled AS (
+  SELECT doc_id, score, n_tokens,
+         ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+)
+SELECT decile,
+       CASE WHEN decile <= 3 THEN 'phase1_high'
+            WHEN decile <= 7 THEN 'phase2_mid'
+            ELSE 'phase3_tail' END AS phase,
+       count(*)::BIGINT AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+       round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_score,
+       round(MIN(score), 6) AS min_score,
+       round(MAX(score), 6) AS max_score
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+""",
+    tags=("pipeline", "text"),
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment for training: score every document
+    (lexical-diversity + length), NTILE into quality deciles, map deciles
+    to curriculum phases, and report token budget per decile.
+
+    Determinism: the per-doc score is rounded to 6 dp before ranking
+    (NTILE ties broken by doc_id), and the group average accumulates in
+    decimal(18,6) so reduction order cannot flip the rounded output.
+    Scale: scoring is scan-side; NTILE sorts (score, doc_id) pairs only."""
+    v = views(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    score = F.round(
+        0.5 * (F.size(F.array_distinct(toks)).cast("double") / n_tok)
+        + 0.5 * F.least(n_tok.cast("double") / 500.0, F.lit(1.0)),
+        6,
+    )
+    scored = v["documents"].select(
+        "doc_id", score.alias("score"), n_tok.cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tiled = scored.withColumn("decile", F.ntile(10).over(w))
+    phase = (
+        F.when(F.col("decile") <= 3, "phase1_high")
+        .when(F.col("decile") <= 7, "phase2_mid")
+        .otherwise("phase3_tail")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_score"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .select("decile", phase.alias("phase"), "n_docs", "phase_tokens",
+                "avg_score", "min_score", "max_score")
+        .orderBy("decile")
+    )
+
+
+# ── lineitem_returnflag_mix_shift ───────────────────────────────────────
+
+
+@query(
+    "lineitem_returnflag_mix_shift",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+         count(*) FILTER (WHERE l_returnflag = 'A')::DOUBLE AS n_a,
+         count(*) FILTER (WHERE l_returnflag = 'N')::DOUBLE AS n_n,
+         count(*) FILTER (WHERE l_returnflag = 'R')::DOUBLE AS n_r,
+         count(*)::DOUBLE AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_a) AS t_a, SUM(n_n) AS t_n, SUM(n_r) AS t_r, SUM(n) AS t
+  FROM cells
+)
+SELECT yr, CAST(n AS BIGINT) AS n_lines,
+       round(
+         (n_a - n * t_a / t) * (n_a - n * t_a / t) / (n * t_a / t)
+         + (n_n - n * t_n / t) * (n_n - n * t_n / t) / (n * t_n / t)
+         + (n_r - n * t_r / t) * (n_r - n * t_r / t) / (n * t_r / t), 6) AS chi2,
+       round(n_a / n, 4) AS share_a,
+       round(n_n / n, 4) AS share_n,
+       round(n_r / n, 4) AS share_r
+FROM cells, tot
+ORDER BY yr
+""",
+    tags=("lineitem", "agg"),
+)
+def lineitem_returnflag_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year return-flag mix-shift: per-year chi-square distance
+    of the flag distribution from the all-time distribution.
+
+    All inputs are integer counts (exact in float64), expected values and
+    chi-square contributions are evaluated in a FIXED expression order
+    (explicit a+b+c, not SUM over a group), so both engines produce
+    bit-identical doubles.  Plan: one scan with FILTER aggregates, then a
+    broadcast of the 1-row totals — no second pass over data."""
+    v = views(spark, sf_dir)
+    cells = v["lineitem"].groupBy(
+        F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).cast("double").alias("n_a"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1)).cast("double").alias("n_n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("double").alias("n_r"),
+        F.count("*").cast("double").alias("n"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").alias("t_a"),
+        F.sum("n_n").alias("t_n"),
+        F.sum("n_r").alias("t_r"),
+        F.sum("n").alias("t"),
+    )
+
+    def contrib(obs, flag_tot):
+        e = F.col("n") * F.col(flag_tot) / F.col("t")
+        return (F.col(obs) - e) * (F.col(obs) - e) / e
+
+    chi2 = F.round(
+        contrib("n_a", "t_a") + contrib("n_n", "t_n") + contrib("n_r", "t_r"), 6
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "yr",
+            F.col("n").cast("bigint").alias("n_lines"),
+            chi2.alias("chi2"),
+            F.round(F.col("n_a") / F.col("n"), 4).alias("share_a"),
+            F.round(F.col("n_n") / F.col("n"), 4).alias("share_n"),
+            F.round(F.col("n_r") / F.col("n"), 4).alias("share_r"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ── events_burstiness_fano ──────────────────────────────────────────────
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+WITH per_hour AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         SUM(c) AS total,
+         SUM(c * c) AS sumsq,
+         ((epoch_us(max(hour)) // 1000000 - epoch_us(min(hour)) // 1000000)
+          / 3600 + 1)::DOUBLE AS span_hours
+  FROM per_hour GROUP BY user_id
+)
+SELECT user_id, CAST(total AS BIGINT) AS n_events,
+       CAST(span_hours AS BIGINT) AS span_hours,
+       round(((sumsq / span_hours) - (total / span_hours) * (total / span_hours))
+             / (total / span_hours), 4) AS fano
+FROM per_user
+WHERE total >= 50
+ORDER BY fano DESC, user_id
+LIMIT 20
+""",
+    tags=("events", "agg"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness: Fano factor (variance/mean) of the hourly
+    event-count series over the user's active span, zero hours included
+    analytically (via span length) instead of materializing a gap-filled
+    series.  Fano ≈ 1 is Poisson; ≫1 flags bursty/bot-like cadence.
+
+    Exactness: hourly counts are integers, so total/sumsq/span are exact
+    doubles and the variance identity is evaluated in fixed expression
+    order — bit-identical across engines.  Two map-side-combined rollups,
+    one slim (user) shuffle, top-k merge."""
+    v = views(spark, sf_dir)
+    per_hour = v["events"].groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("double").alias("c"))
+    per_user = per_hour.groupBy("user_id").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+        (
+            (
+                F.max("hour").cast("long") - F.min("hour").cast("long")
+            ) / 3600 + 1
+        ).cast("double").alias("span_hours"),
+    )
+    mean = F.col("total") / F.col("span_hours")
+    fano = F.round(
+        ((F.col("sumsq") / F.col("span_hours")) - mean * mean) / mean, 4
+    )
+    return (
+        per_user.where(F.col("total") >= 50)
+        .select(
+            "user_id",
+            F.col("total").cast("bigint").alias("n_events"),
+            F.col("span_hours").cast("bigint").alias("span_hours"),
+            fano.alias("fano"),
+        )
+        .orderBy(F.desc("fano"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ── vocab_coverage_curve ────────────────────────────────────────────────
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token),
+totals AS (SELECT SUM(c) AS total, count(*)::BIGINT AS vocab FROM counts),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rnk FROM counts
+),
+cum AS (
+  SELECT rnk, SUM(c) OVER (ORDER BY rnk) AS cum_c FROM ranked WHERE rnk <= 1000
+)
+SELECT CAST(rnk AS INTEGER) AS top_n,
+       round(cum_c / total, 4) AS coverage,
+       vocab AS vocab_size,
+       CAST(total AS BIGINT) AS total_tokens
+FROM cum, totals
+WHERE rnk IN (10, 100, 1000)
+ORDER BY rnk
+""",
+    tags=("text", "pipeline"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design curve: what fraction of all token occurrences the
+    top-{10,100,1000} vocabulary entries cover.  Token counting is a
+    map-side-combined rollup over the exploded corpus; only the top-1000
+    (via TakeOrdered, no global sort) enter the cumulative window, so
+    the single-partition cumsum is bounded at 1000 rows regardless of
+    corpus size.  Counts are integers — sums exact in float64."""
+    v = views(spark, sf_dir)
+    counts = (
+        v["documents"]
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count("*").cast("bigint").alias("vocab")
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("token")).limit(1000)
+    w_rank = Window.orderBy(F.desc("c"), F.asc("token"))
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = top.withColumn("rnk", F.row_number().over(w_rank))
+    cum = ranked.withColumn("cum_c", F.sum("c").over(w_cum))
+    return (
+        cum.where(F.col("rnk").isin(10, 100, 1000))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rnk").cast("int").alias("top_n"),
+            F.round(F.col("cum_c") / F.col("total"), 4).alias("coverage"),
+            F.col("vocab").alias("vocab_size"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("top_n")
+    )
+
+
+# ── window_rolling_median_revenue ───────────────────────────────────────
+
+
+@query(
+    "window_rolling_median_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 2
+           AS rev_cents2
+  FROM lineitem GROUP BY 1
+)
+SELECT day, round(rev_cents2 / 200.0, 2) AS revenue,
+       ((CAST(median(rev_cents2) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) + 1) // 2) / 100.0 AS rolling_median_7d
+FROM daily
+ORDER BY day
+""",
+    tags=("window",),
+)
+def window_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-row rolling median of daily revenue.  Spark has no median
+    window aggregate, so the frame is materialized per row with
+    collect_list OVER the same frame and the median read from the sorted
+    array — correct because the frame is bounded (7 elements), which is
+    precisely when exact rolling medians are tractable at scale.  Revenue
+    is accumulated in DOUBLED integer cents so the even-frame
+    interpolation (a+b)/2 is itself an exact integer K (in half-cents);
+    the 2-dp rounding is then done in INTEGER space — round(K/200, 2) ≡
+    ((K+1) // 2)/100 for positive K — because a double division puts
+    half-cent medians exactly on the .005 boundary where Spark
+    (shortest-decimal HALF_UP) and DuckDB (raw-binary multiply-round)
+    disagree.  The window runs on the day-bounded series, not raw rows."""
+    v = views(spark, sf_dir)
+    daily = v["lineitem"].groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast(
+                "bigint"
+            )
+            * 2
+        ).alias("rev_cents2")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("rev_cents2").over(w))
+    n = F.size(frame)
+    mid = ((n + 1) / 2).cast("int")
+    half = (n / 2).cast("int")
+    median2 = F.when(
+        n % 2 == 1, F.element_at(frame, mid).cast("double")
+    ).otherwise(
+        (F.element_at(frame, half) + F.element_at(frame, half + 1)) / 2.0
+    )
+    return (
+        daily.select(
+            "day",
+            F.round(F.col("rev_cents2") / 200.0, 2).alias("revenue"),
+            (
+                F.floor((median2.cast("bigint") + 1) / 2).cast("bigint") / 100.0
+            ).alias("rolling_median_7d"),
+        )
+        .orderBy("day")
+    )

@@ -46,15 +46,28 @@ ORDER BY doc_id
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document counting stats: chars, BPE-ish tokens, words, avg word
-    length.  Pure codegen expressions over one scan."""
+    length.  Pure codegen expressions over one scan.
+
+    n_tokens decomposes the BPE-ish lexer `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]`
+    into letter-run count + digit-run count + symbol-char count (run-collapsed
+    replace) — three cheap passes instead of one 3-way alternation evaluated
+    at every position.  Identical counts by construction (the alternation's
+    branches are disjoint character classes); measured 64×: 5.78 → 2.45 s
+    (flips the last bench query slower than DuckDB-32t, 3.29 s, into a win);
+    8×: 1.0 → 0.67 s; sf0.1: parity."""
     v = views(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = (
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+"))
+        + F.regexp_count(F.col("text"), F.lit("[0-9]+"))
+        + F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 \t\n]+", ""))
+    )
     return (
         v["documents"]
         .select(
             "doc_id",
             F.length("text").alias("n_chars_exact"),
-            F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]")).alias("n_tokens"),
+            n_tokens.alias("n_tokens"),
             F.size(words).alias("n_words"),
             F.round(
                 F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
