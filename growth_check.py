@@ -94,11 +94,16 @@ def main() -> None:
             points, rows = [], {}
             for f in factors:
                 sf = FACTOR_DIRS[f]
-                spec.fn(spark, sf).count()  # warm (plan + JIT + page cache)
+                # collect(), not count(): count() lets Spark prune the
+                # projections, skipping the computation scan-shaped ops
+                # exist to measure.  Rebuild the DataFrame fresh per run:
+                # re-collecting one DF reuses restage-shuffle outputs
+                # (skipped stages) and hides most of the cost.
+                spec.fn(spark, sf).collect()  # warm (plan + JIT + page cache)
                 best = math.inf
                 for _ in range(args.repeat):
                     t0 = time.time()
-                    rows[f] = spec.fn(spark, sf).count()
+                    rows[f] = len(spec.fn(spark, sf).collect())
                     best = min(best, time.time() - t0)
                 points.append((f, best))
             slope = fit_slope(points)

@@ -198,6 +198,13 @@ class Engine:
             run_pivot,
         )
 
+        from parquet_query_spark.workbench.copy_to import (
+            is_copy_statement,
+            run_copy,
+        )
+
+        if is_copy_statement(statement):
+            return run_copy(self, statement)
         if is_pivot_statement(statement):
             return run_pivot(self, statement)
         if has_columns_expr(statement):

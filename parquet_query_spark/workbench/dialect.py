@@ -808,6 +808,60 @@ def _rewrite_fn_macros(sql: str) -> str:
     return sql
 
 
+# ── DuckDB read_* table functions → path literals ───────────────────────
+#
+# ``FROM read_parquet('f.parquet')`` (and read_csv/read_json/…) is the
+# other idiom DuckDB users reach for besides the bare path literal.  A
+# single-string-argument call collapses to the quoted path itself, which
+# the engine's B4 path-literal machinery then resolves (registered view
+# or format.`abs path`).  Calls with extra arguments (options, globs as
+# lists) are left untouched so Spark's error names the construct.
+
+_READ_FN = re.compile(
+    r"\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto"
+    r"|read_json|read_ndjson_auto|read_ndjson)\s*\(",
+    re.IGNORECASE,
+)
+_READ_ARG = re.compile(r"\s*('(?:[^']|'')+')\s*\)")
+
+
+def _rewrite_read_functions(sql: str) -> str:
+    mask = _code_mask(sql)
+    repls: list[tuple[int, int, str]] = []
+    for m in _READ_FN.finditer(sql):
+        if not all(mask[m.start() : m.start(1) + len(m.group(1))]):
+            continue
+        prev = sql[m.start() - 1] if m.start() > 0 else ""
+        if prev in ".@:":
+            continue
+        am = _READ_ARG.match(sql, m.end())
+        if not am:
+            continue  # options/globs — leave for Spark to name
+        repls.append((m.start(), am.end(), am.group(1)))
+    for s, e, lit in reversed(repls):
+        sql = sql[:s] + lit + sql[e:]
+    return sql
+
+
+# ── DuckDB DESCRIBE SELECT → Spark DESCRIBE QUERY ───────────────────────
+
+_DESCRIBE_SELECT = re.compile(
+    r"^(\s*DESCRIBE\s+)(?=(?:SELECT|WITH|VALUES)\b)", re.IGNORECASE
+)
+_DESCRIBE_FROM = re.compile(r"^(\s*DESCRIBE\s+)(?=FROM\b)", re.IGNORECASE)
+
+
+def _rewrite_describe(sql: str) -> str:
+    """DuckDB ``DESCRIBE SELECT …`` → Spark ``DESCRIBE QUERY SELECT …``
+    (Spark needs the QUERY keyword for statement-describe; bare
+    ``DESCRIBE t`` is shared syntax and passes through).  The FROM-first
+    body form ``DESCRIBE FROM t`` reorders the body first."""
+    m = _DESCRIBE_FROM.match(sql)
+    if m:
+        return m.group(1) + "QUERY " + _rewrite_from_first(sql[m.end() :])
+    return _DESCRIBE_SELECT.sub(lambda g: g.group(1) + "QUERY ", sql, count=1)
+
+
 # ── DuckDB FROM-first statements ────────────────────────────────────────
 
 
@@ -1179,7 +1233,11 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                                 _rewrite_brackets(
                                     _rewrite_asof_join(
                                         _rewrite_distinct_on(
-                                            _rewrite_from_first(sql)
+                                            _rewrite_from_first(
+                                                _rewrite_describe(
+                                                    _rewrite_read_functions(sql)
+                                                )
+                                            )
                                         )
                                     )
                                 )
@@ -1205,7 +1263,11 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                                 _rewrite_brackets(
                                     _rewrite_asof_join(
                                         _rewrite_distinct_on(
-                                            _rewrite_from_first(sql)
+                                            _rewrite_from_first(
+                                                _rewrite_describe(
+                                                    _rewrite_read_functions(sql)
+                                                )
+                                            )
                                         )
                                     )
                                 )

@@ -873,3 +873,36 @@ def test_bracket_engine_matches_duckdb(engine, sf_dir):
     # element values line up
     assert [row[1] for row in r.rows] == [str(e[1]) for e in expect]
     assert [row[3] for row in r.rows] == [str(e[3]) for e in expect]
+
+
+# ── round-7: read_* table functions, DESCRIBE, COPY TO entry ─────────────
+
+
+def test_read_parquet_rewrites_to_path_literal():
+    out = rewrite_duckdb_dialect("SELECT * FROM read_parquet('f.parquet')")
+    assert out == "SELECT * FROM 'f.parquet'"
+    out = rewrite_duckdb_dialect("FROM read_csv('d.csv')")
+    assert out == "SELECT * FROM 'd.csv'"
+
+
+def test_read_fn_with_options_untouched():
+    sql = "SELECT * FROM read_csv('d.csv', header=true)"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_engine_read_parquet_fn(engine):
+    r = engine.run("SELECT count(*) AS n FROM read_parquet('region.parquet')")
+    assert r.rows[0][0] == "5"
+
+
+def test_describe_select_rewrite():
+    out = rewrite_duckdb_dialect("DESCRIBE SELECT 1 AS x")
+    assert out == "DESCRIBE QUERY SELECT 1 AS x"
+    out = rewrite_duckdb_dialect("DESCRIBE FROM t")
+    assert out == "DESCRIBE QUERY SELECT * FROM t"
+
+
+def test_engine_describe_select(engine):
+    r = engine.run("DESCRIBE SELECT r_regionkey, r_name FROM 'region.parquet'")
+    names = [row[0] for row in r.rows]
+    assert names == ["r_regionkey", "r_name"]
