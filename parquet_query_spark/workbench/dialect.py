@@ -25,9 +25,20 @@ hits first:
   (``string_split``, ``list_*``, ``list``, ``regexp_matches``,
   ``epoch_ms``/``epoch_us``, ``arg_min/arg_max``, vector-math macros) →
   their Spark equivalents.
-- ``FROM``-first statements (``FROM t`` / ``FROM t SELECT ...``) and
-  ``SELECT DISTINCT ON (keys) ... [ORDER BY ...]`` (ranked-window
-  rewrite with hidden order columns).
+- ``FROM``-first statements (``FROM t`` / ``FROM t SELECT ...``, per
+  set-operation branch) and ``SELECT DISTINCT ON (keys) ...`` (ranked-
+  window rewrite with hidden order columns).
+- Bracket syntax: ``[..]`` list literals, ``[expr FOR x IN l IF p]``
+  comprehensions, 1-based indexing ``l[i]`` / slicing ``l[a:b]`` on
+  identifier and call bases (Spark subscripts are 0-based, so indexes
+  are ALWAYS rewritten to ``try_element_at`` — leaving them would be
+  silently off by one); ``struct_pack(a := 1)`` → ``named_struct``.
+- ``read_parquet('f')`` / ``read_csv`` / ``read_json`` single-argument
+  table functions → path literals (B4 machinery resolves them);
+  ``DESCRIBE SELECT/FROM`` → ``DESCRIBE QUERY``; the ``UNPIVOT src ON
+  cols INTO NAME n VALUE v`` statement form → Spark's relational
+  UNPIVOT.  (``COPY ... TO`` executes in ``workbench/copy_to.py``;
+  PIVOT/SUMMARIZE/COLUMNS dispatch schema-aware in ``Engine.sql``.)
 
 Every rewrite is lexer-aware (single/double/backtick quotes, ``--`` and
 ``/* */`` comments — the A6 lexer's rules) so occurrences inside strings,
@@ -862,6 +873,64 @@ def _rewrite_describe(sql: str) -> str:
     return _DESCRIBE_SELECT.sub(lambda g: g.group(1) + "QUERY ", sql, count=1)
 
 
+# ── DuckDB PRAGMA statements ────────────────────────────────────────────
+#
+# The introspection pragmas map onto Spark statements; engine-tuning
+# pragmas (threads, memory_limit, …) are DuckDB-process controls with no
+# Spark meaning — a clear error beats silently pretending to apply them.
+
+_PRAGMA = re.compile(r"^\s*PRAGMA\s+([A-Za-z_]\w*)\s*(.*?);?\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_pragma(sql: str) -> str:
+    m = _PRAGMA.match(sql)
+    if not m:
+        return sql
+    name, arg = m.group(1).lower(), m.group(2).strip()
+    if name == "show_tables":
+        return "SHOW TABLES"
+    if name == "version":
+        return "SELECT version() AS library_version"
+    if name == "table_info":
+        tgt = arg.strip("()").strip().strip("'\"")
+        return f"DESCRIBE {tgt}"
+    if name == "database_size":
+        return "SHOW TABLES"  # closest introspection Spark offers
+    raise ValueError(
+        f"PRAGMA {name} is a DuckDB engine control with no Spark equivalent "
+        "(supported here: show_tables, table_info('t'), version)"
+    )
+
+
+# ── DuckDB UNPIVOT statements ───────────────────────────────────────────
+#
+# ``UNPIVOT tbl ON a, b, c INTO NAME n VALUE v`` → Spark's relational
+# form ``SELECT * FROM tbl UNPIVOT (v FOR n IN (a, b, c))``.  Column
+# aliases (``jan AS january``) pass through — both dialects accept them
+# in the IN list.  Only the statement form is rewritten (text begins
+# with UNPIVOT); the SQL-standard subquery form is shared syntax.
+
+_UNPIVOT_STMT = re.compile(
+    rf"^\s*UNPIVOT\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|'(?:[^']|'')+'|{_IDENT})"
+    rf"\s+ON\s+(?P<cols>.+?)\s+INTO\s+NAME\s+(?P<name>{_IDENT})"
+    rf"\s+VALUE\s+(?P<value>{_IDENT})(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_unpivot(sql: str) -> str:
+    m = _UNPIVOT_STMT.match(sql.strip().rstrip(";"))
+    if not m:
+        return sql
+    src = m.group("src")
+    tail = m.group("tail").strip()
+    return (
+        f"SELECT * FROM {src} UNPIVOT ({m.group('value')} "
+        f"FOR {m.group('name')} IN ({m.group('cols').strip()}))"
+        + (f" {tail}" if tail else "")
+    )
+
+
 # ── DuckDB FROM-first statements ────────────────────────────────────────
 
 
@@ -1235,7 +1304,11 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                                         _rewrite_distinct_on(
                                             _rewrite_from_first(
                                                 _rewrite_describe(
-                                                    _rewrite_read_functions(sql)
+                                                    _rewrite_unpivot(
+                                                        _rewrite_read_functions(
+                                                            _rewrite_pragma(sql)
+                                                        )
+                                                    )
                                                 )
                                             )
                                         )
@@ -1265,7 +1338,11 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                                         _rewrite_distinct_on(
                                             _rewrite_from_first(
                                                 _rewrite_describe(
-                                                    _rewrite_read_functions(sql)
+                                                    _rewrite_unpivot(
+                                                        _rewrite_read_functions(
+                                                            _rewrite_pragma(sql)
+                                                        )
+                                                    )
                                                 )
                                             )
                                         )

@@ -906,3 +906,44 @@ def test_engine_describe_select(engine):
     r = engine.run("DESCRIBE SELECT r_regionkey, r_name FROM 'region.parquet'")
     names = [row[0] for row in r.rows]
     assert names == ["r_regionkey", "r_name"]
+
+
+def test_unpivot_statement_rewrite():
+    out = rewrite_duckdb_dialect(
+        "UNPIVOT sales ON jan, feb, mar INTO NAME month VALUE amount"
+    )
+    assert out == (
+        "SELECT * FROM sales UNPIVOT (amount FOR month IN (jan, feb, mar))"
+    )
+    out = rewrite_duckdb_dialect(
+        "UNPIVOT (SELECT * FROM t) ON a, b INTO NAME k VALUE v ORDER BY k LIMIT 3"
+    )
+    assert out == (
+        "SELECT * FROM (SELECT * FROM t) UNPIVOT (v FOR k IN (a, b)) ORDER BY k LIMIT 3"
+    )
+
+
+def test_engine_unpivot_statement_matches_duckdb(engine, sf_dir):
+    import duckdb
+
+    sql = (
+        "UNPIVOT (SELECT r_regionkey AS rk, r_regionkey * 2 AS dbl, "
+        "r_regionkey * 3 AS tpl FROM 'region.parquet') "
+        "ON dbl, tpl INTO NAME metric VALUE val ORDER BY rk, metric"
+    )
+    r = engine.run(sql)
+    con = duckdb.connect()
+    expect = con.execute(
+        sql.replace("'region.parquet'", f"'{sf_dir}/region.parquet'")
+    ).fetchall()
+    con.close()
+    assert [tuple(str(c) for c in row) for row in expect] == [tuple(row) for row in r.rows]
+
+
+def test_pragma_mappings(engine):
+    assert rewrite_duckdb_dialect("PRAGMA show_tables") == "SHOW TABLES"
+    assert rewrite_duckdb_dialect("PRAGMA table_info('t')") == "DESCRIBE t"
+    r = engine.run("PRAGMA version")
+    assert r.columns == ["library_version"]
+    with pytest.raises(ValueError, match="PRAGMA threads"):
+        rewrite_duckdb_dialect("PRAGMA threads=4")
