@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = [
     "events_burstiness_fano",
     "vocab_coverage_curve",
     "window_rolling_median_revenue",
+    "embedding_ivf_nprobe_sweep",
+    "pipeline_mix_rebalance_delta",
     # ── streaming tier re-confirmation (VERDICT r6 #5: the slots after
     #    the 44 first-row entries go to the streaming set) ──
     "streaming_tumbling_counts",

@@ -895,3 +895,267 @@ def window_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# ── embedding_ivf_nprobe_sweep ──────────────────────────────────────────
+
+
+def _nprobe_sweep_oracle() -> str:
+    from parquet_query_spark.operators.similarity import (
+        _DUCKDB_COSINE_RAW,
+        N_IVF_QUERIES,
+    )
+
+    cos_ec = _DUCKDB_COSINE_RAW.format(a="e.ev", b="c.cv")
+    cos_qc = _DUCKDB_COSINE_RAW.format(a="q.qv", b="c.cv")
+    cos_cand = _DUCKDB_COSINE_RAW.format(a="p.qv", b="p.ev")
+    cos_truth = _DUCKDB_COSINE_RAW.format(a="q.qv", b="e.ev")
+    return f"""
+WITH cent_elems AS (
+  SELECT label, i, round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(v ORDER BY i) AS cv FROM cent_elems GROUP BY label),
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, ev, c_label FROM (
+    SELECT e.vec_id, e.ev, c.label AS c_label,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.label) AS rn
+    FROM corpus e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS qid, ev AS qv FROM corpus WHERE vec_id < {N_IVF_QUERIES}),
+probe_rank AS (
+  SELECT q.qid, q.qv, c.label AS c_label,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+           ORDER BY {cos_qc} DESC, c.label) AS probe_rn
+  FROM queries q CROSS JOIN cent c
+),
+truth AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {cos_truth} DESC, e.vec_id) AS rnk
+    FROM queries q CROSS JOIN corpus e
+    WHERE e.vec_id <> q.qid
+  ) WHERE rnk <= 5
+),
+sweep AS (SELECT unnest(range(1, 4)) AS nprobe),
+cand AS (
+  SELECT s.nprobe, p.qid, p.qv, a.vec_id AS neighbor_id, a.ev
+  FROM sweep s
+  JOIN probe_rank p ON p.probe_rn <= s.nprobe
+  JOIN assigned a ON a.c_label = p.c_label
+  WHERE a.vec_id <> p.qid
+),
+approx AS (
+  SELECT nprobe, qid, neighbor_id FROM (
+    SELECT p.nprobe, p.qid, p.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.nprobe, p.qid
+             ORDER BY {cos_cand} DESC, p.neighbor_id) AS rnk
+    FROM cand p
+  ) WHERE rnk <= 5
+),
+hits AS (
+  SELECT a.nprobe, count(*) AS n_hits
+  FROM approx a JOIN truth t ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+  GROUP BY a.nprobe
+),
+scanned AS (
+  SELECT nprobe, count(*) AS n_scanned FROM cand GROUP BY nprobe
+),
+sizes AS (SELECT count(*)::BIGINT AS corpus_n FROM corpus)
+SELECT CAST(s.nprobe AS INTEGER) AS nprobe,
+       CAST(COALESCE(h.n_hits, 0) * 10000 // ({N_IVF_QUERIES} * 5) AS BIGINT) AS recall_bp,
+       CAST(sc.n_scanned * 10000 // ({N_IVF_QUERIES} * z.corpus_n) AS BIGINT) AS scanned_bp
+FROM sweep s
+LEFT JOIN hits h ON h.nprobe = s.nprobe
+JOIN scanned sc ON sc.nprobe = s.nprobe
+CROSS JOIN sizes z
+ORDER BY nprobe
+"""
+
+
+@query(
+    "embedding_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    tags=("similarity", "ann", "qa"),
+)
+def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@5 vs corpus-scanned fraction at
+    nprobe ∈ {1,2,3} — the table consulted before picking nprobe for an
+    ANN deployment (more probed cells = higher recall, more scan).
+
+    Plan shape: ONE cell-assignment pass over the corpus (broadcast
+    centroids), ONE probe ranking per query, then the sweep explodes
+    only the (nprobe, probed-cell) pairs — the corpus is never
+    rescanned per nprobe level.  Exact ground truth comes from the
+    brute-force kernel on the bounded query slice.  Recall and scan
+    share are floor-divided integer basis points (order-free)."""
+    from pyspark.sql.window import Window as W
+
+    from parquet_query_spark.operators.similarity import (
+        N_IVF_QUERIES,
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select("vec_id", "label", _as_double("embedding").alias("ev"))
+    cent = (
+        emb.select("label", F.posexplode("ev").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    cos_ec = F.round(_dot("ev", "cv") / (_norm("ev") * _norm("cv")), 6)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "ev", "c_label", cos_ec.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ev", "c_label")
+    )
+    q = emb.where(F.col("vec_id") < N_IVF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    cos_qc = F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+    w_probe = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("c_label"))
+    probe_rank = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "c_label", cos_qc.alias("sim"))
+        .withColumn("probe_rn", F.row_number().over(w_probe))
+        .select("qid", "qv", "c_label", "probe_rn")
+    )
+    cos_qe = F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6)
+    w_truth = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos_qe.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w_truth))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "neighbor_id")
+    )
+    sweep = spark.range(1, 4).select(F.col("id").cast("int").alias("nprobe"))
+    cand = (
+        assigned.join(
+            F.broadcast(
+                probe_rank.crossJoin(sweep).where(F.col("probe_rn") <= F.col("nprobe"))
+            ),
+            "c_label",
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("nprobe", "qid", "qv", F.col("vec_id").alias("neighbor_id"), "ev")
+    )
+    w_rank = W.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        cand.select("nprobe", "qid", "neighbor_id", cos_qe.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 5)
+        .select("nprobe", "qid", "neighbor_id")
+    )
+    hits = approx.join(truth, ["qid", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count("*").alias("n_hits")
+    )
+    scanned = cand.groupBy("nprobe").agg(F.count("*").alias("n_scanned"))
+    corpus_n = emb.agg(F.count("*").cast("bigint").alias("corpus_n"))
+    return (
+        sweep.join(hits, "nprobe", "left")
+        .join(scanned, "nprobe")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "nprobe",
+            F.expr(
+                f"CAST(coalesce(n_hits, 0) * 10000 DIV ({N_IVF_QUERIES} * 5) AS BIGINT)"
+            ).alias("recall_bp"),
+            F.expr(
+                f"CAST(n_scanned * 10000 DIV ({N_IVF_QUERIES} * corpus_n) AS BIGINT)"
+            ).alias("scanned_bp"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+# ── pipeline_mix_rebalance_delta ────────────────────────────────────────
+
+
+@query(
+    "pipeline_mix_rebalance_delta",
+    oracle=r"""
+WITH src AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t, CAST(SUM(CAST(floor(sqrt(tokens) * 1000000) AS BIGINT)) AS BIGINT) AS rsum FROM src)
+SELECT source, n_docs, tokens,
+       CAST(tokens * 10000 // t AS BIGINT) AS current_bp,
+       CAST(CAST(floor(sqrt(tokens) * 1000000) AS BIGINT) * 10000 // rsum AS BIGINT) AS target_bp,
+       CAST((CAST(floor(sqrt(tokens) * 1000000) AS BIGINT) * 10000 // rsum) * t // 10000
+            - tokens AS BIGINT) AS token_delta,
+       CAST(((CAST(floor(sqrt(tokens) * 1000000) AS BIGINT) * 10000 // rsum) * t // 10000
+            - tokens) // greatest(tokens // n_docs, 1) AS BIGINT) AS doc_delta
+FROM src, tot
+ORDER BY source
+""",
+    tags=("pipeline",),
+)
+def pipeline_mix_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalance worksheet: given the τ=0.5 temperature-scaled
+    target mixture (weights ∝ √tokens — the standard multilingual-LM
+    upsampling curve), how many tokens/documents to add (+) or remove
+    (−) per source to hit it.  Complements pipeline_source_mixing (which
+    reports weights) by emitting the actionable delta.
+
+    Exactness: √tokens is quantized to integer micro-units BEFORE the
+    normalizing sum, then every share/delta is floor-divided integer
+    arithmetic — no float reduction anywhere, so both engines agree to
+    the last digit.  One scan, source-bounded rollup."""
+    v = views(spark, sf_dir)
+    src = v["documents"].groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("tokens"),
+    )
+    r = F.floor(F.sqrt(F.col("tokens")) * 1000000).cast("bigint")
+    keyed = src.withColumn("r", r)
+    tot = keyed.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.sum("r").cast("bigint").alias("rsum"),
+    )
+    out = keyed.crossJoin(F.broadcast(tot))
+    target_bp = F.expr("r * 10000 DIV rsum")
+    token_delta = F.expr("(r * 10000 DIV rsum) * t DIV 10000 - tokens")
+    return (
+        out.select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("tokens * 10000 DIV t").cast("bigint").alias("current_bp"),
+            target_bp.cast("bigint").alias("target_bp"),
+            token_delta.cast("bigint").alias("token_delta"),
+            F.expr(
+                "((r * 10000 DIV rsum) * t DIV 10000 - tokens) "
+                "DIV greatest(tokens DIV n_docs, 1)"
+            ).cast("bigint").alias("doc_delta"),
+        )
+        .orderBy("source")
+    )

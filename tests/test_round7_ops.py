@@ -178,3 +178,27 @@ def test_regex_sweep_counts_consistent(catalog, spark):
     for r in rows:
         assert r.long_words <= r.n_tokens
         assert len(r.devoweled_prefix) <= 80
+
+
+def test_nprobe_sweep_monotone_tradeoff(catalog, spark):
+    rows = catalog["embedding_ivf_nprobe_sweep"].fn(spark, SF).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 3]
+    recalls = [r.recall_bp for r in rows]
+    scanned = [r.scanned_bp for r in rows]
+    # more probed cells → recall and scan share both non-decreasing
+    assert recalls == sorted(recalls)
+    assert scanned == sorted(scanned)
+    assert all(0 <= r <= 10000 for r in recalls)
+    assert all(0 < s <= 10000 for s in scanned)
+
+
+def test_mix_rebalance_deltas_consistent(catalog, spark):
+    rows = catalog["pipeline_mix_rebalance_delta"].fn(spark, SF).collect()
+    assert rows
+    # temperature 0.5 flattens: over-represented sources lose, small gain
+    for r in rows:
+        if r.current_bp > r.target_bp:
+            assert r.token_delta <= 0
+        elif r.current_bp < r.target_bp:
+            assert r.token_delta >= 0
+        assert 0 <= r.target_bp <= 10000
