@@ -33,6 +33,14 @@ hits first:
   identifier and call bases (Spark subscripts are 0-based, so indexes
   are ALWAYS rewritten to ``try_element_at`` — leaving them would be
   silently off by one); ``struct_pack(a := 1)`` → ``named_struct``.
+- Operator/literal pack: ``$$...$$`` dollar strings, ``1_000_000``
+  underscores, ``//`` → ``div``, ``^``/``**`` → ``power`` (Spark's ``^``
+  is XOR — a silent wrong answer otherwise), ``^@`` → ``startswith``,
+  ``[NOT] SIMILAR TO`` → anchored RLIKE, ``{'k': v}`` struct / ``MAP
+  {...}`` literals, and FROM-position ``generate_series``/``range``
+  table functions with DuckDB's column names and bound/empty/error
+  behavior (each semantic pinned by an empirical probe; see the pack's
+  section comment).
 - ``read_parquet('f')`` / ``read_csv`` / ``read_json`` single-argument
   table functions → path literals (B4 machinery resolves them);
   ``DESCRIBE SELECT/FROM`` → ``DESCRIBE QUERY``; the ``UNPIVOT src ON
@@ -1290,6 +1298,566 @@ def _rewrite_using_sample(sql: str) -> str:
     return sql
 
 
+# ── operator & literal dialect pack (round 7) ────────────────────────────
+#
+# DuckDB operator spellings whose Spark readings are missing or — worse —
+# silently different:
+#   - ``$$...$$`` / ``$tag$...$tag$`` dollar-quoted strings → standard
+#     single-quoted literals (rewritten FIRST, before any mask-based pass,
+#     because the shared lexer doesn't know $-quoting).
+#   - ``1_000_000`` digit-group underscores → stripped (Spark rejects).
+#   - ``a // b`` → ``a div b`` (DuckDB truncates toward zero on integers,
+#     exactly Spark's ``div``: -7//2 = -3 both sides.  DuckDB's
+#     plain-division reading for DOUBLE operands is out of scope.)
+#   - ``a ^ b`` / ``a ** b`` → ``power(a, b)``.  In Spark ``^`` is bitwise
+#     XOR — ``2 ^ 3`` = 1 vs DuckDB's 8.0, a silent wrong answer for a
+#     DuckDB-habituated user.  DuckDB semantics pinned empirically:
+#     left-associative (2^3^2 = 64), tighter than ``*`` (2*3^2 = 18),
+#     unary minus binds tighter still (-2^2 = 4).  DuckDB spells XOR as
+#     the ``xor()`` function, which passes through untouched.
+#   - ``a ^@ b`` → ``startswith(a, b)``.
+#   - ``x [NOT] SIMILAR TO p`` → anchored RLIKE (DuckDB: full-match regex).
+#   - ``{'k': v, ...}`` struct literals → ``named_struct``; ``MAP {k: v}``
+#     → ``map(...)``.
+#   - FROM-position ``generate_series(...)`` / ``range(...)`` table
+#     functions → exploded ``sequence`` subqueries with DuckDB's exact
+#     column names, inclusive/exclusive bounds, empty-range and
+#     wrong-direction-error behavior (all pinned by probes: range(0) = [],
+#     range(-1) errors, generate_series(5,1) errors, range end exclusive).
+
+
+def _rewrite_dollar_strings(sql: str) -> str:
+    """``$$it's$$`` / ``$tag$...$tag$`` → ``'it''s'`` (own mini-lexer:
+    the shared mask doesn't know $-quoting, and a quote INSIDE a dollar
+    string must not flip the mask's string state)."""
+    if "$" not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    state: str | None = None
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "line":
+            out.append(ch)
+            if ch == "\n":
+                state = None
+            i += 1
+        elif state == "block":
+            out.append(ch)
+            if ch == "*" and nxt == "/":
+                out.append(nxt)
+                i += 1
+                state = None
+            i += 1
+        elif state in ("sq", "dq", "bq"):
+            q = {"sq": "'", "dq": '"', "bq": "`"}[state]
+            out.append(ch)
+            if ch == q and nxt == q:
+                out.append(nxt)
+                i += 1
+            elif ch == q:
+                state = None
+            i += 1
+        elif ch == "-" and nxt == "-":
+            out.append(ch)
+            out.append(nxt)
+            state = "line"
+            i += 2
+        elif ch == "/" and nxt == "*":
+            out.append(ch)
+            out.append(nxt)
+            state = "block"
+            i += 2
+        elif ch in "'\"`":
+            out.append(ch)
+            state = {"'": "sq", '"': "dq", "`": "bq"}[ch]
+            i += 1
+        elif ch == "$":
+            m = re.match(r"\$([A-Za-z_]\w*)?\$", sql[i:])
+            j = sql.find(m.group(0), i + len(m.group(0))) if m else -1
+            if m and j != -1:
+                content = sql[i + len(m.group(0)) : j]
+                out.append("'" + content.replace("'", "''") + "'")
+                i = j + len(m.group(0))
+            else:
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+_NUM_UNDERSCORE = re.compile(
+    r"(?<![\w$.])\d[\d_]*(?:\.[\d_]+)?(?:[eE][+-]?\d[\d_]*)?(?![\w$])"
+)
+
+
+def _rewrite_numeric_underscores(sql: str) -> str:
+    if "_" not in sql:
+        return sql
+    mask = _code_mask(sql)
+    repls: list[tuple[int, int, str]] = []
+    for m in _NUM_UNDERSCORE.finditer(sql):
+        tok = m.group(0)
+        if "_" not in tok or not all(mask[m.start() : m.end()]):
+            continue
+        # DuckDB rule: every underscore sits between two digits
+        if all(
+            i > 0 and tok[i - 1].isdigit() and i + 1 < len(tok) and tok[i + 1].isdigit()
+            for i, c in enumerate(tok)
+            if c == "_"
+        ):
+            repls.append((m.start(), m.end(), tok.replace("_", "")))
+    for s, e, new in reversed(repls):
+        sql = sql[:s] + new + sql[e:]
+    return sql
+
+
+def _rewrite_intdiv(sql: str) -> str:
+    if "//" not in sql:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        if sql[i] == "/" and i + 1 < len(sql) and sql[i + 1] == "/" and mask[i] and mask[i + 1]:
+            out.append(" div ")
+            i += 2
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+def _left_operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
+    """Start index of the tight operand ending just before ``pos``:
+    a ``(...)`` group with an optional call-name chain, or an
+    identifier/number token (exponent-aware), with a unary sign absorbed
+    when it is in unary position (DuckDB: -2^2 = 4)."""
+    i = pos - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return None
+    end = i
+    if sql[i] == "'" and not mask[i]:
+        # string literal: the mask marks the whole literal (delimiters
+        # included) as non-code — the operand is that contiguous run
+        k = i
+        while k >= 0 and not mask[k]:
+            k -= 1
+        return k + 1
+    if sql[i] == ")":
+        depth = 0
+        while i >= 0:
+            if mask[i] and sql[i] == ")":
+                depth += 1
+            elif mask[i] and sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if depth != 0:
+            return None
+        k = i - 1
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_$."):
+            k -= 1
+        name = sql[k + 1 : i]
+        if (
+            name
+            and not name[0].isdigit()
+            and name.lower() not in _BRACKET_NEVER_CALL_KEYWORDS
+        ):
+            start = k + 1
+        else:
+            start = i
+    elif sql[i].isalnum() or sql[i] in "_$":
+        k = i
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_$."):
+            k -= 1
+        # exponent sign inside a float literal: 1.5e-3
+        if (
+            k >= 2
+            and sql[k] in "+-"
+            and sql[k - 1] in "eE"
+            and sql[k - 2].isdigit()
+        ):
+            k -= 2
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_$."):
+                k -= 1
+        start = k + 1
+        tok = sql[start : end + 1]
+        if not tok or tok.lower() in _BRACKET_NONLITERAL_KEYWORDS:
+            return None
+    else:
+        return None
+    # unary sign binds tighter than ^ — absorb it when no operand precedes
+    j = start - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j >= 0 and sql[j] in "+-":
+        k = j - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        prev = sql[k] if k >= 0 else ""
+        if not (prev.isalnum() or prev in "_$.)'\""):
+            start = j
+    return start
+
+
+def _right_operand_end(sql: str, mask: list[bool], pos: int) -> int | None:
+    """End index (inclusive) of the tight operand starting at/after ``pos``:
+    optional unary sign, then a ``(...)`` group, a call, or an
+    identifier/number/string token."""
+    n = len(sql)
+    i = pos
+    while i < n and sql[i].isspace():
+        i += 1
+    while i < n and sql[i] in "+-":
+        i += 1
+        while i < n and sql[i].isspace():
+            i += 1
+    if i >= n:
+        return None
+    if sql[i] == "'":
+        m = re.match(r"'(?:[^']|'')*'", sql[i:])
+        return i + m.end() - 1 if m else None
+    if sql[i] == "(":
+        depth = 0
+        while i < n:
+            if mask[i] and sql[i] == "(":
+                depth += 1
+            elif mask[i] and sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return None
+    if sql[i].isalnum() or sql[i] in "_$":
+        is_num = sql[i].isdigit()
+        k = i
+        while k < n and (sql[k].isalnum() or sql[k] in "_$."):
+            k += 1
+        if is_num and k < n and sql[k] in "+-" and sql[k - 1] in "eE":
+            k += 1
+            while k < n and sql[k].isdigit():
+                k += 1
+        j = k
+        while j < n and sql[j].isspace():
+            j += 1
+        if not is_num and j < n and sql[j] == "(":
+            depth = 0
+            while j < n:
+                if mask[j] and sql[j] == "(":
+                    depth += 1
+                elif mask[j] and sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return j
+                j += 1
+            return None
+        return k - 1
+    return None
+
+
+def _rewrite_caret_at(sql: str) -> str:
+    """DuckDB ``a ^@ b`` (starts-with) → ``startswith(a, b)``."""
+    while "^@" in sql:
+        mask = _code_mask(sql)
+        idx = next(
+            (
+                i
+                for i in range(len(sql) - 1)
+                if sql[i] == "^" and sql[i + 1] == "@" and mask[i] and mask[i + 1]
+            ),
+            None,
+        )
+        if idx is None:
+            return sql
+        ls = _left_operand_start(sql, mask, idx)
+        rend = _right_operand_end(sql, mask, idx + 2)
+        if ls is None or rend is None:
+            return sql
+        left = sql[ls:idx].strip()
+        right = sql[idx + 2 : rend + 1].strip()
+        sql = sql[:ls] + f"startswith({left}, {right})" + sql[rend + 1 :]
+    return sql
+
+
+_POW_OP = re.compile(r"\*\*|\^(?!@)")
+
+
+def _rewrite_power(sql: str) -> str:
+    """``a ^ b`` / ``a ** b`` → ``power(a, b)`` (leftmost-first, so chains
+    associate left like DuckDB: 2^3^2 → power(power(2, 3), 2) = 64)."""
+    while "^" in sql or "**" in sql:
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _POW_OP.finditer(sql)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls = _left_operand_start(sql, mask, m.start())
+        rend = _right_operand_end(sql, mask, m.end())
+        if ls is None or rend is None:
+            return sql
+        left = sql[ls : m.start()].strip()
+        right = sql[m.end() : rend + 1].strip()
+        sql = sql[:ls] + f"power({left}, {right})" + sql[rend + 1 :]
+    return sql
+
+
+_SIMILAR_TO = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """``x [NOT] SIMILAR TO p`` → anchored RLIKE (DuckDB treats the
+    pattern as a full-match regex)."""
+    while True:
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _SIMILAR_TO.finditer(sql)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls = _left_operand_start(sql, mask, m.start())
+        if ls is None:
+            return sql
+        # ``||`` binds tighter than SIMILAR TO — absorb concat chains
+        while True:
+            j = ls - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j >= 1 and sql[j] == "|" and sql[j - 1] == "|" and mask[j]:
+                prev = _left_operand_start(sql, mask, j - 1)
+                if prev is None:
+                    break
+                ls = prev
+            else:
+                break
+        left = sql[ls : m.start()].strip()
+        lit = re.match(r"\s*'((?:[^']|'')*)'(?!\s*\|\|)", sql[m.end() :])
+        if lit:
+            rep = f"{left} RLIKE '^(?:{lit.group(1)})$'"
+            end = m.end() + lit.end()
+        else:
+            rend = _right_operand_end(sql, mask, m.end())
+            if rend is None:
+                return sql
+            while True:
+                j = rend + 1
+                while j < len(sql) and sql[j].isspace():
+                    j += 1
+                if j + 1 < len(sql) and sql[j] == "|" and sql[j + 1] == "|" and mask[j]:
+                    nxt = _right_operand_end(sql, mask, j + 2)
+                    if nxt is None:
+                        break
+                    rend = nxt
+                else:
+                    break
+            pat = sql[m.end() : rend + 1].strip()
+            rep = f"rlike({left}, concat('^(?:', {pat}, ')$'))"
+            end = rend + 1
+        if m.group(1):
+            rep = f"NOT ({rep})"
+        sql = sql[:ls] + "(" + rep + ")" + sql[end:]
+    return sql
+
+
+def _brace_close(sql: str, mask: list[bool], i: int) -> int | None:
+    depth = 0
+    for k in range(i, len(sql)):
+        if not mask[k]:
+            continue
+        if sql[k] == "{":
+            depth += 1
+        elif sql[k] == "}":
+            depth -= 1
+            if depth == 0:
+                return k
+    return None
+
+
+def _split_entries(text: str) -> list[str]:
+    """Top-level comma split tracking (), [] and {} nesting."""
+    mask = _code_mask(text)
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(text):
+        if not mask[i]:
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
+def _split_entry_colon(text: str) -> tuple[str, str] | None:
+    """Split ``k: v`` on the single top-level ``:`` (``::`` casts skipped)."""
+    mask = _code_mask(text)
+    depth = 0
+    for i, ch in enumerate(text):
+        if not mask[i]:
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (
+            ch == ":"
+            and depth == 0
+            and not (i + 1 < len(text) and text[i + 1] == ":")
+            and not (i > 0 and text[i - 1] == ":")
+        ):
+            return text[:i], text[i + 1 :]
+    return None
+
+
+_MAP_KW_TAIL = re.compile(r"\bMAP\s*$", re.IGNORECASE)
+
+
+def _rewrite_brace_literals(sql: str) -> str:
+    """``{'a': 1, 'b': x}`` → ``named_struct('a', 1, 'b', x)``;
+    ``MAP {k: v, ...}`` → ``map(k, v, ...)`` (innermost-first walk, same
+    shape as the bracket pass — nested literals compose)."""
+    if "{" not in sql:
+        return sql
+    mask = _code_mask(sql)
+
+    def walk(start: int, end: int) -> str:
+        out: list[str] = []
+        i = start
+        while i < end:
+            ch = sql[i]
+            if ch != "{" or not mask[i]:
+                out.append(ch)
+                i += 1
+                continue
+            j = _brace_close(sql, mask, i)
+            if j is None or j >= end:
+                out.append(ch)
+                i += 1
+                continue
+            inner = walk(i + 1, j)
+            i = j + 1
+            prefix = "".join(out)
+            pairs = [
+                _split_entry_colon(e) for e in _split_entries(inner) if e.strip()
+            ]
+            if not pairs or any(p is None for p in pairs):
+                out.append("{" + inner + "}")
+                continue
+            args = ", ".join(f"{k.strip()}, {v.strip()}" for k, v in pairs)
+            mkw = _MAP_KW_TAIL.search(prefix)
+            if mkw:
+                out = [prefix[: mkw.start()], f"map({args})"]
+            else:
+                out = [prefix, f"named_struct({args})"]
+        return "".join(out)
+
+    return walk(0, len(sql))
+
+
+_SERIES_TVF = re.compile(
+    r"\b(?:FROM|JOIN)\s+(generate_series|range)\s*\(", re.IGNORECASE
+)
+_INTERVAL_ARG = re.compile(r"\bINTERVAL\b", re.IGNORECASE)
+
+
+def _series_empty(a: str) -> str:
+    # typed empty array: a 0-length slice of a 1-element sequence
+    return f"slice(sequence(({a}), ({a})), 1, 0)"
+
+
+def _series_body(fn: str, args: list[str]) -> str | None:
+    err = (
+        "raise_error('{} error: start is bigger than end, but increment "
+        "is positive: cannot generate infinite series')".format(fn)
+    )
+    if fn == "range" and len(args) == 1:
+        (n,) = args
+        return (
+            f"IF(({n}) > 0, sequence(0, ({n}) - 1), "
+            f"IF(({n}) = 0, {_series_empty('0')}, {err}))"
+        )
+    if len(args) == 2:
+        a, b = args
+        if fn == "generate_series":
+            return f"IF(({b}) >= ({a}), sequence(({a}), ({b})), {err})"
+        return (
+            f"IF(({b}) > ({a}), sequence(({a}), ({b}) - 1), "
+            f"IF(({b}) = ({a}), {_series_empty(a)}, {err}))"
+        )
+    if len(args) == 3:
+        a, b, s = args
+        if fn == "generate_series":
+            return f"sequence(({a}), ({b}), ({s}))"
+        if _INTERVAL_ARG.search(s):
+            # range is end-exclusive; timestamps step back one microsecond
+            return f"sequence(({a}), ({b}) - INTERVAL '0.000001' SECOND, ({s}))"
+        return (
+            f"sequence(({a}), ({b}) - (CASE WHEN ({s}) < 0 THEN -1 ELSE 1 END), ({s}))"
+        )
+    return None
+
+
+def _rewrite_series_tvf(sql: str) -> str:
+    """FROM-position ``generate_series``/``range`` table functions →
+    exploded ``sequence`` subqueries keeping DuckDB's column name and
+    bound/empty/error behavior.  Trailing aliases (``t(x)``) survive as
+    subquery aliases."""
+    while True:
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _SERIES_TVF.finditer(sql)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_paren = sql.index("(", m.start(1))
+        parsed = _split_call_args(sql, mask, open_paren)
+        if parsed is None:
+            return sql
+        args, close = parsed
+        fn = m.group(1).lower()
+        body = _series_body(fn, [a.strip() for a in args])
+        if body is None:
+            return sql
+        rep = f"(SELECT explode({body}) AS `{fn}`)"
+        sql = sql[: m.start(1)] + rep + sql[close + 1 :]
+    return sql
+
+
+def _rewrite_ops_pack(sql: str) -> str:
+    return _rewrite_series_tvf(
+        _rewrite_similar_to(
+            _rewrite_power(_rewrite_caret_at(_rewrite_intdiv(sql)))
+        )
+    )
+
+
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
     return _rewrite_qualify(
@@ -1299,18 +1867,26 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                     _rewrite_using_sample(
                         _rewrite_function_names(
                             _rewrite_fn_macros(
-                                _rewrite_brackets(
-                                    _rewrite_asof_join(
-                                        _rewrite_distinct_on(
-                                            _rewrite_from_first(
-                                                _rewrite_describe(
-                                                    _rewrite_unpivot(
-                                                        _rewrite_read_functions(
-                                                            _rewrite_pragma(sql)
+                                _rewrite_ops_pack(
+                                    _rewrite_brackets(
+                                        _rewrite_brace_literals(
+                                        _rewrite_asof_join(
+                                            _rewrite_distinct_on(
+                                                _rewrite_from_first(
+                                                    _rewrite_describe(
+                                                        _rewrite_unpivot(
+                                                            _rewrite_read_functions(
+                                                                _rewrite_pragma(
+                                                                    _rewrite_numeric_underscores(
+                                                                        _rewrite_dollar_strings(sql)
+                                                                    )
+                                                                )
+                                                            )
                                                         )
                                                     )
                                                 )
                                             )
+                                        )
                                         )
                                     )
                                 )
@@ -1333,18 +1909,26 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                     _rewrite_using_sample(
                         _rewrite_function_names(
                             _rewrite_fn_macros(
-                                _rewrite_brackets(
-                                    _rewrite_asof_join(
-                                        _rewrite_distinct_on(
-                                            _rewrite_from_first(
-                                                _rewrite_describe(
-                                                    _rewrite_unpivot(
-                                                        _rewrite_read_functions(
-                                                            _rewrite_pragma(sql)
+                                _rewrite_ops_pack(
+                                    _rewrite_brackets(
+                                        _rewrite_brace_literals(
+                                        _rewrite_asof_join(
+                                            _rewrite_distinct_on(
+                                                _rewrite_from_first(
+                                                    _rewrite_describe(
+                                                        _rewrite_unpivot(
+                                                            _rewrite_read_functions(
+                                                                _rewrite_pragma(
+                                                                    _rewrite_numeric_underscores(
+                                                                        _rewrite_dollar_strings(sql)
+                                                                    )
+                                                                )
+                                                            )
                                                         )
                                                     )
                                                 )
                                             )
+                                        )
                                         )
                                     )
                                 )

@@ -947,3 +947,149 @@ def test_pragma_mappings(engine):
     assert r.columns == ["library_version"]
     with pytest.raises(ValueError, match="PRAGMA threads"):
         rewrite_duckdb_dialect("PRAGMA threads=4")
+
+
+# ── operator & literal pack (round 7) ────────────────────────────────────
+
+
+def test_numeric_underscores():
+    assert rewrite_duckdb_dialect("SELECT 1_000_000 + 2") == "SELECT 1000000 + 2"
+    assert rewrite_duckdb_dialect("SELECT 1_000.5") == "SELECT 1000.5"
+    # identifiers and strings untouched
+    assert rewrite_duckdb_dialect("SELECT a_1, '1_000'") == "SELECT a_1, '1_000'"
+
+
+def test_intdiv_to_div():
+    out = rewrite_duckdb_dialect("SELECT 7 // 2, -7 // 2")
+    assert "div" in out and "//" not in out
+    assert rewrite_duckdb_dialect("SELECT '//'") == "SELECT '//'"
+
+
+def test_power_operator_semantics():
+    # DuckDB pins (probed): 2^3^2 = 64 (left-assoc), 2*3^2 = 18 (tighter
+    # than *), -2^2 = 4 (unary minus tighter still), 1-2^2 = -3 (binary
+    # minus looser)
+    out = rewrite_duckdb_dialect("SELECT 2^3^2, 2*3^2, -2^2, 1-2^2, 2 ** 4")
+    assert out == (
+        "SELECT power(power(2, 3), 2), 2*power(3, 2), power(-2, 2), "
+        "1-power(2, 2), power(2, 4)"
+    )
+
+
+def test_power_operand_shapes():
+    assert (
+        rewrite_duckdb_dialect("SELECT sum(x) ^ 2 FROM t")
+        == "SELECT power(sum(x), 2) FROM t"
+    )
+    assert (
+        rewrite_duckdb_dialect("SELECT (a + b) ^ (c - d) FROM t")
+        == "SELECT power((a + b), (c - d)) FROM t"
+    )
+    # inside strings untouched
+    assert rewrite_duckdb_dialect("SELECT '2 ^ 3'") == "SELECT '2 ^ 3'"
+
+
+def test_caret_at_startswith():
+    assert (
+        rewrite_duckdb_dialect("SELECT name ^@ 'Cust' FROM t")
+        == "SELECT startswith(name, 'Cust') FROM t"
+    )
+    assert (
+        rewrite_duckdb_dialect("SELECT 'a''b' ^@ 'a'")
+        == "SELECT startswith('a''b', 'a')"
+    )
+
+
+def test_similar_to_anchored():
+    assert (
+        rewrite_duckdb_dialect("SELECT x SIMILAR TO '[a-z]+' FROM t")
+        == "SELECT (x RLIKE '^(?:[a-z]+)$') FROM t"
+    )
+    assert (
+        rewrite_duckdb_dialect("SELECT x NOT SIMILAR TO 'a.c' FROM t")
+        == "SELECT (NOT (x RLIKE '^(?:a.c)$')) FROM t"
+    )
+
+
+def test_similar_to_concat_chain_binds_tighter():
+    out = rewrite_duckdb_dialect("SELECT y SIMILAR TO pre || '$' FROM t")
+    assert out == "SELECT (rlike(y, concat('^(?:', pre || '$', ')$'))) FROM t"
+
+
+def test_dollar_quoted_strings():
+    assert rewrite_duckdb_dialect("SELECT $$it's$$ AS s") == "SELECT 'it''s' AS s"
+    assert rewrite_duckdb_dialect("SELECT $tag$a$b$tag$") == "SELECT 'a$b'"
+    # $$ inside a normal string untouched
+    assert rewrite_duckdb_dialect("SELECT '$$x$$'") == "SELECT '$$x$$'"
+
+
+def test_struct_and_map_literals():
+    assert (
+        rewrite_duckdb_dialect("SELECT {'a': 1, 'b': x + 1} FROM t")
+        == "SELECT named_struct('a', 1, 'b', x + 1) FROM t"
+    )
+    assert (
+        rewrite_duckdb_dialect("SELECT MAP {'k': 2, 'j': 3}")
+        == "SELECT map('k', 2, 'j', 3)"
+    )
+    # nested struct + list literal value; casts inside values survive
+    assert (
+        rewrite_duckdb_dialect("SELECT {'a': {'b': [1,2]}, 'c': x::INT}")
+        == "SELECT named_struct('a', named_struct('b', array(1,2)), 'c', x::INT)"
+    )
+
+
+def test_series_tvf_rewrite_shapes():
+    out = rewrite_duckdb_dialect("SELECT * FROM generate_series(1, 5)")
+    assert "explode" in out and "AS `generate_series`" in out
+    out = rewrite_duckdb_dialect("SELECT * FROM range(1, 4) t(x)")
+    assert "AS `range`) t(x)" in out
+    # scalar position (no FROM/JOIN before) untouched
+    sql = "SELECT range(1, 4) FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_engine_operator_pack_matches_duckdb(engine):
+    import duckdb
+
+    battery = [
+        "SELECT 1_000_000 + 2 AS v",
+        "SELECT 7 // 2 AS a, -7 // 2 AS b",
+        "SELECT 2 ^ 3 AS a, 2^3^2 AS b, 2*3^2 AS c, -2^2 AS d, 1-2^2 AS e",
+        "SELECT 'abc' ^@ 'ab' AS a, 'abc' ^@ 'b' AS b",
+        "SELECT 'a1' SIMILAR TO '[a-z][0-9]' AS a, 'abc' SIMILAR TO 'a' AS b",
+        "SELECT $$it's$$ AS s",
+        "SELECT {'a': 1, 'b': 'x'}.a AS a",
+        "SELECT * FROM generate_series(1, 5)",
+        "SELECT * FROM generate_series(10, 1, -2)",
+        "SELECT * FROM range(5)",
+        "SELECT * FROM range(0)",
+        "SELECT x + 1 AS y FROM range(1, 4) t(x)",
+        "SELECT count(*) AS n FROM generate_series("
+        "TIMESTAMP '2020-01-01', TIMESTAMP '2020-03-01', INTERVAL 1 DAY)",
+    ]
+    con = duckdb.connect()
+    for sql in battery:
+        got = sorted(tuple(r) for r in engine.run(sql).rows)
+        want = sorted(
+            tuple(str(c).lower() if c is not None else None for c in row)
+            for row in con.execute(sql).fetchall()
+        )
+        norm = [tuple(str(c).lower().removesuffix(".0") for c in r) for r in got]
+        wnorm = [tuple(str(c).removesuffix(".0") for c in r) for r in want]
+        assert norm == wnorm, f"{sql}: {norm} != {wnorm}"
+    con.close()
+
+
+def test_engine_map_literal_subscript(engine):
+    # Documented divergence: DuckDB's map[key] returns a one-element LIST
+    # ([2]); Spark's (ANSI/common) reading returns the element itself.
+    r = engine.run("SELECT MAP {'k': 2, 'j': 3}['k'] AS v")
+    assert r.rows == [["2"]]
+
+
+def test_engine_series_empty_and_error(engine):
+    assert engine.run("SELECT * FROM range(0)").num_rows == 0
+    assert engine.run("SELECT * FROM range(1, 1)").num_rows == 0
+    with pytest.raises(Exception, match="infinite series"):
+        engine.run("SELECT * FROM generate_series(5, 1)")
