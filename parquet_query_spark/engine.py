@@ -157,6 +157,8 @@ class Engine:
         self.root = root
         self.registry: dict[str, DataFrame] = {}
         self.table_name: str | None = None
+        # CREATE MACRO session objects (workbench/macros.py)
+        self.macros: dict = {}
 
     @classmethod
     def open(
@@ -181,6 +183,31 @@ class Engine:
         # pass-through, src/duckdb.ts:46-49), then the path-literal
         # rewrite re-lexes the transformed text.
         registered = assign_view_names(self.registry)
+        # DuckDB CREATE/DROP MACRO — session objects on this Engine; every
+        # later statement sees its calls expanded before any other pass.
+        from parquet_query_spark.workbench.macros import (
+            drop_macro,
+            expand_macros,
+            is_create_macro,
+            is_drop_macro,
+            register_macro,
+        )
+
+        if is_create_macro(statement):
+            register_macro(self.macros, statement)
+            return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        if is_drop_macro(statement):
+            drop_macro(self.macros, statement)
+            return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        statement = expand_macros(statement, self.macros)
+        # DuckDB UNION [ALL] BY NAME — engine-side unionByName fold.
+        from parquet_query_spark.workbench.set_ops import (
+            has_union_by_name,
+            run_union_by_name,
+        )
+
+        if has_union_by_name(statement):
+            return run_union_by_name(self, statement)
         # DuckDB SUMMARIZE statement (pass-through parity): profile the
         # inner query via one map-side-combined aggregation pass.
         inner = summarize_statement_body(statement)

@@ -1,0 +1,227 @@
+"""DuckDB ``CREATE MACRO`` / ``DROP MACRO`` support (scalar + table).
+
+The reference forwards these to DuckDB untouched (src/duckdb.ts:46-49),
+where macros are session catalog objects.  Here they live on the Engine
+instance; calls are expanded textually (lexer-aware, identifier-boundary-
+aware) before the dialect shim runs.  DuckDB performs parameter
+substitution on the parsed AST and rejects recursive macros at creation
+time, so a bounded textual fixpoint reproduces the semantics for the
+scope accepted here: positional parameters, ``name := default`` defaults
+(overridable by name only), and ``AS TABLE`` table macros in FROM
+position.
+
+Pinned DuckDB behaviors (probed on the bundled build):
+- plain parameters cannot be passed by name; defaults can ONLY be
+  overridden by name (``defarg(3, 2)`` errors, ``defarg(3, b := 2)`` ok)
+- ``CREATE OR REPLACE`` replaces; a plain re-CREATE of an existing name
+  errors ("already exists")
+- ``DROP MACRO missing`` errors unless ``IF EXISTS``
+- recursion is rejected at creation ("does not exist" while binding)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from parquet_query_spark.workbench.dialect import (
+    _code_mask,
+    _split_call_args,
+)
+
+_CREATE_MACRO = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"([A-Za-z_]\w*)\s*(?=\()",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MACRO = re.compile(
+    r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_AS_KW = re.compile(r"\s*AS\s+(TABLE\s+)?", re.IGNORECASE | re.DOTALL)
+_PARAM_DEFAULT = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL
+)
+_PARAM_PLAIN = re.compile(r"^\s*([A-Za-z_]\w*)\s*$")
+_NAMED_CALL_ARG = re.compile(r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
+_IDENT_TOKEN = re.compile(r"[A-Za-z_]\w*")
+
+_MAX_EXPANSIONS = 200
+
+
+@dataclass
+class Macro:
+    name: str
+    positional: list[str] = field(default_factory=list)
+    defaults: dict[str, str] = field(default_factory=dict)  # lowercase name → expr
+    body: str = ""
+    is_table: bool = False
+
+    @property
+    def signature(self) -> str:
+        return f"{self.name}({', '.join(self.positional)})"
+
+
+def is_create_macro(sql: str) -> bool:
+    return _CREATE_MACRO.match(sql) is not None
+
+
+def is_drop_macro(sql: str) -> bool:
+    return _DROP_MACRO.match(sql) is not None
+
+
+def parse_create_macro(sql: str) -> Macro:
+    m = _CREATE_MACRO.match(sql)
+    if m is None:
+        raise ValueError("not a CREATE MACRO statement")
+    or_replace = bool(m.group(1))
+    name = m.group(2)
+    mask = _code_mask(sql)
+    parsed = _split_call_args(sql, mask, m.end())
+    if parsed is None:
+        raise ValueError(f"CREATE MACRO {name}: unbalanced parameter list")
+    raw_params, close = parsed
+    mac = Macro(name=name)
+    for p in raw_params:
+        if not p.strip():
+            continue
+        dm = _PARAM_DEFAULT.match(p)
+        if dm:
+            mac.defaults[dm.group(1).lower()] = dm.group(2).strip()
+            continue
+        pm = _PARAM_PLAIN.match(p)
+        if pm is None:
+            raise ValueError(f"CREATE MACRO {name}: bad parameter {p.strip()!r}")
+        if mac.defaults:
+            raise ValueError(
+                f"CREATE MACRO {name}: positional parameter after default"
+            )
+        mac.positional.append(pm.group(1))
+    askw = _AS_KW.match(sql, close + 1)
+    if askw is None:
+        raise ValueError(f"CREATE MACRO {name}: expected AS <expression>")
+    mac.is_table = bool(askw.group(1))
+    mac.body = sql[askw.end() :].strip().rstrip(";").strip()
+    if not mac.body:
+        raise ValueError(f"CREATE MACRO {name}: empty body")
+    mac._or_replace = or_replace  # type: ignore[attr-defined]
+    return mac
+
+
+def register_macro(macros: dict[str, Macro], sql: str) -> Macro:
+    mac = parse_create_macro(sql)
+    key = mac.name.lower()
+    if key in macros and not getattr(mac, "_or_replace", False):
+        raise ValueError(f"Macro with name {mac.name} already exists")
+    # DuckDB rejects recursive macros at creation ("does not exist"); the
+    # same check here keeps the expansion fixpoint finite.
+    body_mask = _code_mask(mac.body)
+    for tok in _IDENT_TOKEN.finditer(mac.body):
+        if tok.group(0).lower() == key and all(
+            body_mask[i] for i in range(tok.start(), tok.end())
+        ):
+            raise ValueError(
+                f"CREATE MACRO {mac.name}: macro cannot reference itself"
+            )
+    macros[key] = mac
+    return mac
+
+
+def drop_macro(macros: dict[str, Macro], sql: str) -> None:
+    m = _DROP_MACRO.match(sql)
+    if m is None:
+        raise ValueError("not a DROP MACRO statement")
+    key = m.group(2).lower()
+    if key not in macros and not m.group(1):
+        raise ValueError(f"Macro with name {m.group(2)} does not exist")
+    macros.pop(key, None)
+
+
+def _substitute(mac: Macro, raw_args: list[str]) -> str:
+    pos: list[str] = []
+    named: dict[str, str] = {}
+    for a in raw_args:
+        if not a.strip() and len(raw_args) == 1:
+            continue
+        nm = _NAMED_CALL_ARG.match(a)
+        if nm:
+            named[nm.group(1).lower()] = nm.group(2).strip()
+        elif named:
+            raise ValueError(
+                f"Macro {mac.name}: positional argument after named argument"
+            )
+        else:
+            pos.append(a.strip())
+    if len(pos) != len(mac.positional):
+        raise ValueError(
+            f"Macro function '{mac.signature}' requires "
+            f"{len(mac.positional)} positional argument(s), "
+            f"but {len(pos)} positional argument(s) were provided"
+        )
+    binds = {p.lower(): v for p, v in zip(mac.positional, pos)}
+    for k, default in mac.defaults.items():
+        binds[k] = named.pop(k, default)
+    if named:
+        raise ValueError(
+            f"Macro {mac.name} does not have default parameter "
+            + ", ".join(sorted(named))
+        )
+    body = mac.body
+    bmask = _code_mask(body)
+    repls: list[tuple[int, int, str]] = []
+    for tok in _IDENT_TOKEN.finditer(body):
+        key = tok.group(0).lower()
+        if key not in binds:
+            continue
+        if not all(bmask[i] for i in range(tok.start(), tok.end())):
+            continue
+        # not a field access (x.param) and not a call name (param(...))
+        j = tok.start() - 1
+        while j >= 0 and body[j].isspace():
+            j -= 1
+        if j >= 0 and body[j] == ".":
+            continue
+        k = tok.end()
+        while k < len(body) and body[k].isspace():
+            k += 1
+        if k < len(body) and body[k] == "(":
+            continue
+        repls.append((tok.start(), tok.end(), f"({binds[key]})"))
+    for s, e, new in reversed(repls):
+        body = body[:s] + new + body[e:]
+    return f"({body})"
+
+
+def expand_macros(sql: str, macros: dict[str, Macro]) -> str:
+    """Expand every registered macro call in ``sql`` (bounded fixpoint —
+    creation rejects recursion, so this terminates on any input that
+    doesn't re-introduce calls faster than the cap)."""
+    if not macros:
+        return sql
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in macros) + r")\s*\(",
+        re.IGNORECASE,
+    )
+    for _ in range(_MAX_EXPANSIONS):
+        mask = _code_mask(sql)
+        hit = None
+        for m in pattern.finditer(sql):
+            if not all(mask[i] for i in range(m.start(), m.end())):
+                continue
+            j = m.start() - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j >= 0 and sql[j] == ".":
+                continue
+            hit = m
+            break
+        if hit is None:
+            return sql
+        parsed = _split_call_args(sql, mask, hit.end() - 1)
+        if parsed is None:
+            return sql
+        args, close = parsed
+        mac = macros[hit.group(1).lower()]
+        sub = _substitute(mac, args)
+        sql = sql[: hit.start(1)] + sub + sql[close + 1 :]
+    raise ValueError("macro expansion did not terminate (depth cap hit)")

@@ -1,0 +1,146 @@
+"""CREATE/DROP MACRO (workbench/macros.py) and UNION BY NAME
+(workbench/set_ops.py) — DuckDB pass-through constructs the reference gets
+for free (src/duckdb.ts:46-49), differential-tested against DuckDB."""
+
+import duckdb
+import pytest
+
+from parquet_query_spark.workbench.macros import (
+    Macro,
+    expand_macros,
+    parse_create_macro,
+    register_macro,
+)
+from parquet_query_spark.workbench.set_ops import has_union_by_name
+
+
+@pytest.fixture(scope="module")
+def engine(sf_dir):
+    from parquet_query_spark.engine import Engine
+
+    return Engine.open(sf_dir, table_name="alldata")
+
+
+# ── pure parsing / expansion ─────────────────────────────────────────────
+
+
+def test_parse_scalar_macro():
+    mac = parse_create_macro("CREATE MACRO add1(a, b) AS a + b")
+    assert mac.name == "add1"
+    assert mac.positional == ["a", "b"]
+    assert not mac.is_table
+    assert mac.body == "a + b"
+
+
+def test_parse_default_and_table_macro():
+    mac = parse_create_macro("CREATE MACRO m(a, b := 5) AS a * b")
+    assert mac.positional == ["a"] and mac.defaults == {"b": "5"}
+    tmac = parse_create_macro("CREATE MACRO t(n) AS TABLE SELECT n")
+    assert tmac.is_table and tmac.body == "SELECT n"
+
+
+def test_expand_substitutes_with_parens_and_boundaries():
+    macros = {}
+    register_macro(macros, "CREATE MACRO sq(x) AS x * x")
+    out = expand_macros("SELECT sq(1 + 2), xx, 'sq(9)' FROM t", macros)
+    assert out == "SELECT ((1 + 2) * (1 + 2)), xx, 'sq(9)' FROM t"
+
+
+def test_expand_nested_calls():
+    macros = {}
+    register_macro(macros, "CREATE MACRO inc(x) AS x + 1")
+    assert expand_macros("SELECT inc(inc(1))", macros) == "SELECT ((((1) + 1)) + 1)"
+
+
+def test_register_rejects_duplicate_and_recursion():
+    macros = {}
+    register_macro(macros, "CREATE MACRO m(a) AS a")
+    with pytest.raises(ValueError, match="already exists"):
+        register_macro(macros, "CREATE MACRO m(a) AS a + 1")
+    with pytest.raises(ValueError, match="reference itself"):
+        register_macro(macros, "CREATE MACRO r(a) AS r(a - 1)")
+
+
+def test_substitute_argument_errors_match_duckdb_wording():
+    macros = {}
+    register_macro(macros, "CREATE MACRO defarg(a, b := 5) AS a * b")
+    with pytest.raises(ValueError, match=r"defarg\(a\).*1 positional"):
+        expand_macros("SELECT defarg(3, 2)", macros)
+    with pytest.raises(ValueError, match="does not have default parameter c"):
+        expand_macros("SELECT defarg(3, c := 2)", macros)
+
+
+def test_has_union_by_name_top_level_only():
+    assert has_union_by_name("SELECT 1 AS a UNION BY NAME SELECT 2 AS b")
+    assert not has_union_by_name(
+        "SELECT * FROM (SELECT 1 AS a UNION BY NAME SELECT 2 AS a) t"
+    )
+    assert not has_union_by_name("SELECT 'UNION BY NAME'")
+
+
+# ── engine differential vs DuckDB ────────────────────────────────────────
+
+
+def test_engine_macros_match_duckdb(engine):
+    con = duckdb.connect()
+    ddl = [
+        "CREATE MACRO add2(a, b) AS a + b",
+        "CREATE MACRO defarg2(a, b := 5) AS a * b",
+        "CREATE MACRO tm2(n) AS TABLE SELECT * FROM generate_series(1, n)",
+    ]
+    for stmt in ddl:
+        engine.exec(stmt)
+        con.execute(stmt)
+    queries = [
+        "SELECT add2(1, 2) AS v",
+        "SELECT defarg2(3) AS v, defarg2(3, b := 2) AS w",
+        "SELECT count(*) AS n FROM tm2(4)",
+        "SELECT add2(defarg2(2), 1) AS v",
+    ]
+    for q in queries:
+        got = [tuple(r) for r in engine.run(q).rows]
+        want = [tuple(str(c) for c in row) for row in con.execute(q).fetchall()]
+        assert got == want, q
+    con.close()
+    engine.exec("CREATE OR REPLACE MACRO add2(a, b) AS a - b")
+    assert engine.run("SELECT add2(5, 2) AS v").rows == [["3"]]
+    engine.exec("DROP MACRO add2")
+    engine.exec("DROP MACRO IF EXISTS add2")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.exec("DROP MACRO add2")
+    engine.exec("DROP MACRO defarg2")
+    engine.exec("DROP MACRO tm2")
+
+
+def test_engine_union_by_name_matches_duckdb(engine):
+    con = duckdb.connect()
+    queries = [
+        # column order = left branch then appended names; BY NAME dedups
+        "SELECT 2 AS b, 1 AS a UNION BY NAME SELECT 1 AS a, 2 AS b",
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS b",
+        # three branches, mixed ALL, whole-union tail
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a "
+        "UNION ALL BY NAME SELECT 3 AS b ORDER BY a LIMIT 5",
+    ]
+    for q in queries:
+        r = engine.run(q)
+        got = sorted(tuple(c for c in row) for row in r.rows)
+        want = sorted(
+            tuple(str(c) if c is not None else "" for c in row)
+            for row in con.execute(q).fetchall()
+        )
+        cols = [d[0] for d in con.execute(q).description]
+        assert r.columns == cols, q
+        assert got == want, q
+    con.close()
+
+
+def test_engine_union_by_name_over_files(engine):
+    r = engine.run(
+        "SELECT r_regionkey AS k, r_name AS name FROM 'region.parquet' "
+        "UNION ALL BY NAME "
+        "SELECT n_name AS name, n_nationkey AS k FROM 'nation.parquet' "
+        "ORDER BY k, name"
+    )
+    assert r.columns == ["k", "name"]
+    assert r.num_rows == 30
