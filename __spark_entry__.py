@@ -89,6 +89,8 @@ _DRIVER_PRIORITY = [
     "window_rolling_median_revenue",
     "embedding_ivf_nprobe_sweep",
     "pipeline_mix_rebalance_delta",
+    "events_trend_mann_kendall",
+    "text_zipf_law_fit",
     # ── streaming tier re-confirmation (VERDICT r6 #5: the slots after
     #    the 44 first-row entries go to the streaming set) ──
     "streaming_tumbling_counts",

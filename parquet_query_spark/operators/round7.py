@@ -1159,3 +1159,260 @@ def pipeline_mix_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ── events_trend_mann_kendall ───────────────────────────────────────────
+
+
+@query(
+    "events_trend_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+         (b.c - a.c) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i
+),
+stat AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+  FROM pairs GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT event_type, c, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+  GROUP BY event_type
+),
+z AS (
+  SELECT s.event_type, s.s_stat, s.theil_sen_slope, t.n,
+         t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS var18,
+         round(CASE
+           WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term) / 18.0)
+           WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term) / 18.0)
+           ELSE 0.0 END, 4) AS z_mk
+  FROM stat s JOIN ties t ON s.event_type = t.event_type
+)
+SELECT event_type, n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+       z_mk, theil_sen_slope,
+       CASE WHEN z_mk > 1.96 THEN 'rising'
+            WHEN z_mk < -1.96 THEN 'falling'
+            ELSE 'none' END AS trend
+FROM z
+ORDER BY event_type
+""",
+    tags=("events", "stats"),
+)
+def events_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Theil-Sen slope per event type
+    over the daily volume series — the nonparametric "is this metric
+    actually trending" primitive behind alert tuning (no normality or
+    linearity assumption, robust to the outlier days the z-score ops
+    flag).
+
+    Exactness: S and the tie-corrected 18·Var(S) are pure BIGINT
+    arithmetic; floats appear only in the final z / slope, rounded to
+    fixed dp in both engines.  The Theil-Sen median interpolates over
+    pairwise-slope doubles that are bit-identical per engine (integer
+    count deltas over integer index gaps).
+
+    Scale shape: the daily rollup is the only data-volume pass (map-side
+    combined).  Everything after runs on the calendar-bounded series —
+    the i<j pair join is types × days² (5 × ~435 here), broadcast both
+    sides, so a 100 TB events table changes only the first rollup."""
+    v = views(spark, sf_dir)
+    daily = (
+        v["events"]
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    idx = daily.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).localCheckpoint(eager=False)
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = F.broadcast(a).join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    )
+    stat = pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("bigint"))
+        .cast("bigint")
+        .alias("s_stat"),
+        F.round(
+            F.expr("percentile((b.c - a.c) / CAST(b.i - a.i AS DOUBLE), 0.5)"), 6
+        ).alias("theil_sen_slope"),
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    z_raw = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        stat.join(F.broadcast(ties), "event_type")
+        .withColumn("var18", var18.cast("bigint"))
+        .withColumn("z_mk", F.round(z_raw, 4))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            "var18",
+            "z_mk",
+            "theil_sen_slope",
+            F.when(F.col("z_mk") > 1.96, "rising")
+            .when(F.col("z_mk") < -1.96, "falling")
+            .otherwise("none")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ── text_zipf_law_fit ───────────────────────────────────────────────────
+
+
+@query(
+    "text_zipf_law_fit",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rnk
+  FROM counts
+),
+terms AS (
+  SELECT source,
+         CAST(round(ln(rnk) * 1e9) AS BIGINT) AS x,
+         CAST(round(ln(c) * 1e9) AS BIGINT) AS y,
+         CAST(round(ln(rnk) * ln(c) * 1e9) AS BIGINT) AS xy,
+         CAST(round(ln(rnk) * ln(rnk) * 1e9) AS BIGINT) AS x2,
+         CAST(round(ln(c) * ln(c) * 1e9) AS BIGINT) AS y2
+  FROM ranked WHERE rnk <= 100
+),
+sums AS (
+  SELECT source, count(*)::HUGEINT AS k,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(xy) AS HUGEINT) AS sxy, CAST(SUM(x2) AS HUGEINT) AS sx2,
+         CAST(SUM(y2) AS HUGEINT) AS sy2
+  FROM terms GROUP BY source
+)
+SELECT source, CAST(k AS BIGINT) AS n_terms,
+       round(CAST(-(1e9 * k * sxy - sx * sy) AS DOUBLE)
+             / CAST(1e9 * k * sx2 - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round(CAST((1e9 * k * sxy - sx * sy) AS DOUBLE)
+             * CAST((1e9 * k * sxy - sx * sy) AS DOUBLE)
+             / (CAST(1e9 * k * sx2 - sx * sx AS DOUBLE)
+                * CAST(1e9 * k * sy2 - sy * sy AS DOUBLE)), 6) AS zipf_r2
+FROM sums
+ORDER BY source
+""",
+    tags=("text", "pipeline"),
+)
+def text_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf-law fit: log-log OLS slope + R² over the top-100
+    token frequencies — natural text sits near slope ~1 with high R²;
+    machine-generated or templated sources drift off it, making this a
+    corpus-composition screen next to the language-mix and code-detection
+    ops.
+
+    Determinism discipline (the events_hourly_entropy pattern): every
+    per-term log product is nano-quantized to BIGINT BEFORE the sums, so
+    aggregation order cannot move a bit; the five sums then feed one
+    closed-form slope/R² per source in decimal(38,0) (HUGEINT on the
+    oracle side — sx·sy overflows 64-bit), rounded to 6 dp.
+
+    Scale shape: the token explode + (source, token) rollup is the only
+    corpus-sized stage (map-side combined); the per-source rank window
+    runs over the vocabulary-bounded count table and everything after is
+    ≤100 rows per source."""
+    v = views(spark, sf_dir)
+    counts = (
+        v["documents"]
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = counts.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("c"), F.asc("token")))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 100)
+    lx, ly = F.log(F.col("rnk").cast("double")), F.log(F.col("c").cast("double"))
+    nano = lambda e: F.round(e * 1e9, 0).cast("bigint")  # noqa: E731
+    terms = ranked.select(
+        "source",
+        nano(lx).alias("x"),
+        nano(ly).alias("y"),
+        nano(lx * ly).alias("xy"),
+        nano(lx * lx).alias("x2"),
+        nano(ly * ly).alias("y2"),
+    )
+    dec = "decimal(38,0)"
+    sums = terms.groupBy("source").agg(
+        F.count("*").cast(dec).alias("k"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum("xy").cast(dec).alias("sxy"),
+        F.sum("x2").cast(dec).alias("sx2"),
+        F.sum("y2").cast(dec).alias("sy2"),
+    )
+    giga = F.lit(1000000000).cast(dec)
+    num = (giga * F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (giga * F.col("k") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (giga * F.col("k") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return sums.select(
+        "source",
+        F.col("k").cast("bigint").alias("n_terms"),
+        F.round(-num / den_x, 6).alias("zipf_slope"),
+        F.round(num * num / (den_x * den_y), 6).alias("zipf_r2"),
+    ).orderBy("source")

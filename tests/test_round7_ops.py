@@ -202,3 +202,28 @@ def test_mix_rebalance_deltas_consistent(catalog, spark):
         elif r.current_bp < r.target_bp:
             assert r.token_delta >= 0
         assert 0 <= r.target_bp <= 10000
+
+
+def test_mann_kendall_statistics_consistent(catalog, spark):
+    rows = catalog["events_trend_mann_kendall"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        max_s = r.n_days * (r.n_days - 1) // 2
+        assert -max_s <= r.s_stat <= max_s
+        assert r.var18 > 0
+        assert r.trend in ("rising", "falling", "none")
+        # z sign follows S sign; 1.96 gate matches the label
+        if r.trend == "rising":
+            assert r.z_mk > 1.96 and r.s_stat > 0
+        elif r.trend == "falling":
+            assert r.z_mk < -1.96 and r.s_stat < 0
+
+
+def test_zipf_fit_plausible(catalog, spark):
+    rows = catalog["text_zipf_law_fit"].fn(spark, SF).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert r.n_terms <= 100
+        assert 0.0 <= r.zipf_r2 <= 1.0
+        # natural-ish text: positive decay exponent in a sane band
+        assert 0.05 <= r.zipf_slope <= 3.0
