@@ -33,6 +33,11 @@ hits first:
   identifier and call bases (Spark subscripts are 0-based, so indexes
   are ALWAYS rewritten to ``try_element_at`` — leaving them would be
   silently off by one); ``struct_pack(a := 1)`` → ``named_struct``.
+- Function chaining ``expr.fn(args)`` → ``fn(expr, args)`` (leftmost-
+  first, subscript-aware; runs before the bracket pass so ``[i]`` stays
+  glued to its base).  DuckDB's polymorphic ``len`` keeps its string
+  reading in the primary text and falls back to ``size`` (array/map)
+  when analysis fails.
 - Operator/literal pack: ``$$...$$`` dollar strings, ``1_000_000``
   underscores, ``//`` → ``div``, ``^``/``**`` → ``power`` (Spark's ``^``
   is XOR — a silent wrong answer otherwise), ``^@`` → ``startswith``,
@@ -1431,7 +1436,9 @@ def _rewrite_intdiv(sql: str) -> str:
     return "".join(out)
 
 
-def _left_operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
+def _left_operand_start(
+    sql: str, mask: list[bool], pos: int, absorb_sign: bool = True
+) -> int | None:
     """Start index of the tight operand ending just before ``pos``:
     a ``(...)`` group with an optional call-name chain, or an
     identifier/number token (exponent-aware), with a unary sign absorbed
@@ -1449,6 +1456,25 @@ def _left_operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
         while k >= 0 and not mask[k]:
             k -= 1
         return k + 1
+    # postfix subscript groups (``x[1]``, ``f(x)[2]``) belong to the
+    # operand — walk back over each balanced [..] and keep capturing
+    while sql[i] == "]" and mask[i]:
+        depth = 0
+        while i >= 0:
+            if mask[i] and sql[i] == "]":
+                depth += 1
+            elif mask[i] and sql[i] == "[":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if depth != 0 or i == 0:
+            return None
+        i -= 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i < 0:
+            return None
     if sql[i] == ")":
         depth = 0
         while i >= 0:
@@ -1494,6 +1520,8 @@ def _left_operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
     else:
         return None
     # unary sign binds tighter than ^ — absorb it when no operand precedes
+    if not absorb_sign:
+        return start
     j = start - 1
     while j >= 0 and sql[j].isspace():
         j -= 1
@@ -1850,6 +1878,58 @@ def _rewrite_series_tvf(sql: str) -> str:
     return sql
 
 
+_DOT_CALL = re.compile(r"\.\s*([A-Za-z_]\w*)\s*\(")
+
+# members that look like calls but are Spark expression syntax, never
+# DuckDB chained functions
+_DOT_CALL_SKIP = frozenset({"over", "filter", "within"})
+
+
+def _rewrite_dot_chain(sql: str) -> str:
+    """DuckDB function chaining: ``expr.fn(args)`` → ``fn(expr, args)``.
+
+    Pinned by probes: works on identifiers (``s.string_split(' ')``),
+    paren groups and call results (``trim(x).len()``); a bare string
+    literal base is a parser error in DuckDB too, so it is left alone
+    here (the literal-left capture never fires — bases are code, the
+    literal chars are masked).  Chains flatten leftmost-first:
+    ``a.substr(2, 3).upper()`` → ``upper(substr(a, 2, 3))``.  The
+    ambiguity with catalog-qualified function names (``db.fn(x)``) is
+    resolved the DuckDB way: the dot reading wins."""
+    for _ in range(_MAX_DOT_CHAIN):
+        mask = _code_mask(sql)
+        hit = None
+        for m in _DOT_CALL.finditer(sql):
+            if not all(mask[i] for i in range(m.start(), m.end())):
+                continue
+            if m.group(1).lower() in _DOT_CALL_SKIP:
+                continue
+            base = _left_operand_start(sql, mask, m.start(), absorb_sign=False)
+            if base is None or base == m.start():
+                continue
+            # the literal-left capture (masked run) is not a valid chain
+            # base — DuckDB rejects 'abc'.upper() as well
+            if not mask[base]:
+                continue
+            hit = (m, base)
+            break
+        if hit is None:
+            return sql
+        m, base = hit
+        parsed = _split_call_args(sql, mask, m.end() - 1)
+        if parsed is None:
+            return sql
+        args, close = parsed
+        base_txt = sql[base : m.start()].strip()
+        arg_txt = ", ".join(a.strip() for a in args if a.strip())
+        inner = f"{base_txt}, {arg_txt}" if arg_txt else base_txt
+        sql = sql[:base] + f"{m.group(1)}({inner})" + sql[close + 1 :]
+    return sql
+
+
+_MAX_DOT_CHAIN = 100
+
+
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_series_tvf(
         _rewrite_similar_to(
@@ -1869,6 +1949,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                             _rewrite_fn_macros(
                                 _rewrite_ops_pack(
                                     _rewrite_brackets(
+                                        _rewrite_dot_chain(
                                         _rewrite_brace_literals(
                                         _rewrite_asof_join(
                                             _rewrite_distinct_on(
@@ -1886,6 +1967,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                                                     )
                                                 )
                                             )
+                                        )
                                         )
                                         )
                                     )
@@ -1911,6 +1993,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                             _rewrite_fn_macros(
                                 _rewrite_ops_pack(
                                     _rewrite_brackets(
+                                        _rewrite_dot_chain(
                                         _rewrite_brace_literals(
                                         _rewrite_asof_join(
                                             _rewrite_distinct_on(
@@ -1930,6 +2013,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                                             )
                                         )
                                         )
+                                        )
                                     )
                                 )
                             )
@@ -1940,4 +2024,26 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
         )
     )
     primary = rewrite_duckdb_dialect(sql)
-    return [alt] if alt != primary else []
+    out = [alt] if alt != primary else []
+    # DuckDB ``len`` is polymorphic (strings AND lists); Spark's ``len``
+    # alias is string-only.  The primary text keeps ``len`` (string case
+    # analyzes fine); when analysis fails, retry with ``size`` — the
+    # array/map reading.
+    for base in (primary, *out):
+        swapped = _swap_len_to_size(base)
+        if swapped != base and swapped not in out:
+            out.append(swapped)
+    return out
+
+
+def _swap_len_to_size(sql: str) -> str:
+    mask = _code_mask(sql)
+    repls = [
+        m
+        for m in re.finditer(r"\blen\s*\(", sql, re.IGNORECASE)
+        if all(mask[i] for i in range(m.start(), m.end()))
+        and (m.start() == 0 or sql[m.start() - 1] != ".")
+    ]
+    for m in reversed(repls):
+        sql = sql[: m.start()] + "size" + sql[m.start() + 3 : m.end()] + sql[m.end() :]
+    return sql

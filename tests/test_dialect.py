@@ -250,9 +250,13 @@ def test_fn_map_regexp_matches():
     assert out == "SELECT * FROM t WHERE rlike(s, 'a+')"
 
 
-def test_fn_map_qualified_name_untouched():
+def test_fn_map_qualified_name_reads_as_chain():
+    # DuckDB resolves ``x.f(y)`` as function chaining ``f(x, y)`` (schema-
+    # qualified function names only win when the schema exists); the shim
+    # takes the same reading, so the rename then applies to the flattened
+    # call.
     sql = "SELECT db.list_sort(xs) FROM t"
-    assert rewrite_duckdb_dialect(sql) == sql
+    assert rewrite_duckdb_dialect(sql) == "SELECT sort_array(db, xs) FROM t"
 
 
 def test_fn_map_inside_string_untouched():
@@ -1093,3 +1097,43 @@ def test_engine_series_empty_and_error(engine):
     assert engine.run("SELECT * FROM range(1, 1)").num_rows == 0
     with pytest.raises(Exception, match="infinite series"):
         engine.run("SELECT * FROM generate_series(5, 1)")
+
+
+def test_dot_chain_rewrites():
+    assert (
+        rewrite_duckdb_dialect("SELECT name.lower() FROM t")
+        == "SELECT lower(name) FROM t"
+    )
+    assert (
+        rewrite_duckdb_dialect("SELECT trim(x).upper() FROM t")
+        == "SELECT upper(trim(x)) FROM t"
+    )
+    # chains flatten leftmost-first; subscripts stay glued to their base
+    assert rewrite_duckdb_dialect(
+        "SELECT ('Hello World').lower().string_split(' ')[2].upper() AS w"
+    ) == ("SELECT upper(try_element_at(split(lower(('Hello World')), ' '), 2)) AS w")
+    # window/filter syntax is never a chain
+    sql = "SELECT rank() OVER (ORDER BY x) FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+    sql = "SELECT count(*) FILTER (WHERE x > 1) FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+    # qualified column references without a call stay untouched
+    sql = "SELECT sum(t.x) FROM t"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_dot_chain_engine_matches_duckdb(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT ('a b c').string_split(' ').len() AS n",
+        "SELECT trim('  pad  ').len() AS n",
+        "SELECT ('Hello World').lower().string_split(' ')[2].upper() AS w",
+        "SELECT len('abc') AS a",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.run(q).rows]
+        want = [tuple(str(c) for c in row) for row in con.execute(q).fetchall()]
+        assert got == want, q
+    con.close()
