@@ -1532,6 +1532,14 @@ def _left_operand_start(
         prev = sql[k] if k >= 0 else ""
         if not (prev.isalnum() or prev in "_$.)'\""):
             start = j
+        elif prev.isalpha() or prev == "_":
+            # the sign follows a word — unary when that word is a keyword
+            # (SELECT -1 ^ 2, WHEN -x ^ 2, ...), binary after an operand
+            w = k
+            while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
+                w -= 1
+            if sql[w + 1 : k + 1].lower() in _BRACKET_NONLITERAL_KEYWORDS:
+                start = j
     return start
 
 
