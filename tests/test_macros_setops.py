@@ -144,3 +144,15 @@ def test_engine_union_by_name_over_files(engine):
     )
     assert r.columns == ["k", "name"]
     assert r.num_rows == 30
+
+
+def test_engine_ctas_insert_drop(engine):
+    """CREATE TABLE AS / INSERT INTO / DROP TABLE pass straight through to
+    Spark's session catalog (managed tables) — pinned so the DuckDB-style
+    scratch-table workflow keeps working."""
+    engine.exec("DROP TABLE IF EXISTS __scratch_r7")
+    engine.exec("CREATE TABLE __scratch_r7 AS SELECT 1 AS a, 'x' AS b")
+    engine.exec("INSERT INTO __scratch_r7 VALUES (2, 'y')")
+    r = engine.run("SELECT a, b FROM __scratch_r7 ORDER BY a")
+    assert r.rows == [["1", "x"], ["2", "y"]]
+    engine.exec("DROP TABLE __scratch_r7")
