@@ -203,11 +203,17 @@ class Engine:
         # DuckDB UNION [ALL] BY NAME — engine-side unionByName fold.
         from parquet_query_spark.workbench.set_ops import (
             has_union_by_name,
+            run_insert_by_name,
             run_union_by_name,
+            INSERT_BY_NAME,
         )
 
         if has_union_by_name(statement):
             return run_union_by_name(self, statement)
+        # DuckDB INSERT INTO ... BY NAME — name-matched column list;
+        # unmentioned target columns fill with NULL in both engines.
+        if INSERT_BY_NAME.match(statement):
+            return run_insert_by_name(self, statement)
         # DuckDB SUMMARIZE statement (pass-through parity): profile the
         # inner query via one map-side-combined aggregation pass.
         inner = summarize_statement_body(statement)

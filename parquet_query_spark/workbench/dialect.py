@@ -38,6 +38,10 @@ hits first:
   glued to its base).  DuckDB's polymorphic ``len`` keeps its string
   reading in the primary text and falls back to ``size`` (array/map)
   when analysis fails.
+- ``INSERT INTO t BY NAME <query>`` (name-matched column list, NULL
+  fill — ``workbench/set_ops.py``); ``USING SAMPLE`` method forms
+  (``reservoir(100 ROWS)``, ``10% (system, seed)``) with DuckDB's
+  per-method unit defaults; bare ``VARCHAR`` → ``STRING``.
 - Operator/literal pack: ``$$...$$`` dollar strings, ``1_000_000``
   underscores, ``//`` → ``div``, ``^``/``**`` → ``power`` (Spark's ``^``
   is XOR — a silent wrong answer otherwise), ``^@`` → ``startswith``,
@@ -1277,27 +1281,59 @@ def _rewrite_brackets(sql: str) -> str:
         return sql
     return walk(0, len(sql))
 
+# method-first: USING SAMPLE reservoir(100 ROWS) / bernoulli(10%);
+# size-first:   USING SAMPLE 10% (system[, seed]);
+# plain:        USING SAMPLE 10% / 100 ROWS / bare 100 (rows)
+# Ordered alternation — method/size-first must win over the plain prefix.
 _USING_SAMPLE = re.compile(
-    r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?",
+    r"\bUSING\s+SAMPLE\s+(?:"
+    r"(?P<method>reservoir|bernoulli|system)\s*\(\s*(?P<mnum>\d+(?:\.\d+)?)\s*"
+    r"(?P<munit>%|PERCENT\b|ROWS\b)?\s*\)"
+    r"|(?P<snum>\d+(?:\.\d+)?)\s*(?P<sunit>%|PERCENT\b|ROWS\b)?\s*"
+    r"\(\s*(?:reservoir|bernoulli|system)\s*(?:,\s*(?P<seed>\d+))?\s*\)"
+    r"|(?P<num>\d+(?:\.\d+)?)\s*(?P<unit>%|PERCENT\b|ROWS\b)?"
+    r")",
     re.IGNORECASE,
 )
 
 
 def _rewrite_using_sample(sql: str) -> str:
-    """DuckDB ``USING SAMPLE 10%`` / ``... 100 ROWS`` / bare ``... 100``
-    (rows) → Spark ``TABLESAMPLE (10 PERCENT)`` / ``(100 ROWS)``.  Both
-    dialects place the clause right after the table reference, so the
-    rewrite is positional.  Method-qualified DuckDB forms
-    (``reservoir(10%)`` etc.) are left untouched — Spark's own error
-    message then names the unsupported syntax."""
+    """DuckDB ``USING SAMPLE`` in all three spellings → Spark
+    ``TABLESAMPLE``.  Both dialects place the clause right after the
+    table reference, so the rewrite is positional.  Unit defaults follow
+    DuckDB: bare numbers mean ROWS, except for the percentage-based
+    ``bernoulli``/``system`` methods where a bare number means PERCENT.
+    A trailing DuckDB ``REPEATABLE (seed)`` clause survives in place
+    (Spark spells it identically); a seed inside the size-first form
+    (``10% (system, 377)``) becomes ``REPEATABLE (377)``."""
     mask = _code_mask(sql)
     repls: list[tuple[int, int, str]] = []
     for m in _USING_SAMPLE.finditer(sql):
         if not all(mask[m.start() : m.end()]):
             continue
-        num, unit = m.group(1), (m.group(2) or "").upper().rstrip()
-        kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
-        repls.append((m.start(), m.end(), f"TABLESAMPLE ({num} {kind})"))
+        if m.group("method"):
+            num = m.group("mnum")
+            unit = (m.group("munit") or "").upper().rstrip()
+            if not unit:
+                unit = (
+                    "%" if m.group("method").lower() in ("bernoulli", "system")
+                    else "ROWS"
+                )
+            kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
+            rep = f"TABLESAMPLE ({num} {kind})"
+        elif m.group("snum"):
+            num = m.group("snum")
+            unit = (m.group("sunit") or "").upper().rstrip()
+            kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
+            rep = f"TABLESAMPLE ({num} {kind})"
+            if m.group("seed"):
+                rep += f" REPEATABLE ({m.group('seed')})"
+        else:
+            num = m.group("num")
+            unit = (m.group("unit") or "").upper().rstrip()
+            kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
+            rep = f"TABLESAMPLE ({num} {kind})"
+        repls.append((m.start(), m.end(), rep))
     for s, e, new in reversed(repls):
         sql = sql[:s] + new + sql[e:]
     return sql
@@ -1417,6 +1453,25 @@ def _rewrite_numeric_underscores(sql: str) -> str:
             repls.append((m.start(), m.end(), tok.replace("_", "")))
     for s, e, new in reversed(repls):
         sql = sql[:s] + new + sql[e:]
+    return sql
+
+
+_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+
+
+def _rewrite_bare_varchar(sql: str) -> str:
+    """DuckDB's length-free ``VARCHAR`` (its canonical string type, in
+    DDL and ``::VARCHAR`` casts) → Spark ``STRING`` — Spark rejects
+    ``VARCHAR`` without a length.  Parameterized ``VARCHAR(n)`` is valid
+    in both engines and passes through."""
+    mask = _code_mask(sql)
+    repls = [
+        m
+        for m in _BARE_VARCHAR.finditer(sql)
+        if all(mask[i] for i in range(m.start(), m.end()))
+    ]
+    for m in reversed(repls):
+        sql = sql[: m.start()] + "STRING" + sql[m.end() :]
     return sql
 
 
@@ -1941,7 +1996,9 @@ _MAX_DOT_CHAIN = 100
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_series_tvf(
         _rewrite_similar_to(
-            _rewrite_power(_rewrite_caret_at(_rewrite_intdiv(sql)))
+            _rewrite_power(
+                _rewrite_caret_at(_rewrite_intdiv(_rewrite_bare_varchar(sql)))
+            )
         )
     )
 

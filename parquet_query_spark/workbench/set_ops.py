@@ -38,6 +38,29 @@ _TAIL_KW = r"\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b"
 
 _view_counter = itertools.count()
 
+INSERT_BY_NAME = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s+BY\s+NAME\b(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def run_insert_by_name(engine, sql: str) -> DataFrame:
+    """DuckDB ``INSERT INTO t BY NAME <query>`` — the query's output
+    columns match the target by NAME, any unmentioned target column
+    fills with NULL (probed).  Spark's column-list INSERT has exactly
+    those semantics, so the query runs through ``Engine.sql`` (keeping
+    every dialect construct) and lands via
+    ``INSERT INTO t (cols) SELECT * FROM <unique temp view>``."""
+    m = INSERT_BY_NAME.match(sql)
+    table, query = m.group(1), m.group(2).strip().rstrip(";")
+    df = engine.sql(query)
+    view = f"__insert_by_name_{next(_view_counter)}"
+    df.createOrReplaceTempView(view)
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    return engine.spark.sql(
+        f"INSERT INTO {table} ({cols}) SELECT * FROM {view}"
+    )
+
 
 def _top_level_matches(sql: str, pattern: str) -> list[re.Match]:
     mask = _code_mask(sql)

@@ -1137,3 +1137,42 @@ def test_dot_chain_engine_matches_duckdb(engine):
         want = [tuple(str(c) for c in row) for row in con.execute(q).fetchall()]
         assert got == want, q
     con.close()
+
+
+def test_using_sample_method_forms():
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE reservoir(100 ROWS)")
+    assert "TABLESAMPLE (100 ROWS)" in out
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE bernoulli(10%)")
+    assert "TABLESAMPLE (10 PERCENT)" in out
+    # DuckDB unit defaults: reservoir → ROWS, bernoulli/system → PERCENT
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE reservoir(50)")
+    assert "TABLESAMPLE (50 ROWS)" in out
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE system(50)")
+    assert "TABLESAMPLE (50 PERCENT)" in out
+    # size-first form; inner seed becomes REPEATABLE
+    out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 10% (system, 377)")
+    assert "TABLESAMPLE (10 PERCENT) REPEATABLE (377)" in out
+
+
+def test_bare_varchar_to_string():
+    out = rewrite_duckdb_dialect("CREATE TABLE t (a INT, b VARCHAR)")
+    assert out == "CREATE TABLE t (a INT, b STRING)"
+    assert rewrite_duckdb_dialect("SELECT x::VARCHAR FROM t") == "SELECT x::STRING FROM t"
+    # parameterized VARCHAR(n) is valid in both engines — untouched
+    sql = "CREATE TABLE t (b VARCHAR(10))"
+    assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_engine_sample_methods_row_counts(engine):
+    r = engine.run(
+        "SELECT count(*) AS n FROM (SELECT * FROM 'orders.parquet' "
+        "USING SAMPLE reservoir(50 ROWS))"
+    )
+    assert r.rows == [["50"]]
+    n = int(
+        engine.run(
+            "SELECT count(*) AS n FROM (SELECT * FROM 'orders.parquet' "
+            "USING SAMPLE 10% (bernoulli))"
+        ).rows[0][0]
+    )
+    assert 0 < n < 1500  # ~10% of sf0.001 orders, sampling is probabilistic

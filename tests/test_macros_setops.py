@@ -156,3 +156,24 @@ def test_engine_ctas_insert_drop(engine):
     r = engine.run("SELECT a, b FROM __scratch_r7 ORDER BY a")
     assert r.rows == [["1", "x"], ["2", "y"]]
     engine.exec("DROP TABLE __scratch_r7")
+
+
+def test_engine_insert_by_name_matches_duckdb(engine):
+    con = duckdb.connect()
+    stmts = [
+        "CREATE TABLE __tbn_r7 (a INT, b VARCHAR)",
+        "INSERT INTO __tbn_r7 BY NAME SELECT 'x' AS b, 1 AS a",
+        "INSERT INTO __tbn_r7 BY NAME SELECT 2 AS a",
+    ]
+    engine.exec("DROP TABLE IF EXISTS __tbn_r7")
+    for s in stmts:
+        engine.exec(s)
+        con.execute(s)
+    got = engine.run("SELECT a, b FROM __tbn_r7 ORDER BY a").rows
+    want = [
+        [str(a), b if b is not None else ""]
+        for a, b in con.execute("SELECT a, b FROM __tbn_r7 ORDER BY a").fetchall()
+    ]
+    assert got == want
+    engine.exec("DROP TABLE __tbn_r7")
+    con.close()
