@@ -781,6 +781,72 @@ def _macro_list_slice(args: list[str]) -> str | None:
     return f"slice({args[0].strip()}, {a}, {max(b - a + 1, 0)})"
 
 
+def _list_nn(a: str) -> str:
+    return f"filter(({a}), __x -> __x IS NOT NULL)"
+
+
+def _list_sum_expr(a: str) -> str:
+    # DOUBLE accumulator (an element-typed zero breaks on DECIMAL lists —
+    # decimal addition widens the type per step and the lambda fails
+    # analysis); display parity holds because the reference's JS
+    # formatter prints 6.0 as 6 exactly like format_cell.  NULL elements
+    # ignored (probed: list_sum([1, NULL, 2]) = 3); empty/NULL list →
+    # NULL (probed).
+    nn = _list_nn(a)
+    return (
+        f"IF(size({nn}) = 0, CAST(NULL AS DOUBLE), "
+        f"aggregate({nn}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x))"
+    )
+
+
+def _macro_list_sum(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return _list_sum_expr(args[0].strip())
+
+
+def _macro_list_avg(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    return f"({_list_sum_expr(a)} / size({_list_nn(a)}))"
+
+
+def _macro_list_aggregate(args: list[str]) -> str | None:
+    # literal aggregate names only — DuckDB dispatches dynamically, but
+    # the common calls are literals and a wrong answer beats nothing
+    if len(args) != 2:
+        return None
+    a = args[0].strip()
+    name = re.fullmatch(r"\s*'(\w+)'\s*", args[1])
+    if not name:
+        return None
+    fn = name.group(1).lower()
+    if fn == "sum":
+        return _list_sum_expr(a)
+    if fn in ("avg", "mean"):
+        return _macro_list_avg([a])
+    if fn == "min":
+        return f"array_min({a})"
+    if fn == "max":
+        return f"array_max({a})"
+    if fn == "count":
+        return f"size({_list_nn(a)})"
+    return None
+
+
+def _macro_list_reduce(args: list[str]) -> str | None:
+    # DuckDB seeds with the first element and folds the rest (errors on
+    # empty input; here an empty list yields NULL instead — documented)
+    if len(args) != 2:
+        return None
+    a, lam = args[0].strip(), args[1].strip()
+    return (
+        f"aggregate(slice(({a}), 2, greatest(size(({a})) - 1, 0)), "
+        f"try_element_at(({a}), 1), {lam})"
+    )
+
+
 _FN_MACROS = {
     "array_cosine_similarity": _macro_cosine,
     "list_cosine_similarity": _macro_cosine,
@@ -798,6 +864,15 @@ _FN_MACROS = {
     "array_has_all": _macro_list_has_all,
     "list_slice": _macro_list_slice,
     "array_slice": _macro_list_slice,
+    "list_sum": _macro_list_sum,
+    "array_sum": _macro_list_sum,
+    "list_avg": _macro_list_avg,
+    "array_avg": _macro_list_avg,
+    "list_aggregate": _macro_list_aggregate,
+    "array_aggregate": _macro_list_aggregate,
+    "list_aggr": _macro_list_aggregate,
+    "list_reduce": _macro_list_reduce,
+    "array_reduce": _macro_list_reduce,
     "struct_pack": _macro_struct_pack,
 }
 

@@ -366,13 +366,45 @@ def expand_columns(engine, statement: str) -> str:
             raise ValueError("unbalanced COLUMNS(...) call")
         args, close = parsed
         arg = args[0].strip() if args else ""
+        excl = re.fullmatch(
+            r"\*\s+EXCLUDE\s*\(\s*(.*?)\s*\)", arg, re.IGNORECASE | re.DOTALL
+        ) or re.fullmatch(
+            r"\*\s+EXCLUDE\s+(\w+)", arg, re.IGNORECASE
+        )
+        lam = re.fullmatch(r"(\w+)\s*->\s*(.+)", arg, re.DOTALL)
         if arg == "*":
             matched = list(schema_cols)
+        elif excl:
+            dropped = {
+                c.strip().strip('"`').lower()
+                for c in excl.group(1).split(",")
+            }
+            missing = dropped - {c.lower() for c in schema_cols}
+            if missing:
+                # DuckDB binder errors on unknown EXCLUDE names
+                raise ValueError(
+                    f'Column "{sorted(missing)[0]}" in EXCLUDE list not '
+                    "found in FROM clause"
+                )
+            matched = [c for c in schema_cols if c.lower() not in dropped]
+        elif lam:
+            # DuckDB lambda form filters column NAMES: evaluate the
+            # predicate once over the schema names as rows
+            var, body = lam.group(1), lam.group(2)
+            vals = ", ".join(
+                "('" + c.replace("'", "''") + "')" for c in schema_cols
+            )
+            rows = engine.spark.sql(
+                f"SELECT {var} FROM (VALUES {vals}) AS __cols({var}) "
+                f"WHERE {body}"
+            ).collect()
+            matched = [r[0] for r in rows]
         else:
             lit = re.fullmatch(r"'((?:[^']|'')*)'", arg)
             if not lit:
                 raise ValueError(
-                    "COLUMNS(...) takes * or a regex string literal"
+                    "COLUMNS(...) takes *, * EXCLUDE (...), a lambda over "
+                    "the column name, or a regex string literal"
                 )
             pat = re.compile(lit.group(1).replace("''", "'"))
             matched = [c for c in schema_cols if pat.search(c)]

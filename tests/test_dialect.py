@@ -1176,3 +1176,42 @@ def test_engine_sample_methods_row_counts(engine):
         ).rows[0][0]
     )
     assert 0 < n < 1500  # ~10% of sf0.001 orders, sampling is probabilistic
+
+
+def test_list_aggregate_family_matches_duckdb(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # DuckDB keeps element types (6, DECIMAL 4.0); the Spark shim
+        # accumulates in DOUBLE — identical once formatted (6, 4)
+        "SELECT list_sum([1,2,3]) AS a, list_sum([1, NULL, 2]) AS c",
+        "SELECT list_avg([1, NULL, 2]) AS a, list_avg([4.0, 6.0]) AS b",
+        "SELECT list_aggregate([3,1,2], 'sum') AS s, "
+        "list_aggregate([3,1,2], 'min') AS mn, "
+        "list_aggregate(['a','b'], 'count') AS ct",
+        "SELECT list_reduce([1,2,3], (a,b) -> a+b) AS r",
+        "SELECT ([1,2,3]).list_sum() AS chained",
+    ]
+    for q in battery:
+        got = [
+            tuple(c.removesuffix(".0") for c in row) for row in engine.run(q).rows
+        ]
+        want = [
+            tuple(str(c).removesuffix(".0") for c in row)
+            for row in con.execute(q).fetchall()
+        ]
+        assert got == want, q
+    # empty list sums to NULL in both engines
+    assert engine.run("SELECT list_sum([]) AS e").rows == [[""]]
+    con.close()
+
+
+def test_columns_lambda_and_exclude(engine):
+    r = engine.run("SELECT min(COLUMNS(c -> c LIKE 'r_n%')) FROM 'region.parquet'")
+    assert r.columns == ["r_name"]
+    r = engine.run("SELECT min(COLUMNS(* EXCLUDE (r_name))) FROM 'region.parquet'")
+    assert r.columns == ["r_regionkey"]
+    assert r.rows == [["0"]]
+    with pytest.raises(ValueError, match="EXCLUDE list not found"):
+        engine.run("SELECT min(COLUMNS(* EXCLUDE (nope))) FROM 'region.parquet'")
