@@ -50,6 +50,18 @@ hits first:
   table functions with DuckDB's column names and bound/empty/error
   behavior (each semantic pinned by an empirical probe; see the pack's
   section comment).
+- Parity-sweep renames/macros (each probed on both engines): string
+  predicates (``starts_with``/``ends_with``/``strpos``), hashes
+  (``sha256``/``to_base``/``to_hex``/``from_hex``), date idioms
+  (``dayname``/``monthname``/``isodow``/``yearweek``/``week``,
+  boundary-crossing ``date_diff`` vs full-unit ``date_sub``,
+  interval ``date_add``), ``log`` → ``log10`` (DuckDB's reading — the
+  ln reading would be silently wrong), 2-arg ``trim``/``ltrim``/
+  ``rtrim``, numeric ``trunc``/``isfinite``/``isinf``, and the list
+  family (``list_sum``/``list_avg``/``list_aggregate``/``list_reduce``/
+  ``list_prepend``/``list_any_value``/``list_count``/
+  ``list_reverse_sort``/``list_position``/``list_zip``, scalar
+  ``range``/``generate_series`` lists).
 - ``read_parquet('f')`` / ``read_csv`` / ``read_json`` single-argument
   table functions → path literals (B4 machinery resolves them);
   ``DESCRIBE SELECT/FROM`` → ``DESCRIBE QUERY``; the ``UNPIVOT src ON
@@ -618,7 +630,8 @@ _FN_MAP = {
     "list_distinct": "array_distinct",
     "list_sort": "sort_array",
     "list_append": "array_append",
-    "list_prepend": "array_prepend",
+    # (list_prepend is a MACRO — DuckDB takes (elem, list), Spark
+    # array_prepend takes (list, elem); a plain rename swaps the args)
     "list_value": "array",
     "list": "collect_list",
     "regexp_matches": "rlike",
@@ -652,6 +665,21 @@ _FN_MAP = {
     # lists/strings
     "array_length": "size",
     "strlen": "octet_length",
+    # round-7 parity sweep (tests/test_dialect.py::test_parity_sweep_*):
+    # every entry pinned by an engine-vs-DuckDB differential
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "strpos": "instr",
+    "string_to_array": "split",
+    "from_hex": "unhex",
+    "unicode": "ascii",
+    "to_hex": "hex",
+    "today": "current_date",
+    "week": "weekofyear",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "array_indexof": "array_position",
+    "list_zip": "arrays_zip",
 }
 
 _FN_CALL = re.compile(
@@ -847,6 +875,202 @@ def _macro_list_reduce(args: list[str]) -> str | None:
     )
 
 
+# ── round-7 parity-sweep macros (each behavior probed on both engines) ──
+
+_DATE_UNITS = frozenset(
+    "year quarter month week day hour minute second".split()
+)
+
+
+def _unit_literal(arg: str) -> str | None:
+    m = re.fullmatch(r"\s*'(\w+)'\s*", arg)
+    if m and m.group(1).lower().rstrip("s") in _DATE_UNITS:
+        return m.group(1).lower().rstrip("s")
+    return None
+
+
+def _macro_sha256(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"sha2(({args[0].strip()}), 256)"
+
+
+def _macro_to_base(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    return f"conv(({args[0].strip()}), 10, ({args[1].strip()}))"
+
+
+def _macro_log10_single(args: list[str]) -> str | None:
+    # DuckDB log(x) = log10; Spark log(x) = ln — silent wrong answer.
+    # Two-arg log(base, x) agrees and passes through.
+    if len(args) != 1:
+        return None
+    return f"log10({args[0].strip()})"
+
+
+def _macro_trim2(args: list[str]) -> str | None:
+    # DuckDB trim(s, chars) ≡ Spark btrim(s, chars) (same order)
+    if len(args) != 2:
+        return None
+    return f"btrim(({args[0].strip()}), ({args[1].strip()}))"
+
+
+def _trim_side(side: str):
+    # DuckDB ltrim/rtrim(s, chars) — Spark's 2-arg spelling has the args
+    # swapped, and emitting ltrim(...) from the ltrim macro would
+    # re-match itself; the TRIM(LEADING/TRAILING x FROM s) form is
+    # equivalent and stable under re-scanning.
+    def macro(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return f"TRIM({side} ({args[1].strip()}) FROM ({args[0].strip()}))"
+
+    return macro
+
+
+def _macro_dayname(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"date_format(({args[0].strip()}), 'EEEE')"
+
+
+def _macro_monthname(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"date_format(({args[0].strip()}), 'MMMM')"
+
+
+def _macro_isodow(args: list[str]) -> str | None:
+    # DuckDB isodow: Monday=1..Sunday=7; Spark weekday: Monday=0
+    if len(args) != 1:
+        return None
+    return f"(weekday(({args[0].strip()})) + 1)"
+
+
+def _macro_yearweek(args: list[str]) -> str | None:
+    # ISO week-year * 100 + ISO week (probed: yearweek('2021-01-01') =
+    # 202053)
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    return f"(extract(YEAROFWEEK FROM ({a})) * 100 + weekofyear(({a})))"
+
+
+def _macro_date_diff(args: list[str]) -> str | None:
+    # DuckDB date_diff counts UNIT BOUNDARIES crossed (probed:
+    # date_diff('month', Jan 31, Feb 1) = 1) — truncate both ends, then
+    # full-unit count.  Two-arg datediff is Spark-native and passes.
+    if len(args) != 3:
+        return None
+    unit = _unit_literal(args[0])
+    if unit is None:
+        return None
+    a, b = args[1].strip(), args[2].strip()
+    u = unit.upper()
+    return (
+        f"timestampdiff({u}, date_trunc('{u}', ({a})), "
+        f"date_trunc('{u}', ({b})))"
+    )
+
+
+def _macro_date_sub3(args: list[str]) -> str | None:
+    # DuckDB date_sub counts FULL units (probed: date_sub('month',
+    # Jan 31, Feb 1) = 0) = plain timestampdiff.  Two-arg date_sub is
+    # Spark-native.
+    if len(args) != 3:
+        return None
+    unit = _unit_literal(args[0])
+    if unit is None:
+        return None
+    return (
+        f"timestampdiff({unit.upper()}, ({args[1].strip()}), "
+        f"({args[2].strip()}))"
+    )
+
+
+def _macro_date_add_interval(args: list[str]) -> str | None:
+    # DuckDB date_add(d, INTERVAL ...) — Spark's date_add wants an int
+    # day count; interval addition is just +
+    if len(args) != 2 or not _INTERVAL_ARG.search(args[1]):
+        return None
+    return f"(({args[0].strip()}) + ({args[1].strip()}))"
+
+
+def _macro_trunc1(args: list[str]) -> str | None:
+    # DuckDB single-arg trunc = toward zero; Spark trunc is date-only
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    return f"IF(({a}) >= 0, floor(({a})), ceil(({a})))"
+
+
+def _macro_isfinite(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    a = f"CAST(({args[0].strip()}) AS DOUBLE)"
+    return f"(NOT isnan({a}) AND abs({a}) <> CAST('Infinity' AS DOUBLE))"
+
+
+def _macro_isinf(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    a = f"CAST(({args[0].strip()}) AS DOUBLE)"
+    return f"(abs({a}) = CAST('Infinity' AS DOUBLE))"
+
+
+def _macro_list_prepend(args: list[str]) -> str | None:
+    # DuckDB (elem, list) → Spark array_prepend(list, elem)
+    if len(args) != 2:
+        return None
+    return f"array_prepend(({args[1].strip()}), ({args[0].strip()}))"
+
+
+def _macro_list_reverse_sort(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"sort_array(({args[0].strip()}), false)"
+
+
+def _macro_list_any_value(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"try_element_at({_list_nn(args[0].strip())}, 1)"
+
+
+def _macro_list_count(args: list[str]) -> str | None:
+    # probed: list_count([1, NULL, 2]) = 2 — non-NULL elements
+    if len(args) != 1:
+        return None
+    return f"size({_list_nn(args[0].strip())})"
+
+
+def _macro_scalar_series(fn: str):
+    # scalar-position range()/generate_series() return a LIST in DuckDB;
+    # FROM-position calls were already consumed by the series-TVF pass,
+    # so anything left is scalar
+    def macro(args: list[str]) -> str | None:
+        return _series_body(fn, [a.strip() for a in args])
+
+    return macro
+
+
+_FORMAT_BRACES = re.compile(r"\{\}")
+
+
+def _macro_format(args: list[str]) -> str | None:
+    # DuckDB fmt-style '{}' placeholders → format_string '%s'; only the
+    # plain positional form (no {0} / {name} / % in the literal)
+    if len(args) < 1:
+        return None
+    lit = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[0])
+    if not lit or "%" in lit.group(1) or re.search(r"\{[^}]", lit.group(1)):
+        return None
+    fmt = _FORMAT_BRACES.sub("%s", lit.group(1))
+    rest = "".join(f", ({a.strip()})" for a in args[1:])
+    return f"format_string('{fmt}'{rest})"
+
+
 _FN_MACROS = {
     "array_cosine_similarity": _macro_cosine,
     "list_cosine_similarity": _macro_cosine,
@@ -873,6 +1097,32 @@ _FN_MACROS = {
     "list_aggr": _macro_list_aggregate,
     "list_reduce": _macro_list_reduce,
     "array_reduce": _macro_list_reduce,
+    "sha256": _macro_sha256,
+    "to_base": _macro_to_base,
+    "log": _macro_log10_single,
+    "trim": _macro_trim2,
+    "ltrim": _trim_side("LEADING"),
+    "rtrim": _trim_side("TRAILING"),
+    "dayname": _macro_dayname,
+    "monthname": _macro_monthname,
+    "isodow": _macro_isodow,
+    "yearweek": _macro_yearweek,
+    "date_diff": _macro_date_diff,
+    "datediff": _macro_date_diff,
+    "date_sub": _macro_date_sub3,
+    "date_add": _macro_date_add_interval,
+    "dateadd": _macro_date_add_interval,
+    "trunc": _macro_trunc1,
+    "isfinite": _macro_isfinite,
+    "isinf": _macro_isinf,
+    "list_prepend": _macro_list_prepend,
+    "list_reverse_sort": _macro_list_reverse_sort,
+    "array_reverse_sort": _macro_list_reverse_sort,
+    "list_any_value": _macro_list_any_value,
+    "list_count": _macro_list_count,
+    "range": _macro_scalar_series("range"),
+    "generate_series": _macro_scalar_series("generate_series"),
+    "format": _macro_format,
     "struct_pack": _macro_struct_pack,
 }
 

@@ -1048,9 +1048,10 @@ def test_series_tvf_rewrite_shapes():
     assert "explode" in out and "AS `generate_series`" in out
     out = rewrite_duckdb_dialect("SELECT * FROM range(1, 4) t(x)")
     assert "AS `range`) t(x)" in out
-    # scalar position (no FROM/JOIN before) untouched
-    sql = "SELECT range(1, 4) FROM t"
-    assert rewrite_duckdb_dialect(sql) == sql
+    # scalar position rewrites to a list expression (DuckDB returns a
+    # LIST there; parity pinned in test_parity_sweep_math_and_lists)
+    out = rewrite_duckdb_dialect("SELECT range(1, 4) FROM t")
+    assert "sequence" in out and "explode" not in out
 
 
 def test_engine_operator_pack_matches_duckdb(engine):
@@ -1215,3 +1216,91 @@ def test_columns_lambda_and_exclude(engine):
     assert r.rows == [["0"]]
     with pytest.raises(ValueError, match="EXCLUDE list not found"):
         engine.run("SELECT min(COLUMNS(* EXCLUDE (nope))) FROM 'region.parquet'")
+
+
+# ── round-7 parity sweep (each rename/macro probed on both engines) ─────
+
+
+def _norm_rows(rows):
+    return [
+        tuple(
+            str(c).lower().replace(", ", ",").removesuffix(".0")
+            if c is not None
+            else ""
+            for c in r
+        )
+        for r in rows
+    ]
+
+
+def test_parity_sweep_strings_and_hashes(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT starts_with('abc', 'ab') AS a, ends_with('abc', 'bc') AS b",
+        "SELECT strpos('abcabc', 'b') AS p, strpos('abc', 'z') AS z",
+        "SELECT array_to_string(['a','b'], '-') AS s",
+        "SELECT sha256('abc') AS h",
+        "SELECT to_base(255, 16) AS h",
+        "SELECT unicode('A') AS u, to_hex(255) AS h",
+        "SELECT trim('xax', 'x') AS t, ltrim('xxa', 'x') AS lt, rtrim('axx', 'x') AS rt",
+        "SELECT format('{} x {}', 1, 'a') AS f",
+    ]
+    for q in battery:
+        assert _norm_rows(engine.run(q).rows) == _norm_rows(
+            con.execute(q).fetchall()
+        ), q
+    con.close()
+
+
+def test_parity_sweep_log_is_log10(engine):
+    # DuckDB log(x) = log10; Spark log(x) = ln — the rename prevents a
+    # silent wrong answer.  Two-arg log(base, x) agrees natively.
+    assert engine.run("SELECT log(100) AS l").rows == [["2"]]
+    assert engine.run("SELECT log(2.0, 8) AS l").rows == [["3"]]
+
+
+def test_parity_sweep_dates(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT dayname(DATE '2020-03-04') AS d, monthname(DATE '2020-03-04') AS m",
+        "SELECT isodow(DATE '2020-03-04') AS i, isodow(DATE '2020-03-08') AS s",
+        "SELECT yearweek(DATE '2021-01-01') AS yw, week(DATE '2021-01-01') AS w",
+        # boundary-crossing vs full-unit semantics (probed)
+        "SELECT date_diff('month', DATE '2020-01-31', DATE '2020-02-01') AS dd, "
+        "date_sub('month', DATE '2020-01-31', DATE '2020-02-01') AS ds",
+        "SELECT date_diff('day', DATE '2020-01-01', DATE '2020-01-05') AS d",
+        "SELECT datediff('hour', TIMESTAMP '2020-01-01 10:59:00', "
+        "TIMESTAMP '2020-01-01 11:01:00') AS h",
+        "SELECT today() = current_date AS t",
+    ]
+    for q in battery:
+        assert _norm_rows(engine.run(q).rows) == _norm_rows(
+            con.execute(q).fetchall()
+        ), q
+    con.close()
+
+
+def test_parity_sweep_math_and_lists(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT trunc(2.7) AS t, trunc(-2.7) AS n",
+        "SELECT isfinite(1.0) AS f, isnan('nan'::DOUBLE) AS n, "
+        "isinf('inf'::DOUBLE) AS i",
+        "SELECT list_prepend(0, [1,2]) AS l",
+        "SELECT list_reverse_sort([1,3,2]) AS l",
+        "SELECT list_any_value([NULL, 3, 4]) AS v, list_count([1, NULL, 2]) AS c",
+        "SELECT list_position([5,6,7], 6) AS p",
+        # scalar-position range/generate_series return lists in DuckDB
+        "SELECT range(1, 4) AS r, generate_series(1, 3) AS g",
+    ]
+    for q in battery:
+        assert _norm_rows(engine.run(q).rows) == _norm_rows(
+            con.execute(q).fetchall()
+        ), q
+    con.close()
