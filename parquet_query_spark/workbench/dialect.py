@@ -50,6 +50,17 @@ hits first:
   table functions with DuckDB's column names and bound/empty/error
   behavior (each semantic pinned by an empirical probe; see the pack's
   section comment).
+- **Literal backslashes doubled** (innermost pass): DuckDB reads
+  ``'\\d+'`` raw, Spark C-unescapes it to ``d+`` — without the pass
+  every user regex silently diverges.
+- JSON: ``->`` / ``->>`` operators (lambda-arrow-aware via a HOF-call
+  guard), ``::JSON`` casts, ``json_extract``/``json_extract_string``/
+  ``json_value`` (path ``$``-normalization), ``json_valid``,
+  ``json_keys``; aggregates: ordered ``string_agg``/``listagg`` →
+  ``WITHIN GROUP``, ``quantile_disc``, sample-corrected ``skewness``/
+  ``kurtosis`` (verified bias formulas); regex: DuckDB group-0
+  defaults, ``'g'``/``'i'`` option strings, ``regexp_full_match``,
+  ``regexp_split_to_array``, ``regexp_escape``; ``struct_extract``.
 - Parity-sweep renames/macros (each probed on both engines): string
   predicates (``starts_with``/``ends_with``/``strpos``), hashes
   (``sha256``/``to_base``/``to_hex``/``from_hex``), date idioms
@@ -680,6 +691,13 @@ _FN_MAP = {
     "list_indexof": "array_position",
     "array_indexof": "array_position",
     "list_zip": "arrays_zip",
+    # wave-2 sweep
+    "json_keys": "json_object_keys",
+    "regexp_split_to_array": "split",
+    "favg": "avg",
+    "fsum": "sum",
+    "kahan_sum": "sum",
+    "sumkahan": "sum",
 }
 
 _FN_CALL = re.compile(
@@ -1055,6 +1073,201 @@ def _macro_scalar_series(fn: str):
     return macro
 
 
+# ── wave-2 sweep macros: aggregates, JSON, regex, structs ───────────────
+
+
+def _macro_string_agg_ordered(args: list[str]) -> str | None:
+    # DuckDB string_agg(x, sep ORDER BY k) — Spark spells the ordered
+    # form listagg(x, sep) WITHIN GROUP (ORDER BY k); the plain 2-arg
+    # string_agg is Spark-native and passes through (macro → None)
+    if len(args) != 2:
+        return None
+    m = re.search(r"\bORDER\s+BY\b", args[1], re.IGNORECASE)
+    if not m:
+        return None
+    sep = args[1][: m.start()].strip()
+    order = args[1][m.end() :].strip()
+    return (
+        f"listagg(({args[0].strip()}), ({sep})) "
+        f"WITHIN GROUP (ORDER BY {order})"
+    )
+
+
+def _macro_quantile_disc(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    return (
+        f"percentile_disc(({args[1].strip()})) "
+        f"WITHIN GROUP (ORDER BY ({args[0].strip()}))"
+    )
+
+
+_SAMPLE_MOMENT = re.compile(r"\b(skewness|kurtosis)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_sample_moments(sql: str) -> str:
+    """DuckDB reports SAMPLE skewness/kurtosis; Spark the population
+    forms.  One right-to-left pass (NOT the fixpoint macro table — the
+    corrections contain the same function name and would re-expand):
+    g1·√(n(n−1))/(n−2) and G2 = (n−1)/((n−2)(n−3))·((n+1)·g2+6), both
+    verified numerically on {1,2,9,3} against the two engines.  A call
+    followed by OVER keeps Spark's population reading (the correction
+    needs count() in the same aggregation context)."""
+    if not _SAMPLE_MOMENT.search(sql):
+        return sql
+    mask = _code_mask(sql)
+    repls: list[tuple[int, int, str]] = []
+    for m in _SAMPLE_MOMENT.finditer(sql):
+        if not all(mask[i] for i in range(m.start(), m.end())):
+            continue
+        prev = sql[m.start() - 1] if m.start() > 0 else ""
+        if prev in ".@:":
+            continue
+        parsed = _split_call_args(sql, mask, m.end() - 1)
+        if parsed is None or len(parsed[0]) != 1:
+            continue
+        args, close = parsed
+        after = sql[close + 1 :].lstrip()
+        if re.match(r"OVER\b", after, re.IGNORECASE):
+            continue
+        fn = m.group(1).lower()
+        out = (
+            _macro_skewness(args) if fn == "skewness" else _macro_kurtosis(args)
+        )
+        if out is not None:
+            repls.append((m.start(), close + 1, out))
+    for s_, e_, rep in reversed(repls):
+        sql = sql[:s_] + rep + sql[e_:]
+    return sql
+
+
+def _macro_skewness(args: list[str]) -> str | None:
+    # DuckDB reports SAMPLE skewness; Spark the population g1.  The
+    # correction g1·√(n(n−1))/(n−2) was verified numerically against
+    # both engines (0.9794 → 1.6964 on {1,2,9,3}).
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    return (
+        f"(skewness(({a})) * sqrt(count(({a})) * (count(({a})) - 1.0)) "
+        f"/ (count(({a})) - 2.0))"
+    )
+
+
+def _macro_kurtosis(args: list[str]) -> str | None:
+    # DuckDB: sample excess kurtosis G2 = (n−1)/((n−2)(n−3)) ·
+    # ((n+1)·g2 + 6) over Spark's population excess g2 (verified:
+    # −0.7981 → 3.0144 on {1,2,9,3}).
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    n = f"count(({a}))"
+    return (
+        f"(({n} - 1.0) / (({n} - 2.0) * ({n} - 3.0)) "
+        f"* (({n} + 1.0) * kurtosis(({a})) + 6.0))"
+    )
+
+
+def _macro_struct_extract(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    nm = re.fullmatch(r"\s*'(\w+)'\s*", args[1])
+    if not nm:
+        return None
+    return f"(({args[0].strip()}).`{nm.group(1)}`)"
+
+
+def _json_path_literal(arg: str) -> str | None:
+    p = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", arg)
+    if p is None:
+        return None
+    path = p.group(1)
+    if not path.startswith("$") and re.fullmatch(r"\w+", path):
+        path = "$." + path
+    return path
+
+
+def _macro_json_extract(args: list[str]) -> str | None:
+    # → get_json_object.  Documented divergence: DuckDB json_extract
+    # keeps JSON quoting on string values ('"x"'); get_json_object
+    # unquotes — the ->>/json_extract_string reading, which is what
+    # downstream string processing wants.
+    if len(args) != 2:
+        return None
+    path = _json_path_literal(args[1])
+    if path is not None:
+        return f"get_json_object(({args[0].strip()}), '{path}')"
+    return f"get_json_object(({args[0].strip()}), ({args[1].strip()}))"
+
+
+def _macro_json_valid(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"(get_json_object(({args[0].strip()}), '$') IS NOT NULL)"
+
+
+def _macro_regexp_extract2(args: list[str]) -> str | None:
+    # DuckDB's 2-arg default is group 0 (whole match); Spark's is
+    # group 1 — make group 0 explicit
+    if len(args) != 2:
+        return None
+    return (
+        f"regexp_extract(({args[0].strip()}), ({args[1].strip()}), 0)"
+    )
+
+
+def _macro_regexp_extract_all2(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    return (
+        f"regexp_extract_all(({args[0].strip()}), ({args[1].strip()}), 0)"
+    )
+
+
+def _macro_regexp_replace_flags(args: list[str]) -> str | None:
+    # 4th-arg options string: 'g' = global (Spark's only mode — drop the
+    # flag), 'i' composes as (?i) when the pattern is a literal.  The
+    # 3-arg replace-FIRST DuckDB default is a documented divergence
+    # (Spark replaces all); only flagged calls are rewritten here.
+    if len(args) != 4:
+        return None
+    fl = re.fullmatch(r"\s*'([a-z]*)'\s*", args[3])
+    if not fl:
+        return None
+    flags = set(fl.group(1))
+    if not flags <= {"g", "i", "s", "m"} or "g" not in flags:
+        return None
+    s, p, r = args[0].strip(), args[1].strip(), args[2].strip()
+    inline = "".join(sorted(flags - {"g"}))
+    if inline:
+        pl = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", p)
+        if not pl:
+            return None
+        p = f"'(?{inline}){pl.group(1)}'"
+    return f"regexp_replace(({s}), {p}, ({r}))"
+
+
+def _macro_regexp_full_match(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    return (
+        f"rlike(({args[0].strip()}), "
+        f"concat('^(?:', ({args[1].strip()}), ')$'))"
+    )
+
+
+def _macro_regexp_escape(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    lit = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[0])
+    if not lit:
+        return None
+    import re as _re
+
+    escaped = _re.escape(lit.group(1).replace("''", "'"))
+    return "'" + escaped.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 _FORMAT_BRACES = re.compile(r"\{\}")
 
 
@@ -1123,6 +1336,22 @@ _FN_MACROS = {
     "range": _macro_scalar_series("range"),
     "generate_series": _macro_scalar_series("generate_series"),
     "format": _macro_format,
+    "string_agg": _macro_string_agg_ordered,
+    "listagg": _macro_string_agg_ordered,
+    "group_concat": _macro_string_agg_ordered,
+    "quantile_disc": _macro_quantile_disc,
+    "struct_extract": _macro_struct_extract,
+    "json_extract": _macro_json_extract,
+    "json_extract_string": _macro_json_extract,
+    "json_extract_path": _macro_json_extract,
+    "json_extract_path_text": _macro_json_extract,
+    "json_value": _macro_json_extract,
+    "json_valid": _macro_json_valid,
+    "regexp_extract": _macro_regexp_extract2,
+    "regexp_extract_all": _macro_regexp_extract_all2,
+    "regexp_replace": _macro_regexp_replace_flags,
+    "regexp_full_match": _macro_regexp_full_match,
+    "regexp_escape": _macro_regexp_escape,
     "struct_pack": _macro_struct_pack,
 }
 
@@ -1755,6 +1984,77 @@ def _rewrite_dollar_strings(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_literal_backslashes(sql: str) -> str:
+    """Double every backslash inside single-quoted literals.
+
+    DuckDB reads standard-SQL strings RAW (``'\\d+'`` is backslash-d-plus)
+    while Spark C-unescapes them (``'\\d+'`` becomes ``d+`` — silently
+    breaking every regex a DuckDB user types; found when
+    ``regexp_extract('ab12', '([a-z]+)(\\d+)', 2)`` returned ``''``).
+    Doubling restores the raw reading after Spark's unescape, and
+    neutralizes every other C escape (\\n, \\t, \\u...) the same way.
+    Runs innermost, right after dollar-string conversion, so every later
+    pass sees Spark-ready literals."""
+    if "\\" not in sql:
+        return sql
+    out: list[str] = []
+    state: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "sq":
+            if ch == "\\":
+                out.append("\\\\")
+            else:
+                out.append(ch)
+                if ch == "'" and nxt == "'":
+                    out.append(nxt)
+                    i += 1
+                elif ch == "'":
+                    state = None
+            i += 1
+        elif state in ("dq", "bq"):
+            q = '"' if state == "dq" else "`"
+            out.append(ch)
+            if ch == q and nxt == q:
+                out.append(nxt)
+                i += 1
+            elif ch == q:
+                state = None
+            i += 1
+        elif state == "line":
+            out.append(ch)
+            if ch == "\n":
+                state = None
+            i += 1
+        elif state == "block":
+            out.append(ch)
+            if ch == "*" and nxt == "/":
+                out.append(nxt)
+                i += 1
+                state = None
+            i += 1
+        else:
+            out.append(ch)
+            if ch == "-" and nxt == "-":
+                out.append(nxt)
+                i += 1
+                state = "line"
+            elif ch == "/" and nxt == "*":
+                out.append(nxt)
+                i += 1
+                state = "block"
+            elif ch == "'":
+                state = "sq"
+            elif ch == '"':
+                state = "dq"
+            elif ch == "`":
+                state = "bq"
+            i += 1
+    return "".join(out)
+
+
 _NUM_UNDERSCORE = re.compile(
     r"(?<![\w$.])\d[\d_]*(?:\.[\d_]+)?(?:[eE][+-]?\d[\d_]*)?(?![\w$])"
 )
@@ -1782,22 +2082,50 @@ def _rewrite_numeric_underscores(sql: str) -> str:
 
 
 _BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+_JSON_CAST = re.compile(r"(::\s*|\bAS\s+)JSON\b(?=\s*[),]|\s*$|\s)", re.IGNORECASE)
 
 
 def _rewrite_bare_varchar(sql: str) -> str:
     """DuckDB's length-free ``VARCHAR`` (its canonical string type, in
     DDL and ``::VARCHAR`` casts) → Spark ``STRING`` — Spark rejects
-    ``VARCHAR`` without a length.  Parameterized ``VARCHAR(n)`` is valid
-    in both engines and passes through."""
+    VARCHAR without a length (``VARCHAR(n)`` passes through).  The
+    ``JSON`` type in cast position (``::JSON`` / ``CAST(x AS JSON)``)
+    also becomes STRING: Spark has no JSON type; its JSON functions
+    operate on strings."""
     mask = _code_mask(sql)
     repls = [
-        m
+        (m.start(), m.end(), "STRING")
         for m in _BARE_VARCHAR.finditer(sql)
         if all(mask[i] for i in range(m.start(), m.end()))
+    ] + [
+        (m.end() - 4, m.end(), "STRING")
+        for m in _JSON_CAST.finditer(sql)
+        if all(mask[i] for i in range(m.start(), m.end()))
+        and (m.group(1).startswith("::") or _looks_like_cast(sql, mask, m.start()))
     ]
-    for m in reversed(repls):
-        sql = sql[: m.start()] + "STRING" + sql[m.end() :]
+    for s_, e_, rep in sorted(repls, reverse=True):
+        sql = sql[:s_] + rep + sql[e_:]
     return sql
+
+
+def _looks_like_cast(sql: str, mask: list[bool], pos: int) -> bool:
+    # ``AS JSON`` only counts inside a CAST/TRY_CAST call — an alias
+    # named json must survive
+    depth = 0
+    for i in range(pos - 1, -1, -1):
+        if not mask[i]:
+            continue
+        if sql[i] == ")":
+            depth += 1
+        elif sql[i] == "(":
+            if depth == 0:
+                j = i - 1
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] in "_$"):
+                    k -= 1
+                return sql[k + 1 : j + 1].lower() in ("cast", "try_cast")
+            depth -= 1
+    return False
 
 
 def _rewrite_intdiv(sql: str) -> str:
@@ -1899,6 +2227,19 @@ def _left_operand_start(
             return None
     else:
         return None
+    # a ``::type`` cast chain binds tighter than any operator here — keep
+    # walking left across each ``::`` to the underlying operand
+    while True:
+        j = start - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 1 and sql[j] == ":" and sql[j - 1] == ":" and mask[j]:
+            inner = _left_operand_start(sql, mask, j - 1, absorb_sign=False)
+            if inner is None:
+                break
+            start = inner
+        else:
+            break
     # unary sign binds tighter than ^ — absorb it when no operand precedes
     if not absorb_sign:
         return start
@@ -2318,11 +2659,93 @@ def _rewrite_dot_chain(sql: str) -> str:
 _MAX_DOT_CHAIN = 100
 
 
+# lambda-taking builtins whose ``var -> expr`` arrows must never be read
+# as JSON extraction
+_HOF_NAMES = frozenset(
+    "transform filter exists forall aggregate reduce zip_with map_filter "
+    "map_zip_with array_sort transform_keys transform_values "
+    "list_transform list_filter list_reduce list_aggregate".split()
+)
+
+_JSON_ARROW = re.compile(r"->>?")
+
+
+def _enclosing_call_name(sql: str, mask: list[bool], pos: int) -> str:
+    depth = 0
+    for i in range(pos - 1, -1, -1):
+        if not mask[i]:
+            continue
+        if sql[i] == ")":
+            depth += 1
+        elif sql[i] == "(":
+            if depth == 0:
+                j = i - 1
+                while j >= 0 and sql[j].isspace():
+                    j -= 1
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] in "_$"):
+                    k -= 1
+                return sql[k + 1 : j + 1].lower()
+            depth -= 1
+    return ""
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """DuckDB JSON operators ``j -> 'key'`` / ``j ->> 'key'`` / ``-> i``
+    → ``get_json_object`` with a ``$.key`` / ``$[i]`` path (leftmost-
+    first, so chains nest).  Only fires when the right side is a string
+    or integer literal AND the enclosing call is not a lambda-taking
+    higher-order function — ``transform(l, x -> 'a')`` keeps its arrow.
+    (Both arrows map to the text-returning form; DuckDB's ``->`` keeps
+    JSON quoting on strings, a documented divergence shared with
+    ``json_extract``.)"""
+    while "->" in sql:
+        mask = _code_mask(sql)
+        hit = None
+        for m in _JSON_ARROW.finditer(sql):
+            if not all(mask[i] for i in range(m.start(), m.end())):
+                continue
+            after = sql[m.end() :]
+            rm = re.match(r"\s*'((?:[^']|'')*)'", after) or re.match(
+                r"\s*(\d+)(?![\w$.])", after
+            )
+            if rm is None:
+                continue
+            if (
+                m.group(0) == "->"
+                and _enclosing_call_name(sql, mask, m.start()) in _HOF_NAMES
+            ):
+                continue
+            ls = _left_operand_start(sql, mask, m.start(), absorb_sign=False)
+            if ls is None:
+                continue
+            hit = (m, rm, ls)
+            break
+        if hit is None:
+            return sql
+        m, rm, ls = hit
+        base = sql[ls : m.start()].strip()
+        if rm.re.pattern.startswith(r"\s*'"):
+            key = rm.group(1)
+            path = "$." + key if re.fullmatch(r"\w+", key) else f"$['{key}']"
+        else:
+            path = f"$[{rm.group(1)}]"
+        rep = f"get_json_object({base}, '{path}')"
+        sql = sql[:ls] + rep + sql[m.end() + rm.end() :]
+    return sql
+
+
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_series_tvf(
         _rewrite_similar_to(
             _rewrite_power(
-                _rewrite_caret_at(_rewrite_intdiv(_rewrite_bare_varchar(sql)))
+                _rewrite_caret_at(
+                    _rewrite_intdiv(
+                        _rewrite_json_arrows(
+                            _rewrite_sample_moments(_rewrite_bare_varchar(sql))
+                        )
+                    )
+                )
             )
         )
     )
@@ -2349,7 +2772,9 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                                                             _rewrite_read_functions(
                                                                 _rewrite_pragma(
                                                                     _rewrite_numeric_underscores(
+                                                                        _rewrite_literal_backslashes(
                                                                         _rewrite_dollar_strings(sql)
+                                                                        )
                                                                     )
                                                                 )
                                                             )
@@ -2393,7 +2818,9 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
                                                             _rewrite_read_functions(
                                                                 _rewrite_pragma(
                                                                     _rewrite_numeric_underscores(
+                                                                        _rewrite_literal_backslashes(
                                                                         _rewrite_dollar_strings(sql)
+                                                                        )
                                                                     )
                                                                 )
                                                             )

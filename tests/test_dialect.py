@@ -1222,9 +1222,11 @@ def test_columns_lambda_and_exclude(engine):
 
 
 def _norm_rows(rows):
+    # display-layer quoting differs (format_cell renders lists JSON-style,
+    # the duckdb Python client repr-style) — normalize both
     return [
         tuple(
-            str(c).lower().replace(", ", ",").removesuffix(".0")
+            str(c).lower().replace(", ", ",").replace('"', "'").removesuffix(".0")
             if c is not None
             else ""
             for c in r
@@ -1298,6 +1300,84 @@ def test_parity_sweep_math_and_lists(engine):
         "SELECT list_position([5,6,7], 6) AS p",
         # scalar-position range/generate_series return lists in DuckDB
         "SELECT range(1, 4) AS r, generate_series(1, 3) AS g",
+    ]
+    for q in battery:
+        assert _norm_rows(engine.run(q).rows) == _norm_rows(
+            con.execute(q).fetchall()
+        ), q
+    con.close()
+
+
+def test_literal_backslashes_raw_like_duckdb(engine):
+    # DuckDB reads '\d+' raw; Spark C-unescapes it to 'd+' — the shim
+    # doubles backslashes so every user regex keeps its DuckDB meaning.
+    # (Found via: this exact query returned '' before the fix.)
+    r = engine.run(r"SELECT regexp_extract('ab12', '([a-z]+)(\d+)', 2) AS g")
+    assert r.rows == [["12"]]
+    r = engine.run(r"SELECT 'a1' SIMILAR TO '[a-z]\d' AS m")
+    assert r.rows == [["true"]]
+
+
+def test_parity_sweep_wave2_aggregates(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT string_agg(x, ',' ORDER BY x) AS s FROM (VALUES ('b'),('a')) t(x)",
+        "SELECT quantile_disc(x, 0.5) AS q, quantile_disc(x, 0.25) AS q2 "
+        "FROM (VALUES (1),(2),(3),(4)) t(x)",
+        # sample-vs-population corrections, verified formulas
+        "SELECT round(skewness(x), 6) AS s, round(kurtosis(x), 6) AS k "
+        "FROM (VALUES (1.0),(2.0),(9.0),(3.0)) t(x)",
+        "SELECT fsum(x) AS s FROM (VALUES (1.0),(2.0)) t(x)",
+    ]
+    for q in battery:
+        assert _norm_rows(engine.run(q).rows) == _norm_rows(
+            con.execute(q).fetchall()
+        ), q
+    con.close()
+
+
+def test_parity_sweep_wave2_json(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT struct_extract({'a': 1}, 'a') AS v",
+        "SELECT json_extract('{\"a\": 2}', '$.a') AS v, "
+        "json_extract('{\"a\": 2}', 'a') AS w",
+        "SELECT json_extract_string('{\"a\": \"x\"}', '$.a') AS v",
+        "SELECT json_valid('{}') AS a, json_valid('{') AS b",
+        "SELECT json_keys('{\"a\":1,\"b\":2}') AS ks",
+        "SELECT '{\"a\": {\"b\": 2}}'::JSON -> 'a' ->> 'b' AS v",
+        "SELECT '[5,6]'::JSON -> 0 AS a, '[5,6]'::JSON ->> 1 AS b",
+        "SELECT j ->> 'a' AS v FROM (SELECT '{\"a\": 5}' AS j)",
+        # lambda arrows inside HOFs are never JSON extraction
+        "SELECT list_transform([1,2], x -> 3) AS lam",
+    ]
+    for q in battery:
+        assert _norm_rows(engine.run(q).rows) == _norm_rows(
+            con.execute(q).fetchall()
+        ), q
+    con.close()
+
+
+def test_parity_sweep_wave2_regex(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # DuckDB 2-arg default is group 0; explicit index agrees
+        r"SELECT regexp_extract('ab12', '(\d+)') AS g0, "
+        r"regexp_extract('ab12', '([a-z]+)(\d+)', 2) AS g2",
+        r"SELECT regexp_extract_all('a1b2', '[a-z]') AS l",
+        # 'g' flag = Spark's global default; 'i' composes as (?i)
+        r"SELECT regexp_replace('AaA', 'a', 'b', 'gi') AS r, "
+        r"regexp_replace('aaa', 'a', 'b', 'g') AS g",
+        r"SELECT regexp_split_to_array('a1b2c', '[0-9]') AS l",
+        "SELECT regexp_full_match('abc', 'a.c') AS m, "
+        "regexp_full_match('abc', 'a') AS n",
+        r"SELECT regexp_escape('a.b(c)') AS e",
     ]
     for q in battery:
         assert _norm_rows(engine.run(q).rows) == _norm_rows(
