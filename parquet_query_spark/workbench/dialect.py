@@ -2735,8 +2735,80 @@ def _rewrite_json_arrows(sql: str) -> str:
     return sql
 
 
+_ORDER_TERMINATOR = re.compile(
+    r"(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+_NULLS_EXPLICIT = re.compile(r"\bNULLS\s+(?:FIRST|LAST)$", re.IGNORECASE)
+_DESC_TAIL = re.compile(r"\bDESC$", re.IGNORECASE)
+_ALL_KEY = re.compile(r"^\s*ALL\s*$", re.IGNORECASE)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """Align default null ordering with DuckDB: NULLS LAST in BOTH sort
+    directions (probed), where Spark's ASC default is NULLS FIRST — a
+    silent row-order divergence on every nullable sort key.  Every
+    ascending ORDER BY key (top level, subqueries, window clauses,
+    in-aggregate ORDER BY) without an explicit NULLS marker gets
+    ``NULLS LAST``; DESC keys already match and are left alone.
+    ``ORDER BY ALL`` is skipped (Spark rejects ``ALL NULLS LAST``; its
+    expansion keeps Spark defaults — documented residual)."""
+    mask = _code_mask(sql)
+    depths = _depths(sql, mask)
+    inserts: list[int] = []
+
+    def add_key(start: int, end: int) -> None:
+        seg = sql[start:end]
+        stripped = seg.rstrip()
+        if not stripped:
+            return
+        if _ALL_KEY.match(stripped):
+            return
+        if _NULLS_EXPLICIT.search(stripped) or _DESC_TAIL.search(stripped):
+            return
+        inserts.append(start + len(stripped))
+
+    for m in _keyword_matches(sql, mask, r"\bORDER\s+BY\b"):
+        d0 = depths[m.start()]
+        i = m.end()
+        key_start = i
+        while True:
+            if i >= len(sql):
+                add_key(key_start, i)
+                break
+            ch = sql[i]
+            if not mask[i]:
+                i += 1
+                continue
+            if depths[i] < d0:
+                add_key(key_start, i)
+                break
+            if ch == ";" and depths[i] == d0:
+                add_key(key_start, i)
+                break
+            if ch == "," and depths[i] == d0:
+                add_key(key_start, i)
+                key_start = i + 1
+                i += 1
+                continue
+            if (
+                depths[i] == d0
+                and (ch.isalpha())
+                and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_$"))
+            ):
+                t = _ORDER_TERMINATOR.match(sql, i)
+                if t and all(mask[k] for k in range(t.start(), t.end())):
+                    add_key(key_start, i)
+                    break
+            i += 1
+    for pos in sorted(inserts, reverse=True):
+        sql = sql[:pos] + " NULLS LAST" + sql[pos:]
+    return sql
+
+
 def _rewrite_ops_pack(sql: str) -> str:
-    return _rewrite_series_tvf(
+    return _rewrite_order_by_nulls(
+        _rewrite_series_tvf(
         _rewrite_similar_to(
             _rewrite_power(
                 _rewrite_caret_at(
@@ -2747,6 +2819,7 @@ def _rewrite_ops_pack(sql: str) -> str:
                     )
                 )
             )
+        )
         )
     )
 

@@ -101,5 +101,7 @@ def run_union_by_name(engine, sql: str) -> DataFrame:
     if tail:
         view = f"__union_by_name_{next(_view_counter)}"
         combined.createOrReplaceTempView(view)
-        return engine.spark.sql(f"SELECT * FROM {view} {tail}")
+        # through engine.sql so the tail gets the dialect treatment too
+        # (NULLS LAST alignment, function renames, ...)
+        return engine.sql(f"SELECT * FROM {view} {tail}")
     return combined

@@ -83,7 +83,7 @@ def test_qualify_basic():
     )
     assert out == (
         "SELECT * EXCEPT (__qualify) FROM (SELECT *, "
-        "(row_number() OVER (PARTITION BY k ORDER BY v) = 1) AS __qualify "
+        "(row_number() OVER (PARTITION BY k ORDER BY v NULLS LAST) = 1) AS __qualify "
         "FROM (SELECT k, v FROM t) __qualify_inner) __qualify_sub WHERE __qualify"
     )
 
@@ -96,7 +96,7 @@ def test_qualify_fallback_injects_into_select_list():
     )
     assert alts == [
         "SELECT * EXCEPT (__qualify) FROM (SELECT k, "
-        "(row_number() OVER (ORDER BY v) = 1) AS __qualify "
+        "(row_number() OVER (ORDER BY v NULLS LAST) = 1) AS __qualify "
         "FROM t) __qualify_sub WHERE __qualify"
     ]
 
@@ -105,7 +105,7 @@ def test_qualify_preserves_order_by_and_limit():
     out = rewrite_duckdb_dialect(
         "SELECT k, v FROM t QUALIFY rank() OVER (ORDER BY v) <= 2 ORDER BY k LIMIT 5"
     )
-    assert out.endswith("WHERE __qualify ORDER BY k LIMIT 5")
+    assert out.endswith("WHERE __qualify ORDER BY k NULLS LAST LIMIT 5")
 
 
 def test_qualify_inside_string_untouched():
@@ -316,7 +316,7 @@ def test_asof_rewrite_backward_shape():
         "SELECT t.id, q.price FROM trades t ASOF JOIN quotes q "
         "ON t.sym = q.sym AND t.ts >= q.ts"
     )
-    assert "LEAD(ts) OVER (PARTITION BY sym ORDER BY ts) AS __asof_nxt" in out
+    assert "LEAD(ts) OVER (PARTITION BY sym ORDER BY ts NULLS LAST) AS __asof_nxt" in out
     assert "(t.ts) >= q.ts" in out
     assert "((t.ts) < q.__asof_nxt OR q.__asof_nxt IS NULL)" in out
     assert "ASOF" not in out.upper().replace("__ASOF_NXT", "")
@@ -326,7 +326,7 @@ def test_asof_rewrite_forward_uses_lag():
     out = rewrite_duckdb_dialect(
         "SELECT t.id FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts <= q.ts"
     )
-    assert "LAG(ts) OVER (PARTITION BY sym ORDER BY ts)" in out
+    assert "LAG(ts) OVER (PARTITION BY sym ORDER BY ts NULLS LAST)" in out
     assert "((t.ts) > q.__asof_nxt OR q.__asof_nxt IS NULL)" in out
 
 
@@ -923,7 +923,7 @@ def test_unpivot_statement_rewrite():
         "UNPIVOT (SELECT * FROM t) ON a, b INTO NAME k VALUE v ORDER BY k LIMIT 3"
     )
     assert out == (
-        "SELECT * FROM (SELECT * FROM t) UNPIVOT (v FOR k IN (a, b)) ORDER BY k LIMIT 3"
+        "SELECT * FROM (SELECT * FROM t) UNPIVOT (v FOR k IN (a, b)) ORDER BY k NULLS LAST LIMIT 3"
     )
 
 
@@ -1113,9 +1113,10 @@ def test_dot_chain_rewrites():
     assert rewrite_duckdb_dialect(
         "SELECT ('Hello World').lower().string_split(' ')[2].upper() AS w"
     ) == ("SELECT upper(try_element_at(split(lower(('Hello World')), ' '), 2)) AS w")
-    # window/filter syntax is never a chain
-    sql = "SELECT rank() OVER (ORDER BY x) FROM t"
-    assert rewrite_duckdb_dialect(sql) == sql
+    # window/filter syntax is never a chain (only NULLS alignment applies)
+    assert rewrite_duckdb_dialect("SELECT rank() OVER (ORDER BY x) FROM t") == (
+        "SELECT rank() OVER (ORDER BY x NULLS LAST) FROM t"
+    )
     sql = "SELECT count(*) FILTER (WHERE x > 1) FROM t"
     assert rewrite_duckdb_dialect(sql) == sql
     # qualified column references without a call stay untouched
@@ -1383,4 +1384,28 @@ def test_parity_sweep_wave2_regex(engine):
         assert _norm_rows(engine.run(q).rows) == _norm_rows(
             con.execute(q).fetchall()
         ), q
+    con.close()
+
+
+def test_order_by_nulls_last_matches_duckdb(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # DuckDB defaults NULLS LAST both directions; Spark ASC would put
+        # them first
+        "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x",
+        "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x DESC",
+        "SELECT x, row_number() OVER (ORDER BY x) AS rn "
+        "FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY rn",
+        # explicit markers always win
+        "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x NULLS FIRST",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.run(q).rows]
+        want = [
+            tuple(str(c) if c is not None else "" for c in row)
+            for row in con.execute(q).fetchall()
+        ]
+        assert got == want, q
     con.close()
