@@ -1268,6 +1268,81 @@ def _macro_regexp_escape(args: list[str]) -> str | None:
     return "'" + escaped.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+# time_bucket / epoch (probed: buckets align to origin 2000-01-03
+# 00:00:00 — a Monday, so week buckets start Mondays; floor semantics
+# hold pre-origin; month buckets use calendar months from 2000-01-01;
+# epoch() returns FRACTIONAL seconds)
+
+_TB_ORIGIN_US = 946857600000000  # 2000-01-03 00:00:00 UTC in microseconds
+_INTERVAL_LIT = re.compile(
+    r"^\s*INTERVAL\s+(?:'(\d+)\s*(\w+?)s?'|(\d+)\s+(\w+?)S?)\s*$",
+    re.IGNORECASE,
+)
+_UNIT_US = {
+    "millisecond": 1000,
+    "ms": 1000,
+    "second": 1000000,
+    "sec": 1000000,
+    "minute": 60000000,
+    "min": 60000000,
+    "hour": 3600000000,
+    "day": 86400000000,
+    "week": 604800000000,
+}
+
+
+def _macro_time_bucket(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    m = _INTERVAL_LIT.match(args[0])
+    if not m:
+        return None
+    n = int(m.group(1) or m.group(3))
+    unit = (m.group(2) or m.group(4)).lower()
+    ts = args[1].strip()
+    if unit in ("month", "mon", "year", "yr"):
+        k = n * (12 if unit in ("year", "yr") else 1)
+        msince = f"((year(({ts})) - 2000) * 12 + month(({ts})) - 1)"
+        return (
+            f"add_months(TIMESTAMP '2000-01-01 00:00:00', "
+            f"CAST(({msince} DIV {k}) * {k} - "
+            f"(CASE WHEN {msince} < 0 AND pmod({msince}, {k}) != 0 "
+            f"THEN {k} ELSE 0 END) AS INT))"
+        )
+    if unit not in _UNIT_US:
+        return None
+    width = n * _UNIT_US[unit]
+    delta = f"(unix_micros(CAST(({ts}) AS TIMESTAMP)) - {_TB_ORIGIN_US})"
+    return (
+        f"timestamp_micros({delta} - pmod({delta}, {width}) "
+        f"+ {_TB_ORIGIN_US})"
+    )
+
+
+def _macro_epoch(args: list[str]) -> str | None:
+    # DuckDB epoch() keeps the fraction (probed: 1577836801.5) — the
+    # playbook trap that bit round 5's oracles, now handled in the shim
+    if len(args) != 1:
+        return None
+    return (
+        f"(CAST(unix_micros(CAST(({args[0].strip()}) AS TIMESTAMP)) "
+        f"AS DOUBLE) / 1000000)"
+    )
+
+
+_EPOCH_FROM = re.compile(r"^\s*EPOCH\s+FROM\s+(.+)$", re.IGNORECASE | re.DOTALL)
+
+
+def _macro_extract_epoch(args: list[str]) -> str | None:
+    # only EXTRACT(EPOCH FROM x) — every other field is Spark-native
+    if len(args) != 1:
+        return None
+    m = _EPOCH_FROM.match(args[0])
+    if not m:
+        return None
+    return _macro_epoch([m.group(1)])
+
+
 _FORMAT_BRACES = re.compile(r"\{\}")
 
 
@@ -1352,6 +1427,9 @@ _FN_MACROS = {
     "regexp_replace": _macro_regexp_replace_flags,
     "regexp_full_match": _macro_regexp_full_match,
     "regexp_escape": _macro_regexp_escape,
+    "time_bucket": _macro_time_bucket,
+    "epoch": _macro_epoch,
+    "extract": _macro_extract_epoch,
     "struct_pack": _macro_struct_pack,
 }
 

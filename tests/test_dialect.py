@@ -1409,3 +1409,44 @@ def test_order_by_nulls_last_matches_duckdb(engine):
         ]
         assert got == want, q
     con.close()
+
+
+def test_time_bucket_and_epoch_match_duckdb(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # origin 2000-01-03 (Monday) — week buckets start Mondays; floor
+        # semantics hold before the origin; months are calendar-based
+        "SELECT time_bucket(INTERVAL '15 minutes', "
+        "TIMESTAMP '2020-01-01 00:37:21') AS b",
+        "SELECT time_bucket(INTERVAL '7 days', "
+        "TIMESTAMP '2020-03-04 10:00:00') AS b",
+        "SELECT time_bucket(INTERVAL '1 day', "
+        "TIMESTAMP '1969-12-30 10:00:00') AS b",
+        "SELECT time_bucket(INTERVAL '3 months', "
+        "TIMESTAMP '2020-05-15 00:00:00') AS b",
+        "SELECT time_bucket(INTERVAL '1 year', "
+        "TIMESTAMP '1998-03-15 00:00:00') AS b",
+        "SELECT epoch(TIMESTAMP '2020-01-01 00:00:01.5') AS e",
+        "SELECT extract(epoch FROM TIMESTAMP '2020-01-01 00:00:01.25') AS e",
+        "SELECT extract(year FROM DATE '2020-03-04') AS y",
+    ]
+    for q in battery:
+        got = [
+            tuple(c.removesuffix(".0").split("T")[0] + c.split("T")[-1].removesuffix(".000Z") if "T" in c else c.removesuffix(".0") for c in row)
+            for row in engine.run(q).rows
+        ]
+        want = [
+            tuple(
+                str(c).removesuffix(".0").replace(" ", "")
+                if c is not None
+                else ""
+                for c in row
+            )
+            for row in con.execute(q).fetchall()
+        ]
+        got = [tuple(c.replace(" ", "").replace("T", "") for c in row) for row in got]
+        want = [tuple(c.replace("T", "") for c in row) for row in want]
+        assert got == want, q
+    con.close()
