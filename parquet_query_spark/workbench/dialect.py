@@ -1343,6 +1343,62 @@ def _macro_extract_epoch(args: list[str]) -> str | None:
     return _macro_epoch([m.group(1)])
 
 
+_AGG_ORDER_KEY = re.compile(
+    r"^(.*?)\bORDER\s+BY\s+(.+?)\s*(DESC|ASC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _macro_array_agg_ordered(args: list[str]) -> str | None:
+    # DuckDB array_agg(x ORDER BY k [DESC]) — Spark collect_list has no
+    # in-call ORDER BY; sort structs of (key, value) post-collect.
+    # Single sort key; NULLS FIRST is unsupported (array_sort puts nulls
+    # last, which matches DuckDB's in-aggregate default).
+    if len(args) != 1:
+        return None
+    m = _AGG_ORDER_KEY.match(args[0])
+    if not m or not m.group(1).strip():
+        return None
+    if (m.group(4) or "").upper() == "FIRST":
+        return None
+    val, key = m.group(1).strip(), m.group(2).strip()
+    desc = (m.group(3) or "").upper() == "DESC"
+    sorted_ = (
+        f"array_sort(collect_list(named_struct('k', ({key}), 'v', ({val}))))"
+    )
+    if desc:
+        sorted_ = f"reverse({sorted_})"
+    return f"transform({sorted_}, __s -> __s.v)"
+
+
+def _ordered_first_last(fn: str):
+    # first(x ORDER BY k) / last(x ORDER BY k) → min_by/max_by
+    def macro(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        m = _AGG_ORDER_KEY.match(args[0])
+        if not m or not m.group(1).strip():
+            return None
+        val, key = m.group(1).strip(), m.group(2).strip()
+        desc = (m.group(3) or "").upper() == "DESC"
+        pick = {("first", False): "min_by", ("first", True): "max_by",
+                ("last", False): "max_by", ("last", True): "min_by"}[(fn, desc)]
+        return f"{pick}(({val}), ({key}))"
+
+    return macro
+
+
+def _macro_map_extract(args: list[str]) -> str | None:
+    # DuckDB map_extract returns a LIST: [v] on hit, [] on miss
+    if len(args) != 2:
+        return None
+    m, k = args[0].strip(), args[1].strip()
+    return (
+        f"filter(array(try_element_at(({m}), ({k}))), "
+        f"__x -> __x IS NOT NULL)"
+    )
+
+
 _FORMAT_BRACES = re.compile(r"\{\}")
 
 
@@ -1428,6 +1484,13 @@ _FN_MACROS = {
     "regexp_full_match": _macro_regexp_full_match,
     "regexp_escape": _macro_regexp_escape,
     "time_bucket": _macro_time_bucket,
+    "array_agg": _macro_array_agg_ordered,
+    "list": _macro_array_agg_ordered,
+    "collect_list": _macro_array_agg_ordered,
+    "first": _ordered_first_last("first"),
+    "last": _ordered_first_last("last"),
+    "map_extract": _macro_map_extract,
+    "unnest": lambda args: f"explode(({args[0].strip()}))" if len(args) == 1 else None,
     "epoch": _macro_epoch,
     "extract": _macro_extract_epoch,
     "struct_pack": _macro_struct_pack,
@@ -2612,7 +2675,7 @@ def _rewrite_brace_literals(sql: str) -> str:
 
 
 _SERIES_TVF = re.compile(
-    r"\b(?:FROM|JOIN)\s+(generate_series|range)\s*\(", re.IGNORECASE
+    r"\b(?:FROM|JOIN)\s+(generate_series|range|unnest)\s*\(", re.IGNORECASE
 )
 _INTERVAL_ARG = re.compile(r"\bINTERVAL\b", re.IGNORECASE)
 
@@ -2623,6 +2686,8 @@ def _series_empty(a: str) -> str:
 
 
 def _series_body(fn: str, args: list[str]) -> str | None:
+    if fn == "unnest":
+        return f"({args[0]})" if len(args) == 1 else None
     err = (
         "raise_error('{} error: start is bigger than end, but increment "
         "is positive: cannot generate infinite series')".format(fn)

@@ -1450,3 +1450,34 @@ def test_time_bucket_and_epoch_match_duckdb(engine):
         want = [tuple(c.replace("T", "") for c in row) for row in want]
         assert got == want, q
     con.close()
+
+
+def test_ordered_aggregates_and_unnest_match_duckdb(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # in-call ORDER BY via post-collect struct sort
+        "SELECT array_agg(x ORDER BY x DESC) AS l FROM (VALUES (1),(3),(2)) t(x)",
+        "SELECT array_agg(x ORDER BY y) AS l "
+        "FROM (VALUES (1, 9),(3, 7),(2, 8)) t(x, y)",
+        "SELECT list(x ORDER BY x) AS l FROM (VALUES (2),(1)) t(x)",
+        "SELECT first(x ORDER BY x) AS f, last(x ORDER BY x) AS la "
+        "FROM (VALUES (2),(1),(3)) t(x)",
+        "SELECT map_extract(MAP {'k': 2}, 'k') AS a, "
+        "map_extract(MAP {'k': 2}, 'z') AS b",
+        # unnest in scalar and FROM positions
+        "SELECT unnest([1,2]) AS u",
+        "SELECT u + 1 AS v FROM unnest([3,4]) t(u)",
+    ]
+    for q in battery:
+        got = sorted(tuple(r) for r in engine.run(q).rows)
+        want = sorted(
+            tuple(
+                str(c).replace(", ", ",") if c is not None else ""
+                for c in row
+            )
+            for row in con.execute(q).fetchall()
+        )
+        assert got == want, q
+    con.close()
