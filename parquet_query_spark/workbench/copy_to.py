@@ -160,6 +160,22 @@ def run_copy(engine, statement: str) -> DataFrame:
         quoted = src.startswith('"')
         name = src[1:-1].replace('""', '"') if quoted else src
         df = engine.sql(f'SELECT * FROM "{name}"' if quoted else f"SELECT * FROM {name}")
-    n = df.count()
-    _write(df, path, fmt, opts)
+    # ADVICE r7: count+write must not execute the source plan twice — a
+    # nondeterministic query (LIMIT without ORDER BY, USING SAMPLE) could
+    # report a Count disagreeing with the rows actually written, and the
+    # double execution doubles cost.  Parquet: write first, then count
+    # from the written footers (metadata-only read-back, no re-scan).
+    # CSV/JSON: read-back counts are fragile (headers, quoted newlines),
+    # so persist the frame — the plan executes once into the cache and
+    # both count and write read from it.
+    if fmt == "parquet":
+        _write(df, path, fmt, opts)
+        n = engine.spark.read.parquet(path).count()
+    else:
+        df.persist()
+        try:
+            n = df.count()
+            _write(df, path, fmt, opts)
+        finally:
+            df.unpersist()
     return engine.spark.createDataFrame([(n,)], "Count bigint")

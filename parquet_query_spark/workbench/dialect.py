@@ -163,6 +163,55 @@ def _code_mask(sql: str) -> list[bool]:
     return mask
 
 
+def _comment_mask(sql: str) -> list[bool]:
+    """True only for characters inside comments (delimiters included) —
+    distinguishes trailing-comment junk from string-literal characters,
+    which `_code_mask` lumps together as non-code.  Needed where a pass
+    must skip comments but keep literals as part of an expression
+    (ADVICE r7: ``ORDER BY a -- note`` must not get NULLS LAST inserted
+    inside the comment)."""
+    n = len(sql)
+    cmask = [False] * n
+    i = 0
+    state = None  # None | 'sq' | 'dq' | 'bq' | 'line' | 'block'
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "line":
+            if ch == "\n":
+                state = None
+            else:
+                cmask[i] = True
+        elif state == "block":
+            cmask[i] = True
+            if ch == "*" and nxt == "/":
+                cmask[i + 1] = True
+                i += 1
+                state = None
+        elif state in ("sq", "dq", "bq"):
+            q = {"sq": "'", "dq": '"', "bq": "`"}[state]
+            if ch == q and nxt == q:
+                i += 1
+            elif ch == q:
+                state = None
+        elif ch == "-" and nxt == "-":
+            cmask[i] = cmask[i + 1] = True
+            state = "line"
+            i += 1
+        elif ch == "/" and nxt == "*":
+            cmask[i] = cmask[i + 1] = True
+            state = "block"
+            i += 1
+        elif ch == "'":
+            state = "sq"
+        elif ch == '"':
+            state = "dq"
+        elif ch == "`":
+            state = "bq"
+        i += 1
+    return cmask
+
+
 def _depths(sql: str, mask: list[bool]) -> list[int]:
     """Paren depth at each position (code parens only)."""
     depths = []
@@ -1992,20 +2041,84 @@ _USING_SAMPLE = re.compile(
 )
 
 
+def _table_ref_before(sql: str, mask: list[bool], pos: int):
+    """Span ``(start, end)`` of the table reference immediately before
+    ``pos`` — a (dotted) identifier, a quoted literal/identifier, or a
+    parenthesized subquery / table function — but only when the token
+    before IT is ``FROM`` / ``JOIN`` / a comma (an intervening alias
+    means the positional wrap would capture the wrong text → None)."""
+    j = pos - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    if mask[j] and sql[j] == ")":
+        depth = 0
+        k = j
+        while k >= 0:
+            if mask[k] and sql[k] == ")":
+                depth += 1
+            elif mask[k] and sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return None
+        # attached table-function name, e.g. range(10)
+        k2 = k - 1
+        while k2 >= 0 and (sql[k2].isalnum() or sql[k2] in "_$."):
+            k2 -= 1
+        start = k2 + 1
+    elif not mask[j]:
+        k = j
+        while k >= 0 and not mask[k]:
+            k -= 1
+        start = k + 1
+    elif sql[j].isalnum() or sql[j] in "_$":
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_$."):
+            k -= 1
+        start = k + 1
+    else:
+        return None
+    p = start - 1
+    while p >= 0 and sql[p].isspace():
+        p -= 1
+    if p < 0:
+        return None
+    if sql[p] == ",":
+        return (start, j + 1)
+    e = p + 1
+    while p >= 0 and (sql[p].isalpha() or sql[p] == "_"):
+        p -= 1
+    if sql[p + 1 : e].upper() in ("FROM", "JOIN"):
+        return (start, j + 1)
+    return None
+
+
 def _rewrite_using_sample(sql: str) -> str:
-    """DuckDB ``USING SAMPLE`` in all three spellings → Spark
-    ``TABLESAMPLE``.  Both dialects place the clause right after the
-    table reference, so the rewrite is positional.  Unit defaults follow
-    DuckDB: bare numbers mean ROWS, except for the percentage-based
-    ``bernoulli``/``system`` methods where a bare number means PERCENT.
-    A trailing DuckDB ``REPEATABLE (seed)`` clause survives in place
-    (Spark spells it identically); a seed inside the size-first form
-    (``10% (system, 377)``) becomes ``REPEATABLE (377)``."""
+    """DuckDB ``USING SAMPLE`` → Spark.  PERCENT forms map to Spark
+    ``TABLESAMPLE (p PERCENT)`` (both are per-row Bernoulli-style
+    sampling).  ROWS-unit forms are RANDOM reservoir samples in DuckDB
+    (probed: two runs of ``USING SAMPLE 5`` on 10k rows return different
+    rows) while Spark's ``TABLESAMPLE (n ROWS)`` is a deterministic
+    first-n prefix — a silent wrong answer (ADVICE r7).  ROWS forms are
+    therefore wrapped as ``(SELECT * FROM <ref> ORDER BY rand([seed])
+    LIMIT n)``, which Spark plans as TakeOrderedAndProject (top-k, no
+    full sort).  When the preceding table reference can't be identified
+    positionally (e.g. an intervening alias), the clause is left
+    untranslated so Spark's parse error surfaces instead of silently
+    changing sampling semantics.  A trailing DuckDB ``REPEATABLE (seed)``
+    clause survives in place on PERCENT forms (Spark spells it
+    identically); a seed inside the size-first form (``10% (system,
+    377)``) becomes ``REPEATABLE (377)`` / ``rand(377)``."""
     mask = _code_mask(sql)
     repls: list[tuple[int, int, str]] = []
     for m in _USING_SAMPLE.finditer(sql):
         if not all(mask[m.start() : m.end()]):
             continue
+        seed = None
         if m.group("method"):
             num = m.group("mnum")
             unit = (m.group("munit") or "").upper().rstrip()
@@ -2015,20 +2128,37 @@ def _rewrite_using_sample(sql: str) -> str:
                     else "ROWS"
                 )
             kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
-            rep = f"TABLESAMPLE ({num} {kind})"
         elif m.group("snum"):
             num = m.group("snum")
             unit = (m.group("sunit") or "").upper().rstrip()
             kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
-            rep = f"TABLESAMPLE ({num} {kind})"
-            if m.group("seed"):
-                rep += f" REPEATABLE ({m.group('seed')})"
+            seed = m.group("seed")
         else:
             num = m.group("num")
             unit = (m.group("unit") or "").upper().rstrip()
             kind = "PERCENT" if unit in ("%", "PERCENT") else "ROWS"
-            rep = f"TABLESAMPLE ({num} {kind})"
-        repls.append((m.start(), m.end(), rep))
+        if kind == "PERCENT":
+            rep = f"TABLESAMPLE ({num} PERCENT)"
+            if seed:
+                rep += f" REPEATABLE ({seed})"
+            repls.append((m.start(), m.end(), rep))
+            continue
+        # ROWS: random in DuckDB — wrap the table ref in a rand() top-k.
+        if "." in num:
+            continue  # fractional ROWS — let the engine error
+        ref = _table_ref_before(sql, mask, m.start())
+        if ref is None:
+            continue  # can't wrap safely — leave for Spark to reject
+        rs, re_ = ref
+        ref_text = sql[rs:re_]
+        alias = ""
+        if re.fullmatch(r"[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)*", ref_text):
+            alias = " AS " + ref_text.rsplit(".", 1)[-1]
+        rnd = f"rand({seed})" if seed else "rand()"
+        rep = (
+            f"(SELECT * FROM {ref_text} ORDER BY {rnd} LIMIT {num}){alias}"
+        )
+        repls.append((rs, m.end(), rep))
     for s, e, new in reversed(repls):
         sql = sql[:s] + new + sql[e:]
     return sql
@@ -2897,19 +3027,32 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     ``ORDER BY ALL`` is skipped (Spark rejects ``ALL NULLS LAST``; its
     expansion keeps Spark defaults — documented residual)."""
     mask = _code_mask(sql)
+    cmask = _comment_mask(sql)
     depths = _depths(sql, mask)
     inserts: list[int] = []
 
     def add_key(start: int, end: int) -> None:
-        seg = sql[start:end]
-        stripped = seg.rstrip()
+        # Walk back over trailing whitespace AND comments (ADVICE r7:
+        # 'a -- note' must insert before the comment, and a trailing
+        # comment must not defeat the DESC / NULLS-explicit detection).
+        j = end - 1
+        while j >= start and (cmask[j] or sql[j].isspace()):
+            j -= 1
+        if j < start:
+            return
+        insert_at = j + 1
+        # Comment-free view for the tail checks (string literals kept —
+        # they are part of the key expression).
+        stripped = "".join(
+            " " if cmask[i] else sql[i] for i in range(start, insert_at)
+        ).strip()
         if not stripped:
             return
         if _ALL_KEY.match(stripped):
             return
         if _NULLS_EXPLICIT.search(stripped) or _DESC_TAIL.search(stripped):
             return
-        inserts.append(start + len(stripped))
+        inserts.append(insert_at)
 
     for m in _keyword_matches(sql, mask, r"\bORDER\s+BY\b"):
         d0 = depths[m.start()]

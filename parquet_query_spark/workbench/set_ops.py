@@ -14,10 +14,17 @@ branch belongs to the whole union (standard SQL reading); it is cut off
 and applied over the combined result through a per-invocation unique temp
 view (monotonic counter — the ADVICE r6 fixed-name clobber lesson).
 
-Plain ``UNION`` / ``INTERSECT`` / ``EXCEPT`` inside a branch stay in the
-branch's text and bind tighter, matching DuckDB's left-associative
-grouping.  DuckDB's parser (bundled build) rejects ``INTERSECT BY NAME``
-/ ``EXCEPT BY NAME``, so only UNION is handled here.
+Mixed top-level set ops fold LEFT in statement order, dispatching BY
+NAME vs positional per separator (probed: ``SELECT 1 AS a UNION BY NAME
+SELECT 1 AS a UNION ALL SELECT 1 AS a`` → two rows, i.e. the left-assoc
+``(A ∪byname B) UNION ALL C``, and ``A UNION ALL A UNION BY NAME A`` →
+one row).  ``INTERSECT`` binds TIGHTER than UNION/EXCEPT (probed:
+``1 UNION 2 INTERSECT 2`` → ``[1, 2]``), so INTERSECT separators stay
+inside their branch text and Spark SQL applies the same precedence.
+DuckDB's parser (bundled build) rejects ``INTERSECT BY NAME`` /
+``EXCEPT BY NAME``.  A top-level ``EXCEPT`` immediately after ``*`` is
+the star-expansion ``* EXCEPT (cols)`` form, not a set op, and is left
+in the branch.
 """
 
 from __future__ import annotations
@@ -34,6 +41,11 @@ from parquet_query_spark.workbench.dialect import (
 )
 
 _UNION_BY_NAME = r"\bUNION\s+(ALL\s+)?BY\s+NAME\b"
+# Every separator at UNION's precedence level (INTERSECT binds tighter
+# and is intentionally absent — it stays inside the branch text).
+_SET_SEP = (
+    r"\b(?P<op>UNION|EXCEPT)\b(?P<all>\s+ALL\b)?(?P<byname>\s+BY\s+NAME\b)?"
+)
 _TAIL_KW = r"\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b"
 
 _view_counter = itertools.count()
@@ -74,14 +86,36 @@ def has_union_by_name(sql: str) -> bool:
     return bool(_top_level_matches(sql, _UNION_BY_NAME))
 
 
+def _is_star_except(sql: str, mask: list[bool], m: re.Match) -> bool:
+    """``* EXCEPT (cols)`` star expansion, not a set op: the previous
+    non-space code character is ``*``."""
+    if m.group("op").upper() != "EXCEPT":
+        return False
+    i = m.start() - 1
+    while i >= 0 and (not mask[i] or sql[i].isspace()):
+        i -= 1
+    return i >= 0 and sql[i] == "*"
+
+
 def run_union_by_name(engine, sql: str) -> DataFrame:
-    seps = _top_level_matches(sql, _UNION_BY_NAME)
+    mask = _code_mask(sql)
+    seps = [
+        m
+        for m in _top_level_matches(sql, _SET_SEP)
+        if not _is_star_except(sql, mask, m)
+    ]
     branches: list[str] = []
-    all_flags: list[bool] = []
+    ops: list[tuple[str, bool, bool]] = []  # (op, is_all, by_name)
     pos = 0
     for m in seps:
         branches.append(sql[pos : m.start()])
-        all_flags.append(bool(m.group(1)))
+        ops.append(
+            (
+                m.group("op").upper(),
+                bool(m.group("all")),
+                bool(m.group("byname")),
+            )
+        )
         pos = m.end()
     last = sql[pos:]
     tail = ""
@@ -92,12 +126,22 @@ def run_union_by_name(engine, sql: str) -> DataFrame:
     branches.append(last)
 
     combined = engine.sql(branches[0])
-    for is_all, branch in zip(all_flags, branches[1:]):
-        combined = combined.unionByName(
-            engine.sql(branch), allowMissingColumns=True
-        )
-        if not is_all:
-            combined = combined.distinct()
+    for (op, is_all, by_name), branch in zip(ops, branches[1:]):
+        other = engine.sql(branch)
+        if op == "EXCEPT":
+            if by_name:  # DuckDB's parser rejects this too
+                raise ValueError("EXCEPT BY NAME is not supported")
+            combined = (
+                combined.exceptAll(other) if is_all else combined.subtract(other)
+            )
+        elif by_name:
+            combined = combined.unionByName(other, allowMissingColumns=True)
+            if not is_all:
+                combined = combined.distinct()
+        else:
+            combined = combined.union(other)
+            if not is_all:
+                combined = combined.distinct()
     if tail:
         view = f"__union_by_name_{next(_view_counter)}"
         combined.createOrReplaceTempView(view)

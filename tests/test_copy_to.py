@@ -71,3 +71,26 @@ def test_copy_per_thread_output_is_directory(engine, tmp_path):
 def test_copy_format_inference_error(engine, tmp_path):
     with pytest.raises(ValueError, match="cannot infer format"):
         engine.run(f"COPY (SELECT 1 AS x) TO '{tmp_path}/noext'")
+
+
+def test_copy_count_matches_written_nondeterministic(engine, tmp_path):
+    """ADVICE r7: the returned Count must reflect the rows actually
+    written, with the source plan executed once — pinned with a random
+    row-sample source (USING SAMPLE → rand() top-k, nondeterministic
+    across executions)."""
+    out = str(tmp_path / "sample.parquet")
+    r = engine.run(
+        f"COPY (SELECT * FROM 'orders.parquet' USING SAMPLE 37 ROWS) TO '{out}'"
+    )
+    n = int(r.rows[0][0])
+    back = duckdb.connect().execute(f"SELECT count(*) FROM '{out}'").fetchone()
+    assert n == 37 and back[0] == 37
+    out_csv = str(tmp_path / "sample.csv")
+    r = engine.run(
+        f"COPY (SELECT * FROM 'orders.parquet' USING SAMPLE 41 ROWS) TO '{out_csv}'"
+    )
+    n = int(r.rows[0][0])
+    back = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_csv('{out_csv}', header=true)"
+    ).fetchone()
+    assert n == 41 and back[0] == 41

@@ -277,10 +277,23 @@ def test_using_sample_percent():
 
 
 def test_using_sample_rows():
+    # ROWS-unit samples are RANDOM in DuckDB (reservoir), so they become a
+    # rand() top-k wrap, NOT Spark's deterministic-prefix TABLESAMPLE
+    # (n ROWS) — ADVICE r7
+    want = "SELECT * FROM (SELECT * FROM t ORDER BY rand() LIMIT 100) AS t"
     out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 100 ROWS")
-    assert out == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    assert out == want
     out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE 100")
-    assert out == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    assert out == want
+    # seeded size-first form
+    out = rewrite_duckdb_dialect(
+        "SELECT * FROM t USING SAMPLE 10 ROWS (reservoir, 377)"
+    )
+    assert out == "SELECT * FROM (SELECT * FROM t ORDER BY rand(377) LIMIT 10) AS t"
+    # an intervening alias defeats the positional wrap — left untranslated
+    # so Spark's parse error surfaces instead of silently sampling wrong
+    sql = "SELECT * FROM t x USING SAMPLE 5"
+    assert rewrite_duckdb_dialect(sql) == sql
 
 
 def test_using_sample_inside_string_untouched():
@@ -1143,12 +1156,12 @@ def test_dot_chain_engine_matches_duckdb(engine):
 
 def test_using_sample_method_forms():
     out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE reservoir(100 ROWS)")
-    assert "TABLESAMPLE (100 ROWS)" in out
+    assert "ORDER BY rand() LIMIT 100" in out
     out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE bernoulli(10%)")
     assert "TABLESAMPLE (10 PERCENT)" in out
     # DuckDB unit defaults: reservoir → ROWS, bernoulli/system → PERCENT
     out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE reservoir(50)")
-    assert "TABLESAMPLE (50 ROWS)" in out
+    assert "ORDER BY rand() LIMIT 50" in out
     out = rewrite_duckdb_dialect("SELECT * FROM t USING SAMPLE system(50)")
     assert "TABLESAMPLE (50 PERCENT)" in out
     # size-first form; inner seed becomes REPEATABLE
@@ -1400,6 +1413,14 @@ def test_order_by_nulls_last_matches_duckdb(engine):
         "FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY rn",
         # explicit markers always win
         "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x NULLS FIRST",
+        # ADVICE r7: a trailing line comment on a key must not swallow the
+        # inserted NULLS LAST, nor defeat DESC / explicit-NULLS detection
+        "SELECT x, y FROM (VALUES (2, 1),(NULL, 2),(1, 3)) t(x, y) "
+        "ORDER BY x -- note\n, y",
+        "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x DESC -- c\n",
+        "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) "
+        "ORDER BY x NULLS FIRST -- c\n",
+        "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x /* c */ DESC",
     ]
     for q in battery:
         got = [tuple(r) for r in engine.run(q).rows]

@@ -121,6 +121,23 @@ def test_engine_union_by_name_matches_duckdb(engine):
         # three branches, mixed ALL, whole-union tail
         "SELECT 1 AS a UNION BY NAME SELECT 1 AS a "
         "UNION ALL BY NAME SELECT 3 AS b ORDER BY a LIMIT 5",
+        # ADVICE r7: mixed BY NAME with plain set ops is LEFT-associative —
+        # (A ∪byname B) UNION ALL C keeps the UNION ALL duplicate (2 rows)
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION ALL SELECT 1 AS a",
+        "SELECT 1 AS a UNION ALL SELECT 1 AS a UNION BY NAME SELECT 1 AS a",
+        # plain EXCEPT folding left before a BY NAME separator
+        "SELECT 1 AS a EXCEPT SELECT 1 AS a UNION BY NAME SELECT 3 AS c",
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a EXCEPT SELECT 1 AS a",
+        # INTERSECT binds tighter: A ∪byname (B ∩ C), probed in DuckDB
+        "SELECT 1 AS a UNION BY NAME SELECT 2 AS a INTERSECT SELECT 2 AS a",
+        # whole-union tail over a mixed fold
+        "SELECT 2 AS a UNION BY NAME SELECT 1 AS a "
+        "UNION ALL SELECT 0 AS a ORDER BY a",
+        # star exclusion inside a branch is not a set op (DuckDB spells it
+        # EXCLUDE; the Spark-spelled `* EXCEPT (b)` form is guarded by
+        # _is_star_except and covered in test_mixed_setops_star_except)
+        "SELECT * EXCLUDE (b) FROM (SELECT 1 AS a, 2 AS b) "
+        "UNION BY NAME SELECT 9 AS a",
     ]
     for q in queries:
         r = engine.run(q)
@@ -133,6 +150,18 @@ def test_engine_union_by_name_matches_duckdb(engine):
         assert r.columns == cols, q
         assert got == want, q
     con.close()
+
+
+def test_mixed_setops_star_except(engine):
+    """Spark-spelled `* EXCEPT (col)` must not be split as a set-op EXCEPT
+    when a UNION BY NAME elsewhere routes the statement through
+    run_union_by_name."""
+    r = engine.run(
+        "SELECT * EXCEPT (b) FROM (SELECT 1 AS a, 2 AS b) "
+        "UNION BY NAME SELECT 9 AS a"
+    )
+    assert r.columns == ["a"]
+    assert sorted(row[0] for row in r.rows) == ["1", "9"]
 
 
 def test_engine_union_by_name_over_files(engine):
