@@ -54,3 +54,24 @@ def test_oracle_sql_is_subset_of_queries_with_same_names():
     # a generated pure-SQL XXH64 oracle in round 5 — unverifiable set is
     # empty and must stay empty)
     assert qs == oracles, f"entries without an oracle: {qs - oracles}"
+
+
+def test_rotation_is_staleness_ordered():
+    """VERDICT r7 #2/#8: the computed portion of the presentation order
+    must be oldest-driver-green first, with never-green ops at the very
+    front — so the ~50-slot sample window always re-witnesses the stalest
+    operators (or first-witnesses brand-new ones)."""
+    latest = entry._latest_green_rounds()
+    order = list(entry._ordered(CATALOG))
+    manual = set(entry._DRIVER_PRIORITY) | set(entry._DRIVER_LAST)
+    computed = [n for n in order if n not in manual]
+    keys = [latest.get(n, 0) for n in computed]
+    assert keys == sorted(keys), "rotation not oldest-green-first"
+
+
+def test_latest_green_rounds_reads_committed_files():
+    latest = entry._latest_green_rounds()
+    # every round-7 sampled green op must be present at round >= 7
+    assert latest.get("agg_weighted_median", 0) >= 7
+    # r1-only ops must carry their r1 stamp, not be dropped
+    assert latest.get("q1_pricing_summary") >= 1
