@@ -1070,14 +1070,16 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("nprobe", "qid", "neighbor_id")
     )
-    hits = approx.join(truth, ["qid", "neighbor_id"]).groupBy("nprobe").agg(
-        F.count("*").alias("n_hits")
-    )
+    # truth/hits/scanned are all query-slice-bounded (≤ queries×5×nprobe
+    # rows) — broadcast them so no SortMergeJoin survives (VERDICT r7 #6)
+    hits = approx.join(F.broadcast(truth), ["qid", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").alias("n_hits"))
     scanned = cand.groupBy("nprobe").agg(F.count("*").alias("n_scanned"))
     corpus_n = emb.agg(F.count("*").cast("bigint").alias("corpus_n"))
     return (
-        sweep.join(hits, "nprobe", "left")
-        .join(scanned, "nprobe")
+        sweep.join(F.broadcast(hits), "nprobe", "left")
+        .join(F.broadcast(scanned), "nprobe")
         .crossJoin(F.broadcast(corpus_n))
         .select(
             "nprobe",
