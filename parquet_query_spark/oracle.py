@@ -28,7 +28,11 @@ def duckdb_connection(sf_dir: str):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):  # multi-file table (streaming split fixtures)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 

@@ -162,13 +162,18 @@ _EWMA_OUT_SCHEMA = T.StructType(
         T.StructField("hour_ts", T.TimestampType()),
         T.StructField("cents", T.LongType()),
         T.StructField("ewma_micro", T.LongType()),
+        # per-key emission counter: a bar split across micro-batches is
+        # RE-emitted with its merged totals, and the reader keeps the
+        # highest-seq row per (key, hour) — last-write-wins
+        T.StructField("seq", T.LongType()),
     ]
 )
-# Ring buffer of the last 16 observed hourly bars per key.
+# Ring buffer of the last 16 observed hourly bars per key + emission seq.
 _EWMA_STATE_SCHEMA = T.StructType(
     [
         T.StructField("hours_us", T.ArrayType(T.LongType())),
         T.StructField("cents", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.LongType()),
     ]
 )
 
@@ -178,15 +183,22 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
     bars, then emit each bar's 16-tap alpha=1/2 EWMA continuing from the
     ring of previously-observed bars.  All arithmetic is the exact integer
     form of the batch operator (cents = half-away-round(value*100) summed
-    as int64; weights 2^15..2^0; floor division into micro-units), so the
-    single-batch drain reproduces the batch oracle bit-for-bit and a live
-    run computes the same bars incrementally in O(16) state per key."""
+    as int64; weights 2^15..2^0; floor division into micro-units), so a
+    drain of the static file reproduces the batch oracle bit-for-bit and a
+    live run computes the same bars incrementally in O(16) state per key.
+
+    Cross-batch correctness (multi-batch r8 fix): an hour whose events
+    span a micro-batch boundary is MERGED into its existing ring slot
+    (not appended as a duplicate bar), and the bar — plus any bars after
+    it — is re-emitted with recomputed EWMA; the monotone ``seq`` lets
+    the reader keep only the final emission per bar."""
     import numpy as np
     import pandas as pd
 
-    hours_us, ring = ([], []) if not state.exists else (
+    hours_us, ring, seq = ([], [], 0) if not state.exists else (
         list(state.get[0]),
         list(state.get[1]),
+        int(state.get[2]),
     )
     per_hour: dict[int, int] = {}
     for pdf in pdf_iter:
@@ -198,27 +210,44 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
         cents = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
         for h, c in zip(hour_us, cents):
             per_hour[int(h)] = per_hour.get(int(h), 0) + int(c)
-    out_rows = []
-    for h in sorted(per_hour):
-        hours_us.append(h)
-        ring.append(per_hour[h])
-        if len(ring) > _EWMA_TAPS:
-            hours_us = hours_us[-_EWMA_TAPS:]
-            ring = ring[-_EWMA_TAPS:]
+
+    def ewma_at(j: int) -> int:
+        window = ring[max(0, j - _EWMA_TAPS + 1) : j + 1]
         num = 0
         den = 0
-        for i, c in enumerate(reversed(ring[-_EWMA_TAPS:])):
+        for i, c in enumerate(reversed(window)):
             w = 1 << (_EWMA_TAPS - 1 - i)
             num += c * w
             den += w
-        out_rows.append((h, per_hour[h], num * 1_000_000 // den))
-    state.update((hours_us, ring))
+        return num * 1_000_000 // den
+
+    out_rows = []
+    for h in sorted(per_hour):
+        if h in hours_us:  # boundary-split hour: merge, don't duplicate
+            idx = hours_us.index(h)
+            ring[idx] += per_hour[h]
+            # this bar's total changed, so its EWMA — and every later
+            # bar's — must be re-emitted with the merged values
+            for j in range(idx, len(ring)):
+                seq += 1
+                out_rows.append((hours_us[j], ring[j], ewma_at(j), seq))
+        else:
+            hours_us.append(h)
+            ring.append(per_hour[h])
+            if len(ring) > _EWMA_TAPS:
+                hours_us = hours_us[-_EWMA_TAPS:]
+                ring = ring[-_EWMA_TAPS:]
+            seq += 1
+            j = len(ring) - 1
+            out_rows.append((hours_us[j], ring[j], ewma_at(j), seq))
+    state.update((hours_us, ring, seq))
     yield pd.DataFrame(
         {
             "event_type": [key[0]] * len(out_rows),
             "hour_ts": pd.to_datetime([r[0] * 1000 for r in out_rows], utc=True).tz_localize(None),
             "cents": [r[1] for r in out_rows],
             "ewma_micro": [r[2] for r in out_rows],
+            "seq": [r[3] for r in out_rows],
         }
     )
 
@@ -253,7 +282,18 @@ def streaming_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _run_to_table(bars, "ewma", mode="update")
-    return spark.table(name).orderBy("event_type", "hour_ts")
+    # last emission per bar wins: a boundary-split hour is re-emitted with
+    # merged totals under a higher per-key seq (multi-batch r8 fix)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type", "hour_ts").orderBy(F.desc("seq"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "hour_ts", "cents", "ewma_micro")
+        .orderBy("event_type", "hour_ts")
+    )
 
 
 def _attach_ewma_oracle() -> None:
@@ -359,7 +399,18 @@ def streaming_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _run_to_table(flags, "cadence", mode="update")
-    return spark.table(name).orderBy("user_id")
+    # update mode emits once per key per micro-batch; n_gaps is monotone,
+    # so the max-n_gaps row per user is the final state (multi-batch r8)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_gaps"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_gaps", "mean_gap_s", "metronomic")
+        .orderBy("user_id")
+    )
 
 
 def _attach_cadence_oracle() -> None:

@@ -24,15 +24,39 @@ from parquet_query_spark.operators.catalog import query
 from parquet_query_spark.sources.registry import load_table
 
 
+# Extra options applied to every streaming file source — tests set
+# {"maxFilesPerTrigger": "1"} (with a multi-file table dir) to force the
+# stream across micro-batch boundaries, exercising cross-batch state
+# (VERDICT r7 Next-round #3).  Empty in production: the per-round driver
+# drains each static file in however many batches the source picks.
+_STREAM_READ_OPTIONS: dict[str, str] = {}
+
+# Number of non-empty micro-batches the most recent _run_to_table drive
+# processed — lets tests assert state actually crossed a batch boundary.
+LAST_NUM_BATCHES: int = 0
+
+
+def _file_stream(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
+    """``{sf_dir}/{filename}`` as a file-source stream.  The path may be a
+    single parquet file (normal testdata layout) or a DIRECTORY of part
+    files — with ``maxFilesPerTrigger=1`` the parts arrive one micro-batch
+    at a time in modification-time order, which is how the multi-batch
+    tests drive order-sensitive state across batch boundaries."""
+    import os
+
+    path = f"{sf_dir}/{filename}"
+    batch = spark.read.parquet(path)  # schema only
+    reader = spark.readStream.schema(batch.schema).format("parquet")
+    for k, val in _STREAM_READ_OPTIONS.items():
+        reader = reader.option(k, val)
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", filename).load(sf_dir)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream, nanos repaired inside the stream plan."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")  # schema only
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .load(sf_dir)
-    )
+    stream = _file_stream(spark, sf_dir, "events.parquet")
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -61,6 +85,14 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
         .start()
     )
     q.processAllAvailable()
+    def _rows(p):  # dict in some PySpark versions, object in others
+        try:
+            return p["numInputRows"]
+        except TypeError:
+            return getattr(p, "numInputRows", 0)
+
+    global LAST_NUM_BATCHES
+    LAST_NUM_BATCHES = sum(1 for p in q.recentProgress if _rows(p) > 0)
     q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     return name
@@ -286,13 +318,7 @@ def streaming_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     an event-time column you'd add ``withWatermark`` so seen-key state
     ages out; the documents table has no timestamps, so state here is the
     full key set (bounded by corpus cardinality)."""
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")  # schema only
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream = _file_stream(spark, sf_dir, "documents.parquet")
     deduped = stream.select(F.md5("text").alias("text_hash")).dropDuplicates(
         ["text_hash"]
     )
@@ -406,18 +432,13 @@ def streaming_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
     admit/reject rollup here is the monitoring view a gate would emit."""
     from parquet_query_spark.operators.dedup import _with_shingles
 
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")  # schema only
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = (
         _with_shingles(batch.where(F.col("doc_id") < 20))
         .select(F.explode("shingles").alias("shingle"))
         .agg(F.collect_set("shingle").alias("bench_shingles"))
     )
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream = _file_stream(spark, sf_dir, "documents.parquet")
     shingle_expr = F.expr(
         """
         array_distinct(
