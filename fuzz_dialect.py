@@ -1,0 +1,475 @@
+#!/usr/bin/env python3
+"""Grammar-level differential SQL fuzzer vs DuckDB (VERDICT r7 #1).
+
+Random typed expression trees (num/str/bool/timestamp; nested scalar
+functions, CASE/CAST, three-valued logic, LIKE/IN/BETWEEN, aggregates
+with FILTER, GROUP BY, WHERE, subqueries) are rendered into whole
+queries over the sf0.001 testdata tables and executed through BOTH
+``Engine.run``'s full dialect pipeline AND DuckDB on identical text.
+Results compare cell-by-cell (exact for ints/strings/bools, 1e-9
+relative tolerance for floats — wide enough to absorb last-ulp noise,
+narrow enough that a rounding-mode or precedence bug still trips).
+
+Divergence classes:
+  value_mismatch    both engines answered, different values  → FATAL
+  spark_error_only  DuckDB answers, the engine raises        → FATAL
+  duckdb_error_only engine answers, DuckDB raises (leniency) → info
+  both_error        both raise (e.g. division by zero)       → agree
+
+Failing seeds auto-minimize: first to the smallest failing column
+subset, then greedily replacing the failing expression with its
+same-typed descendants until no smaller subtree still diverges.
+
+Usage:
+    python fuzz_dialect.py --seeds 1000           # seeds 0..999
+    python fuzz_dialect.py --seeds 200 --start 1000
+    python fuzz_dialect.py --one 1234             # replay one seed verbosely
+
+Writes a summary to FUZZ_LOG.md (append) with every divergence's
+minimized reproduction; fixed ones get pinned in tests/test_dialect.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import math
+import random
+import sys
+from decimal import Decimal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# ── typed expression tree ────────────────────────────────────────────────
+
+
+class E:
+    __slots__ = ("sql", "typ", "kids")
+
+    def __init__(self, sql: str, typ: str, kids=()):
+        self.sql = sql
+        self.typ = typ
+        self.kids = tuple(kids)
+
+    def __repr__(self):
+        return f"E({self.sql!r})"
+
+
+# (name, type) per table actually used by the generator
+TABLES = {
+    "nation_parquet": {
+        "num": ["n_nationkey", "n_regionkey"],
+        "str": ["n_name", "n_comment"],
+        "key": "n_nationkey",
+    },
+    "supplier_parquet": {
+        "num": ["s_suppkey", "s_nationkey", "s_acctbal"],
+        "str": ["s_name"],
+        "key": "s_suppkey",
+    },
+    "orders_parquet": {
+        "num": ["o_orderkey", "o_custkey", "o_totalprice", "o_shippriority"],
+        "str": ["o_orderstatus", "o_orderpriority", "o_clerk"],
+        "ts": ["o_orderdate"],
+        "key": "o_orderkey",
+        "filter": "o_orderkey <= 800",
+    },
+}
+
+NUM_LITS = ["0", "1", "2", "3", "7", "10", "100", "-4", "-1", "2.5", "0.25", "-1.5", "9.99"]
+STR_LITS = ["'abc'", "''", "'Hello World'", "'a''b'", "'xy'", "'BUILDING'"]
+LIKE_PATS = ["'%a%'", "'A%'", "'%e'", "'_b%'", "'%or%'"]
+
+
+class Gen:
+    def __init__(self, rng: random.Random, cols: dict):
+        self.rng = rng
+        self.cols = cols
+
+    def pick(self, xs):
+        return self.rng.choice(xs)
+
+    # ── num ──
+    def num(self, d: int) -> E:
+        r = self.rng
+        if d <= 0 or r.random() < 0.25:
+            if self.cols.get("num") and r.random() < 0.55:
+                return E(self.pick(self.cols["num"]), "num")
+            if r.random() < 0.06:
+                return E("CAST(NULL AS INTEGER)", "num")
+            return E(self.pick(NUM_LITS), "num")
+        choice = r.randrange(12)
+        if choice < 4:
+            a, b = self.num(d - 1), self.num(d - 1)
+            op = self.pick(["+", "-", "*", "/", "%", "//"])
+            return E(f"({a.sql} {op} {b.sql})", "num", (a, b))
+        if choice == 4:
+            a = self.num(d - 1)
+            fn = self.pick(["abs", "floor", "ceil", "sign", "round"])
+            return E(f"{fn}({a.sql})", "num", (a,))
+        if choice == 5:
+            a = self.num(d - 1)
+            nd = r.randrange(1, 3)
+            return E(f"round({a.sql}, {nd})", "num", (a,))
+        if choice == 6:
+            a, b = self.num(d - 1), self.num(d - 1)
+            fn = self.pick(["greatest", "least", "nullif", "coalesce"])
+            return E(f"{fn}({a.sql}, {b.sql})", "num", (a, b))
+        if choice == 7:
+            s = self.s(d - 1)
+            return E(f"length({s.sql})", "num", (s,))
+        if choice == 8:
+            b, a, c = self.b(d - 1), self.num(d - 1), self.num(d - 1)
+            return E(
+                f"(CASE WHEN {b.sql} THEN {a.sql} ELSE {c.sql} END)",
+                "num",
+                (b, a, c),
+            )
+        if choice == 9:
+            a = self.num(d - 1)
+            fn = self.pick(["sqrt", "ln"])
+            return E(f"{fn}(abs({a.sql}) + 1)", "num", (a,))
+        if choice == 10 and self.cols.get("ts"):
+            t = self.ts(d - 1)
+            fn = self.pick(["year", "month", "day"])
+            return E(f"{fn}({t.sql})", "num", (t,))
+        a = self.num(d - 1)
+        return E(f"(- {a.sql})", "num", (a,))
+
+    # ── str ──
+    def s(self, d: int) -> E:
+        r = self.rng
+        if d <= 0 or r.random() < 0.3:
+            if self.cols.get("str") and r.random() < 0.55:
+                return E(self.pick(self.cols["str"]), "str")
+            if r.random() < 0.06:
+                return E("CAST(NULL AS VARCHAR)", "str")
+            return E(self.pick(STR_LITS), "str")
+        choice = r.randrange(9)
+        if choice == 0:
+            a = self.s(d - 1)
+            fn = self.pick(["lower", "upper", "trim", "reverse"])
+            return E(f"{fn}({a.sql})", "str", (a,))
+        if choice == 1:
+            a = self.s(d - 1)
+            i, n = r.randrange(1, 5), r.randrange(0, 6)
+            return E(f"substr({a.sql}, {i}, {n})", "str", (a,))
+        if choice == 2:
+            a, b = self.s(d - 1), self.s(d - 1)
+            return E(f"({a.sql} || {b.sql})", "str", (a, b))
+        if choice == 3:
+            a, b = self.s(d - 1), self.s(d - 1)
+            return E(f"concat({a.sql}, {b.sql})", "str", (a, b))
+        if choice == 4:
+            a = self.s(d - 1)
+            return E(f"replace({a.sql}, 'a', 'o')", "str", (a,))
+        if choice == 5:
+            a = self.s(d - 1)
+            k = r.randrange(1, 6)
+            fn = self.pick(["left", "right"])
+            return E(f"{fn}({a.sql}, {k})", "str", (a,))
+        if choice == 6:
+            a = self.s(d - 1)
+            k = r.randrange(1, 8)
+            fn = self.pick(["lpad", "rpad"])
+            return E(f"{fn}({a.sql}, {k}, '*')", "str", (a,))
+        if choice == 7:
+            b, a, c = self.b(d - 1), self.s(d - 1), self.s(d - 1)
+            return E(
+                f"(CASE WHEN {b.sql} THEN {a.sql} ELSE {c.sql} END)",
+                "str",
+                (b, a, c),
+            )
+        a, b = self.s(d - 1), self.s(d - 1)
+        fn = self.pick(["coalesce", "nullif"])
+        return E(f"{fn}({a.sql}, {b.sql})", "str", (a, b))
+
+    # ── bool ──
+    def b(self, d: int) -> E:
+        r = self.rng
+        if d <= 0:
+            a, b = self.num(0), self.num(0)
+            op = self.pick(["=", "<>", "<", "<=", ">", ">="])
+            return E(f"({a.sql} {op} {b.sql})", "bool", (a, b))
+        choice = r.randrange(9)
+        if choice < 2:
+            a, b = self.num(d - 1), self.num(d - 1)
+            op = self.pick(["=", "<>", "<", "<=", ">", ">="])
+            return E(f"({a.sql} {op} {b.sql})", "bool", (a, b))
+        if choice == 2:
+            a, b = self.s(d - 1), self.s(d - 1)
+            op = self.pick(["=", "<>", "<", ">"])
+            return E(f"({a.sql} {op} {b.sql})", "bool", (a, b))
+        if choice == 3:
+            a, b = self.b(d - 1), self.b(d - 1)
+            op = self.pick(["AND", "OR"])
+            return E(f"({a.sql} {op} {b.sql})", "bool", (a, b))
+        if choice == 4:
+            a = self.b(d - 1)
+            return E(f"(NOT {a.sql})", "bool", (a,))
+        if choice == 5:
+            a = self.pick([self.num(d - 1), self.s(d - 1)])
+            form = self.pick(["IS NULL", "IS NOT NULL"])
+            return E(f"({a.sql} {form})", "bool", (a,))
+        if choice == 6:
+            a = self.s(d - 1)
+            return E(f"({a.sql} LIKE {self.pick(LIKE_PATS)})", "bool", (a,))
+        if choice == 7:
+            a, lo, hi = self.num(d - 1), self.num(0), self.num(0)
+            return E(
+                f"({a.sql} BETWEEN {lo.sql} AND {hi.sql})", "bool", (a, lo, hi)
+            )
+        a = self.num(d - 1)
+        lits = ", ".join(self.pick(NUM_LITS) for _ in range(3))
+        return E(f"({a.sql} IN ({lits}))", "bool", (a,))
+
+    # ── timestamp ──
+    def ts(self, d: int) -> E:
+        r = self.rng
+        if self.cols.get("ts") and r.random() < 0.7:
+            return E(self.pick(self.cols["ts"]), "ts")
+        return E("TIMESTAMP '1995-06-17 12:30:00'", "ts")
+
+    def any_expr(self, d: int) -> E:
+        k = self.rng.randrange(4)
+        if k == 0:
+            return self.b(d)
+        if k == 1:
+            return self.s(d)
+        return self.num(d)
+
+    def agg(self, d: int) -> E:
+        r = self.rng
+        choice = r.randrange(9)
+        if choice == 0:
+            return E("count(*)", "num")
+        if choice == 1:
+            a = self.num(d)
+            return E(f"count(DISTINCT {a.sql})", "num", (a,))
+        if choice < 6:
+            a = self.num(d)
+            fn = self.pick(["sum", "avg", "min", "max", "stddev_samp", "var_samp"])
+            if r.random() < 0.3:
+                b = self.b(d - 1)
+                return E(
+                    f"{fn}({a.sql}) FILTER (WHERE {b.sql})", "num", (a, b)
+                )
+            return E(f"{fn}({a.sql})", "num", (a,))
+        if choice == 6:
+            a = self.s(d)
+            fn = self.pick(["min", "max"])
+            return E(f"{fn}({a.sql})", "num", (a,))
+        a = self.num(d)
+        return E(f"count({a.sql})", "num", (a,))
+
+
+# ── query shapes ─────────────────────────────────────────────────────────
+
+
+def gen_query(rng: random.Random):
+    """Returns (render_fn, exprs) — render_fn(subset) rebuilds the query
+    with only those select expressions, for shrinking."""
+    shape = rng.randrange(10)
+    if shape < 3:  # scalar, no FROM
+        g = Gen(rng, {})
+        exprs = [g.any_expr(rng.randrange(1, 4)) for _ in range(rng.randrange(2, 7))]
+
+        def render(es):
+            cols = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            return f"SELECT {cols}"
+
+        return render, exprs
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    g = Gen(rng, cols)
+    if shape < 7:  # row-shape over a table
+        exprs = [g.any_expr(rng.randrange(1, 4)) for _ in range(rng.randrange(2, 6))]
+        where = g.b(rng.randrange(1, 3)) if rng.random() < 0.5 else None
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            conds = [c for c in [base_filter, f"({where.sql})" if where else None] if c]
+            w = f" WHERE {' AND '.join(conds)}" if conds else ""
+            return (
+                f"SELECT {sel} FROM {table}{w} ORDER BY {cols['key']}"
+            )
+
+        return render, exprs
+    # agg-shape
+    gkey = rng.choice(cols["num"] + cols["str"])
+    exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
+    having = None
+    base_filter = cols.get("filter")
+
+    def render(es):
+        sel = ", ".join(f"{e.sql} AS a{i}" for i, e in enumerate(es))
+        w = f" WHERE {base_filter}" if base_filter else ""
+        return (
+            f"SELECT {gkey} AS k, {sel} FROM {table}{w} "
+            f"GROUP BY {gkey} ORDER BY k"
+        )
+
+    return render, exprs
+
+
+# ── execution + comparison ───────────────────────────────────────────────
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat()
+    return v
+
+
+def cells_equal(a, b) -> bool:
+    a, b = _norm(a), _norm(b)
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if isinstance(a, int) and isinstance(b, int):
+            return a == b
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        if math.isinf(fa) or math.isinf(fb):
+            return fa == fb
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+class Differ:
+    def __init__(self, engine, con):
+        self.engine = engine
+        self.con = con
+
+    def run(self, sql: str):
+        try:
+            s_rows = [tuple(r) for r in self.engine.sql(sql).collect()]
+            s_err = None
+        except Exception as ex:  # noqa: BLE001
+            s_rows, s_err = None, f"{type(ex).__name__}: {str(ex)[:200]}"
+        try:
+            d_rows = self.con.execute(sql).fetchall()
+            d_err = None
+        except Exception as ex:  # noqa: BLE001
+            d_rows, d_err = None, f"{type(ex).__name__}: {str(ex)[:200]}"
+        if s_err and d_err:
+            return ("both_error", s_err, d_err)
+        if s_err:
+            return ("spark_error_only", s_err, None)
+        if d_err:
+            return ("duckdb_error_only", None, d_err)
+        if len(s_rows) != len(d_rows):
+            return ("value_mismatch", f"rowcount {len(s_rows)} vs {len(d_rows)}", None)
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            if len(sr) != len(dr):
+                return ("value_mismatch", f"colcount row {i}", None)
+            for j, (sv, dv) in enumerate(zip(sr, dr)):
+                if not cells_equal(sv, dv):
+                    return (
+                        "value_mismatch",
+                        f"row {i} col {j}: spark={sv!r} duckdb={dv!r}",
+                        None,
+                    )
+        return ("ok", None, None)
+
+
+def descendants(e: E, typ: str):
+    out = []
+    stack = list(e.kids)
+    while stack:
+        k = stack.pop()
+        if k.typ == typ:
+            out.append(k)
+        stack.extend(k.kids)
+    return out
+
+
+def shrink(differ: Differ, render, exprs):
+    """Minimize a failing query: smallest failing column subset, then
+    greedy subtree replacement on each remaining expression."""
+    def fails(es):
+        cls, *_ = differ.run(render(es))
+        return cls in ("value_mismatch", "spark_error_only")
+
+    # per-column isolation
+    for e in exprs:
+        if fails([e]):
+            exprs = [e]
+            break
+    # greedy subtree replacement
+    changed = True
+    while changed:
+        changed = False
+        for i, e in enumerate(exprs):
+            for sub in descendants(e, e.typ):
+                trial = exprs[:i] + [sub] + exprs[i + 1 :]
+                if fails(trial):
+                    exprs = trial
+                    changed = True
+                    break
+            if changed:
+                break
+    return render(exprs), differ.run(render(exprs))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=200)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--one", type=int, default=None)
+    ap.add_argument("--no-shrink", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from parquet_query_spark.engine import Engine
+
+    engine = Engine.open(SF_DIR)
+    con = duckdb.connect()
+    for t in TABLES:
+        base = t.rsplit("_", 1)[0]
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{base}.parquet'"
+        )
+    differ = Differ(engine, con)
+
+    seeds = [args.one] if args.one is not None else range(args.start, args.start + args.seeds)
+    counts = {"ok": 0, "both_error": 0, "duckdb_error_only": 0,
+              "spark_error_only": 0, "value_mismatch": 0}
+    failures = []
+    for seed in seeds:
+        rng = random.Random(seed)
+        render, exprs = gen_query(rng)
+        sql = render(exprs)
+        cls, a, b = differ.run(sql)
+        counts[cls] += 1
+        if args.one is not None:
+            print(f"seed {seed}: {cls}\n  {sql}\n  spark: {a}\n  duckdb: {b}")
+        if cls in ("value_mismatch", "spark_error_only"):
+            if args.no_shrink:
+                mini, verdict = sql, (cls, a, b)
+            else:
+                mini, verdict = shrink(differ, render, exprs)
+            failures.append((seed, verdict[0], mini, verdict[1], verdict[2]))
+            print(f"[seed {seed}] {verdict[0]}: {mini}\n    detail: {verdict[1] or verdict[2]}")
+        elif cls == "duckdb_error_only" and args.one is None:
+            pass  # leniency, not a bug; tallied in counts
+        if args.one is None and (seed - args.start + 1) % 100 == 0:
+            print(f"... {seed - args.start + 1} seeds: {counts}")
+    print(f"DONE {counts}")
+    for seed, cls, mini, a, b in failures:
+        print(f"FAIL seed={seed} class={cls}\n  {mini}\n  {a or b}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

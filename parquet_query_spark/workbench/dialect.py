@@ -3092,6 +3092,296 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     return sql
 
 
+_WINDOWISH = ("over", "filter")
+_CLAUSE_KEYWORDS = frozenset(
+    "from where group order having limit offset union intersect except "
+    "join on as and or when then else end window qualify using select "
+    "by asc desc nulls".split()
+)
+
+
+def _full_left_operand(sql: str, mask: list[bool], pos: int) -> int | None:
+    """``_left_operand_start`` plus absorption of trailing aggregate
+    clause chains: in ``count(*) FILTER (WHERE b) / 2`` the left operand
+    of ``/`` is the whole aggregate, but the tight capture stops at the
+    ``FILTER (...)`` group (reading FILTER as a call name).  Walk back
+    across OVER/FILTER links to the underlying call; bail (None) when
+    the context is ambiguous rather than risk mis-capture."""
+    start = _left_operand_start(sql, mask, pos)
+    if start is None:
+        return None
+    while True:
+        if re.match(r"(?:over|filter)\b", sql[start:], re.IGNORECASE):
+            prev = _left_operand_start(sql, mask, start)
+            if prev is None:
+                return None
+            start = prev
+            continue
+        j = start - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_$"):
+            k -= 1
+        if j >= 0 and sql[k + 1 : j + 1].lower() in _WINDOWISH:
+            prev = _left_operand_start(sql, mask, k + 1)
+            if prev is None:
+                return None
+            start = prev
+            continue
+        return start
+
+
+def _full_right_operand(sql: str, mask: list[bool], pos: int) -> int | None:
+    """``_right_operand_end`` plus absorption of a following
+    ``OVER (...)`` / ``OVER w`` / ``FILTER (...)`` clause, so
+    ``x / count(*) OVER ()`` captures the whole window expression."""
+    rend = _right_operand_end(sql, mask, pos)
+    if rend is None:
+        return None
+    n = len(sql)
+    while True:
+        j = rend + 1
+        while j < n and sql[j].isspace():
+            j += 1
+        m = re.match(r"(over|filter)\b", sql[j:], re.IGNORECASE)
+        if not m:
+            return rend
+        j2 = j + m.end()
+        while j2 < n and sql[j2].isspace():
+            j2 += 1
+        if j2 < n and sql[j2] == "(":
+            depth = 0
+            k = j2
+            while k < n:
+                if mask[k] and sql[k] == "(":
+                    depth += 1
+                elif mask[k] and sql[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= n:
+                return None
+            rend = k
+        elif (
+            m.group(1).lower() == "over"
+            and j2 < n
+            and (sql[j2].isalpha() or sql[j2] == "_")
+        ):
+            k = j2
+            while k < n and (sql[k].isalnum() or sql[k] in "_$"):
+                k += 1
+            if sql[j2:k].lower() in _CLAUSE_KEYWORDS:
+                return rend  # 'over' was an identifier, not a window link
+            rend = k - 1
+        else:
+            return rend
+
+
+_CONCAT_CALL = re.compile(r"(?<![\w$])concat\s*\(", re.IGNORECASE)
+
+
+def _rewrite_concat_skip_nulls(sql: str) -> str:
+    """DuckDB ``concat`` SKIPS NULL arguments (probed: ``concat('a',
+    NULL)`` → 'a', ``concat(NULL, NULL)`` → '') and stringifies every
+    argument, while Spark's ``concat`` propagates NULL — a silent wrong
+    answer on any nullable column.  ``concat_ws('', ...)`` has DuckDB's
+    exact skip-NULL semantics, so the call is renamed with an injected
+    empty separator.  (``||`` is NULL-propagating in both engines and is
+    left alone; DuckDB's list-argument stringification is a documented
+    residual — Spark joins array elements instead.)"""
+    out = sql
+    while True:
+        mask = _code_mask(out)
+        m = next(
+            (
+                c
+                for c in _CONCAT_CALL.finditer(out)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return out
+        out = out[: m.start()] + "concat_ws('', " + out[m.end() :]
+
+
+_DIVMOD_OP = re.compile(r"(?<![\w$])div(?![\w$])|/|%", re.IGNORECASE)
+
+
+def _rewrite_divmod_null(sql: str) -> str:
+    """DuckDB returns NULL for division/modulo by zero (probed: ``5/0``,
+    ``5 % 0``, ``5 // 0``, ``5.0 % 0`` → all NULL) while Spark under ANSI
+    raises — so a DuckDB user's ``sum(x)/count(y)`` crashes the whole
+    query here on an empty denominator.  Rewrite ``/`` → ``try_divide``,
+    ``%`` → ``try_mod``, and the ``div`` emitted by the ``//`` pass →
+    a zero-guarded CASE, capturing the full left-hand multiplicative
+    chain so grouping — and therefore decimal scale and float rounding —
+    is preserved exactly: ``a * b / c`` becomes ``try_divide(a * b, c)``,
+    not ``a * try_divide(b, c)``.
+
+    ``//`` is type-polymorphic in DuckDB AT THE STATIC-TYPE LEVEL
+    (probed: ``7 // 2`` → INTEGER 3 truncated, but ``7.5 // 2`` → DOUBLE
+    3.75 and ``9.99 // 2.5`` → 3.996, i.e. PLAIN division whenever an
+    operand is non-integral).  The emitted CASE dispatches on Spark's
+    ``typeof`` (also static per column), truncating for integral
+    operands and dividing plainly otherwise; both branches surface as
+    DOUBLE, which the JS-parity cell formatter renders identically to
+    DuckDB's INTEGER for whole values.  Residuals (documented): integer
+    ``//`` results beyond 2^53 round through the double path, and a
+    nested ``a // b // c`` chain's intermediate loses its integer static
+    type (the outer ``//`` then divides plainly).
+
+    Runs OUTERMOST (after USING SAMPLE/QUALIFY/function renames) so
+    ``10%`` percent spellings and macro expansions are already resolved.
+    Leftmost-first with restart (like the ``^`` pass): every replacement
+    removes exactly one ``/``/``%``/``div`` token and emits none, so the
+    loop terminates with every occurrence — including ones nested inside
+    captured operands — processed.  On an ambiguous capture the operator
+    is skipped (Spark's ANSI error then surfaces — never a silent
+    mis-capture)."""
+    if "/" not in sql and "%" not in sql and not re.search(_DIVMOD_OP, sql):
+        return sql
+    skipped: set[tuple[int, str]] = set()
+    guard = 0
+    while guard < 500:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _DIVMOD_OP.finditer(sql)
+                if all(mask[i] for i in range(c.start(), c.end()))
+                and (c.start(), c.group(0)) not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls = _full_left_operand(sql, mask, m.start())
+        rend = _full_right_operand(sql, mask, m.end())
+        if ls is None or rend is None:
+            # can't capture safely — leave this occurrence untouched
+            skipped.add((m.start(), m.group(0)))
+            continue
+        op = m.group(0).lower()
+        if op in ("/", "%"):
+            # absorb the left multiplicative chain as TEXT: '*' and 'div'
+            # bind at the same level, so (a * b) / c captures 'a * b'
+            while True:
+                j = ls - 1
+                while j >= 0 and sql[j].isspace():
+                    j -= 1
+                if j >= 0 and sql[j] == "*" and mask[j]:
+                    prev = _full_left_operand(sql, mask, j)
+                    if prev is None:
+                        break
+                    ls = prev
+                elif (
+                    j >= 2
+                    and mask[j]
+                    and sql[j - 2 : j + 1].lower() == "div"
+                    and (j - 3 < 0 or not (sql[j - 3].isalnum() or sql[j - 3] in "_$"))
+                ):
+                    prev = _full_left_operand(sql, mask, j - 2)
+                    if prev is None:
+                        break
+                    ls = prev
+                else:
+                    break
+            left = sql[ls : m.start()].strip()
+            right = sql[m.end() : rend + 1].strip()
+            if op == "/":
+                # DuckDB '/' ALWAYS divides as DOUBLE (probed:
+                # typeof(1.5/2.5) = DOUBLE) where Spark keeps decimal
+                # division — -2/3 at decimal scale 6 (-0.666667) vs the
+                # double -0.666... is a visible value divergence.  The
+                # dividend cast forces the double path BEFORE dividing
+                # (an outer cast would keep decimal's truncated scale).
+                # '%' keeps its operand types in both engines.  (Interval
+                # division is a documented residual — the cast rejects it.)
+                rep = f"try_divide(CAST({left} AS DOUBLE), {right})"
+            else:
+                rep = f"try_mod({left}, {right})"
+            sql = sql[:ls] + rep + sql[rend + 1 :]
+            continue
+        # '//'-emitted div: DuckDB truncates ONLY while EVERY leaf of the
+        # multiplicative chain so far is integral (7//2 → 3 but 7.5//2 →
+        # 3.75 and 1//1//2 → 0, probed).  Collect the whole */div chain
+        # around this div as LEAVES, then fold left with a per-div-stage
+        # CASE whose condition is prefix-leaf integrality — one atomic
+        # replacement per chain, so intermediate double typing can't
+        # poison later stages.
+        leaves = [(sql[ls : m.start()].strip(), None)]
+        leaves.append((sql[m.end() : rend + 1].strip(), "div"))
+        chain_start, chain_end = ls, rend
+        # absorb leftward
+        while True:
+            j = chain_start - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j >= 0 and sql[j] == "*" and mask[j]:
+                prev = _full_left_operand(sql, mask, j)
+                if prev is None:
+                    break
+                leaves.insert(1, (leaves[0][0], "*"))
+                leaves[0] = (sql[prev:j].strip(), None)
+                chain_start = prev
+            elif (
+                j >= 2
+                and mask[j]
+                and sql[j - 2 : j + 1].lower() == "div"
+                and (j - 3 < 0 or not (sql[j - 3].isalnum() or sql[j - 3] in "_$"))
+            ):
+                prev = _full_left_operand(sql, mask, j - 2)
+                if prev is None:
+                    break
+                leaves.insert(1, (leaves[0][0], "div"))
+                leaves[0] = (sql[prev : j - 2].strip(), None)
+                chain_start = prev
+            else:
+                break
+        # absorb rightward
+        n = len(sql)
+        while True:
+            j = chain_end + 1
+            while j < n and sql[j].isspace():
+                j += 1
+            nxt = None
+            if j < n and sql[j] == "*" and mask[j]:
+                nxt = ("*", j + 1)
+            else:
+                dm = re.match(r"div(?![\w$])", sql[j:], re.IGNORECASE)
+                if dm and all(mask[i] for i in range(j, j + 3)):
+                    nxt = ("div", j + 3)
+            if nxt is None:
+                break
+            r2 = _full_right_operand(sql, mask, nxt[1])
+            if r2 is None:
+                break
+            leaves.append((sql[nxt[1] : r2 + 1].strip(), nxt[0]))
+            chain_end = r2
+        ints = "('tinyint','smallint','int','bigint')"
+        texts = [t for t, _ in leaves]
+        x = texts[0]
+        for k in range(1, len(leaves)):
+            leaf, kind = leaves[k]
+            if kind == "*":
+                x = f"({x} * {leaf})"
+            else:
+                cond = " AND ".join(
+                    f"typeof({t}) IN {ints}" for t in texts[: k + 1]
+                )
+                x = (
+                    f"(CASE WHEN {cond} "
+                    f"THEN CAST(CAST(try_divide({x}, {leaf}) AS BIGINT) AS DOUBLE) "
+                    f"ELSE try_divide(CAST({x} AS DOUBLE), {leaf}) END)"
+                )
+        sql = sql[:chain_start] + x + sql[chain_end + 1 :]
+    return sql
+
+
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_order_by_nulls(
         _rewrite_series_tvf(
@@ -3112,7 +3402,7 @@ def _rewrite_ops_pack(sql: str) -> str:
 
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    return _rewrite_qualify(
+    return _rewrite_divmod_null(_rewrite_concat_skip_nulls(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
                 _rewrite_exclude(
@@ -3152,7 +3442,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                 )
             )
         )
-    )
+    )))
 
 
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
@@ -3199,6 +3489,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
             )
         )
     )
+    alt = _rewrite_divmod_null(_rewrite_concat_skip_nulls(alt))
     primary = rewrite_duckdb_dialect(sql)
     out = [alt] if alt != primary else []
     # DuckDB ``len`` is polymorphic (strings AND lists); Spark's ``len``

@@ -1030,7 +1030,7 @@ def test_similar_to_anchored():
 
 def test_similar_to_concat_chain_binds_tighter():
     out = rewrite_duckdb_dialect("SELECT y SIMILAR TO pre || '$' FROM t")
-    assert out == "SELECT (rlike(y, concat('^(?:', pre || '$', ')$'))) FROM t"
+    assert out == "SELECT (rlike(y, concat_ws('', '^(?:', pre || '$', ')$'))) FROM t"
 
 
 def test_dollar_quoted_strings():
