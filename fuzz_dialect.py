@@ -59,7 +59,7 @@ class E:
 TABLES = {
     "nation_parquet": {
         "num": ["n_nationkey", "n_regionkey"],
-        "str": ["n_name", "n_comment"],
+        "str": ["n_name"],
         "key": "n_nationkey",
     },
     "supplier_parquet": {
@@ -68,8 +68,8 @@ TABLES = {
         "key": "s_suppkey",
     },
     "orders_parquet": {
-        "num": ["o_orderkey", "o_custkey", "o_totalprice", "o_shippriority"],
-        "str": ["o_orderstatus", "o_orderpriority", "o_clerk"],
+        "num": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
         "ts": ["o_orderdate"],
         "key": "o_orderkey",
         "filter": "o_orderkey <= 800",

@@ -65,8 +65,24 @@ def main() -> None:
     ap.add_argument("--tier", help="run every op carrying this tag")
     ap.add_argument("--factors", default="1,8,64")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the warm pass; min over --repeat runs")
+    ap.add_argument(
+        "--heavy", action="store_true",
+        help="preset for the heavy dedup tier (VERDICT r7 #4): the three "
+        "5-10 min queries at 64x only, no warm pass, min of 2 runs",
+    )
     ap.add_argument("--out", default="growth_log.jsonl")
     args = ap.parse_args()
+    if args.heavy:
+        args.ops = args.ops or [
+            "dedup_simhash_buckets",
+            "dedup_minhash_candidate_pairs",
+            "dedup_cluster_pipeline",
+        ]
+        args.factors = "64"
+        args.no_warm = True
+        args.repeat = 2
 
     from parquet_query_spark.operators.catalog import load_all
     from parquet_query_spark.session import get_spark
@@ -99,7 +115,8 @@ def main() -> None:
                 # exist to measure.  Rebuild the DataFrame fresh per run:
                 # re-collecting one DF reuses restage-shuffle outputs
                 # (skipped stages) and hides most of the cost.
-                spec.fn(spark, sf).collect()  # warm (plan + JIT + page cache)
+                if not args.no_warm:
+                    spec.fn(spark, sf).collect()  # warm (plan + JIT + page cache)
                 best = math.inf
                 for _ in range(args.repeat):
                     t0 = time.time()
@@ -111,8 +128,8 @@ def main() -> None:
                 "op": name,
                 "sec": {str(f): round(s, 2) for f, s in points},
                 "rows": {str(f): rows[f] for f in factors},
-                "slope": round(slope, 2),
-                "class": adjudicate(slope),
+                "slope": round(slope, 2) if len(points) > 1 else None,
+                "class": adjudicate(slope) if len(points) > 1 else "single-point",
             }
             log.write(json.dumps(rec) + "\n")
             log.flush()

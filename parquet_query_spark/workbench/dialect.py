@@ -85,11 +85,45 @@ Every rewrite is lexer-aware (single/double/backtick quotes, ``--`` and
 identifiers, or comments are never touched, mirroring how
 ``statements.rewrite_path_tables`` treats path literals.
 
+- Division/NULL pack (r8, probed): ``/`` → ``try_divide`` with the
+  dividend cast to DOUBLE (DuckDB always divides as DOUBLE and returns
+  NULL on zero), ``%`` → ``try_mod``, ``//`` chains → atomic per-stage
+  ``typeof`` dispatch (truncate only while every chain leaf is integral,
+  plain division otherwise — DuckDB's static-type polymorphism);
+  ``concat`` → ``concat_ws('', ...)`` (DuckDB concat SKIPS NULLs).
+
 Scope notes: one top-level QUALIFY per statement (QUALIFY inside a
 subquery/CTE body is at paren depth > 0 and handled when that text is a
 statement of its own — which is how the workbench runs nested text);
 unknown ``%`` codes in strftime raise a clear error instead of silently
 producing a wrong Java pattern.
+
+KNOWN INTENTIONAL DIFFERENCES (each pinned in
+``tests/test_dialect_residuals.py`` so a change in behavior surfaces;
+this list is the triage ground truth for fuzz_dialect.py divergences):
+
+1. ``ORDER BY ALL`` keeps Spark's default null ordering (NULLS FIRST
+   asc) — Spark rejects ``ALL NULLS LAST`` and expanding ALL needs the
+   schema, which the text shim doesn't have.
+2. Integer ``//`` results beyond 2^53 round through the double path
+   (the zero-guard routes integer division via ``try_divide``).
+3. A ``//`` whose integral static type crosses a subquery/alias
+   boundary is seen as DOUBLE by the outer ``//`` and divides plainly;
+   only same-expression chains dispatch atomically.
+4. ``INTERVAL / n`` is rejected (the DOUBLE dividend cast fails
+   analysis) where DuckDB scales the interval — error over silently
+   NULL rows.
+5. ``concat`` with LIST arguments joins elements (Spark ``concat_ws``)
+   where DuckDB stringifies the list (``'[1, 2]'``).
+6. ``SUM`` over BIGINT that overflows int64 raises (ANSI) where DuckDB
+   promotes to HUGEINT.
+7. ROWS-unit ``USING SAMPLE`` draws from a different RNG stream than
+   DuckDB's reservoir (row count honored, membership differs; seeded
+   ``REPEATABLE`` cannot match cross-engine); an aliased table ref
+   defeats the positional wrap and surfaces Spark's parse error rather
+   than silently sampling a prefix.
+8. Unsupported ``ASOF JOIN`` shapes raise ``AsofRewriteError`` rather
+   than risk wrong results.
 """
 
 from __future__ import annotations
@@ -2172,9 +2206,10 @@ def _rewrite_using_sample(sql: str) -> str:
 #     single-quoted literals (rewritten FIRST, before any mask-based pass,
 #     because the shared lexer doesn't know $-quoting).
 #   - ``1_000_000`` digit-group underscores → stripped (Spark rejects).
-#   - ``a // b`` → ``a div b`` (DuckDB truncates toward zero on integers,
-#     exactly Spark's ``div``: -7//2 = -3 both sides.  DuckDB's
-#     plain-division reading for DOUBLE operands is out of scope.)
+#   - ``a // b`` → ``a div b`` here; the outermost division pass then
+#     turns every ``div`` chain into the zero-guarded typeof-dispatched
+#     form (truncate for integral leaves, plain division otherwise —
+#     DuckDB's actual polymorphism, probed: 7.5 // 2 = 3.75).
 #   - ``a ^ b`` / ``a ** b`` → ``power(a, b)``.  In Spark ``^`` is bitwise
 #     XOR — ``2 ^ 3`` = 1 vs DuckDB's 8.0, a silent wrong answer for a
 #     DuckDB-habituated user.  DuckDB semantics pinned empirically:
@@ -3209,6 +3244,76 @@ def _rewrite_concat_skip_nulls(sql: str) -> str:
 
 _DIVMOD_OP = re.compile(r"(?<![\w$])div(?![\w$])|/|%", re.IGNORECASE)
 
+_INTS_LIST = "('tinyint','smallint','int','bigint')"
+
+
+def _leaf_int_cond(text: str) -> str:
+    """SQL condition for 'this // chain leaf is integral' — plain Spark
+    typeof; the ducktype-numerics pass below has already aligned the
+    functions whose static type disagrees between engines."""
+    return f"typeof({text}) IN {_INTS_LIST}"
+
+
+# Functions whose DuckDB static type disagrees with Spark's (probed):
+# round/ceil/ceiling/floor return DOUBLE (DECIMAL for decimal input) in
+# DuckDB, never integral, while Spark keeps int/bigint; sign returns
+# TINYINT in DuckDB (integral even for sign(1.5)) while Spark returns
+# DOUBLE.  The `//` typeof dispatch — and anything else type-sensitive —
+# must see DuckDB's typing, so each call is wrapped in a value-preserving
+# CAST.  The cast is OUTSIDE the call: round/ceil/floor on decimals stay
+# exact (half-up at decimal precision) and only the representation
+# converts, so trap-14 binary-rounding divergences can't be introduced.
+_DUCKTYPE_FN = re.compile(
+    r"(?<![\w$.])(?P<fn>round|ceil|ceiling|floor|sign)\s*\(", re.IGNORECASE
+)
+_DUCKTYPE_CAST = {"sign": "INT"}  # everything else casts to DOUBLE
+
+
+def _rewrite_ducktype_numerics(sql: str) -> str:
+    if not _DUCKTYPE_FN.search(sql):
+        return sql
+    for _ in range(200):  # one wrap per pass; cap is a safety net
+        mask = _code_mask(sql)
+        changed = False
+        for m in reversed(list(_DUCKTYPE_FN.finditer(sql))):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            # find the matching close paren
+            depth = 0
+            close = None
+            for k in range(m.end() - 1, len(sql)):
+                if not mask[k]:
+                    continue
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+            if close is None:
+                continue
+            target = _DUCKTYPE_CAST.get(m.group("fn").lower(), "DOUBLE")
+            # already wrapped (by this pass or the user) → skip
+            before = sql[: m.start()].rstrip()
+            after = sql[close + 1 :].lstrip()
+            if before.upper().endswith("CAST(") and re.match(
+                rf"AS\s+{target}\s*\)", after, re.IGNORECASE
+            ):
+                continue
+            sql = (
+                sql[: m.start()]
+                + "CAST("
+                + sql[m.start() : close + 1]
+                + f" AS {target})"
+                + sql[close + 1 :]
+            )
+            changed = True
+            break  # offsets shifted; re-lex
+        if not changed:
+            return sql
+    return sql
+
 
 def _rewrite_divmod_null(sql: str) -> str:
     """DuckDB returns NULL for division/modulo by zero (probed: ``5/0``,
@@ -3362,7 +3467,6 @@ def _rewrite_divmod_null(sql: str) -> str:
                 break
             leaves.append((sql[nxt[1] : r2 + 1].strip(), nxt[0]))
             chain_end = r2
-        ints = "('tinyint','smallint','int','bigint')"
         texts = [t for t, _ in leaves]
         x = texts[0]
         for k in range(1, len(leaves)):
@@ -3371,7 +3475,7 @@ def _rewrite_divmod_null(sql: str) -> str:
                 x = f"({x} * {leaf})"
             else:
                 cond = " AND ".join(
-                    f"typeof({t}) IN {ints}" for t in texts[: k + 1]
+                    _leaf_int_cond(t) for t in texts[: k + 1]
                 )
                 x = (
                     f"(CASE WHEN {cond} "
@@ -3402,7 +3506,7 @@ def _rewrite_ops_pack(sql: str) -> str:
 
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    return _rewrite_divmod_null(_rewrite_concat_skip_nulls(_rewrite_qualify(
+    return _rewrite_divmod_null(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
                 _rewrite_exclude(
@@ -3442,7 +3546,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                 )
             )
         )
-    )))
+    ))))
 
 
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
@@ -3489,7 +3593,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
             )
         )
     )
-    alt = _rewrite_divmod_null(_rewrite_concat_skip_nulls(alt))
+    alt = _rewrite_divmod_null(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(alt)))
     primary = rewrite_duckdb_dialect(sql)
     out = [alt] if alt != primary else []
     # DuckDB ``len`` is polymorphic (strings AND lists); Spark's ``len``

@@ -1502,3 +1502,44 @@ def test_ordered_aggregates_and_unnest_match_duckdb(engine):
         )
         assert got == want, q
     con.close()
+
+
+def test_fuzz_pinned_divergences_match_duckdb(engine):
+    """Minimized reproductions from the r8 grammar fuzz campaign
+    (fuzz_dialect.py) — each was a real cross-engine divergence, fixed in
+    the division/typing/concat passes and pinned here verbatim."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    battery = [
+        # seed 284: Spark round(int,d) kept INT typing while DuckDB says
+        # DOUBLE; the // dispatch then truncated where DuckDB divides
+        "SELECT (greatest(round(-4, 1), round(-1, 1)) // 3) AS c0",
+        # seed 61: round-typed DECIMAL divisor took Spark's decimal
+        # division (scale-6) where DuckDB divides as DOUBLE
+        "SELECT (round(3, 2) // round(-1.5, 1)) AS a0",
+        # seed 96: concat must SKIP NULL arguments like DuckDB
+        "SELECT concat(rpad(CAST(NULL AS VARCHAR), 7, '*'), "
+        "lpad('BUILDING', 5, '*')) AS c0",
+        # seed 78: % by zero inside a divisor chain → NULL, not ANSI error
+        "SELECT ((- coalesce(1, 1)) / ((2 % 0) - round(1, 1))) AS c0",
+        # seed 86: mixed //-chain over decimal intermediates
+        "SELECT ((-4 + (9.99 + -1)) // ((9.99 / -1.5) % (- 2.5))) AS c0",
+        # seed 57: int // double is PLAIN division in DuckDB (not an error)
+        "SELECT (length(CAST(NULL AS VARCHAR)) // sqrt(abs(-1) + 1)) AS c0",
+        # seed 29: FILTER'd aggregate over a zero-divisor expression
+        "SELECT stddev_samp((0.25 / (0 / 3))) FILTER (WHERE (NOT (0.25 >= 1))) AS a0",
+    ]
+    for q in battery:
+        got = engine.sql(q).collect()[0][0]
+        want = con.execute(q).fetchone()[0]
+        if got is None or want is None:
+            assert got is None and want is None, (q, got, want)
+        elif isinstance(want, str):
+            assert str(got) == want, (q, got, want)
+        else:
+            assert math.isclose(float(got), float(want), rel_tol=1e-9, abs_tol=1e-9), (
+                q, got, want,
+            )
+    con.close()

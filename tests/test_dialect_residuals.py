@@ -1,0 +1,108 @@
+"""Pins for the KNOWN INTENTIONAL DIFFERENCES list in the dialect
+module docstring (VERDICT r7 #7).
+
+Each test pins the ENGINE's current behavior for a documented residual —
+not DuckDB parity — so any silent behavior change (or a fix that removes
+the residual) surfaces here and the docstring list stays truthful.
+fuzz_dialect.py divergences are triaged against this list.
+"""
+
+import duckdb
+import pytest
+
+from parquet_query_spark.engine import Engine
+from parquet_query_spark.workbench.dialect import rewrite_duckdb_dialect
+
+
+@pytest.fixture(scope="module")
+def engine(sf_dir):
+    return Engine.open(sf_dir)
+
+
+def test_residual_1_order_by_all_keeps_spark_null_order(engine):
+    """#1: ORDER BY ALL is not given NULLS LAST (Spark rejects ALL NULLS
+    LAST); ascending NULLs sort FIRST here, LAST in DuckDB."""
+    q = "SELECT x FROM (VALUES (2), (NULL), (1)) t(x) ORDER BY ALL"
+    got = [r[0] for r in engine.sql(q).collect()]
+    assert got == [None, 1, 2]  # Spark default
+    want = [r[0] for r in duckdb.connect().execute(q).fetchall()]
+    assert want == [1, 2, None]  # DuckDB puts NULLs last — the difference
+
+
+def test_residual_2_intdiv_beyond_2_53_rounds(engine):
+    """#2: integer // routes through try_divide (double), so results
+    beyond 2^53 round; DuckDB stays exact."""
+    q = "SELECT 9007199254740993 // 1 AS v"
+    got = engine.sql(q).collect()[0][0]
+    assert got == 9007199254740992.0  # one ulp below the exact answer
+    want = duckdb.connect().execute(q).fetchone()[0]
+    assert want == 9007199254740993
+
+
+def test_residual_3_intdiv_across_subquery_boundary(engine):
+    """#3: only same-expression // chains dispatch atomically; across a
+    subquery alias the intermediate is DOUBLE, so the outer // divides
+    plainly (DuckDB truncates both stages)."""
+    q = "SELECT v // 2 AS w FROM (SELECT 7 // 1 AS v)"
+    got = engine.sql(q).collect()[0][0]
+    assert got == 3.5  # plain division of the double intermediate
+    want = duckdb.connect().execute(q).fetchone()[0]
+    assert want == 3
+    # the same chain WITHOUT the boundary matches DuckDB exactly
+    flat = "SELECT 7 // 1 // 2 AS w"
+    assert float(engine.sql(flat).collect()[0][0]) == float(
+        duckdb.connect().execute(flat).fetchone()[0]
+    )
+
+
+def test_residual_4_interval_division_rejected(engine):
+    """#4: INTERVAL / n fails analysis (DOUBLE dividend cast) instead of
+    scaling the interval like DuckDB."""
+    with pytest.raises(Exception):
+        engine.sql("SELECT INTERVAL '2' DAY / 2 AS v").collect()
+    assert (
+        duckdb.connect().execute("SELECT INTERVAL '2' DAY / 2").fetchone()[0]
+        is not None
+    )
+
+
+def test_residual_5_concat_list_arguments(engine):
+    """#5: concat over LIST arguments joins elements (concat_ws) where
+    DuckDB stringifies the list."""
+    got = engine.sql("SELECT concat(array(1, 2), 'x') AS v").collect()[0][0]
+    assert got == "12x"
+    want = duckdb.connect().execute("SELECT concat([1, 2], 'x')").fetchone()[0]
+    assert want == "[1, 2]x"
+
+
+def test_residual_6_sum_bigint_overflow_raises(engine):
+    """#6: SUM overflowing int64 raises under ANSI; DuckDB promotes to
+    HUGEINT."""
+    q = (
+        "SELECT sum(x) AS s FROM (VALUES (9223372036854775807), (1)) t(x)"
+    )
+    with pytest.raises(Exception):
+        engine.sql(q).collect()
+    assert duckdb.connect().execute(q).fetchone()[0] == 9223372036854775808
+
+
+def test_residual_7_sample_rng_and_alias(engine):
+    """#7: ROWS sampling honors the count but draws its own RNG stream;
+    an aliased ref is left untranslated so the error surfaces."""
+    r = engine.sql(
+        "SELECT count(*) AS n FROM (SELECT * FROM 'orders.parquet' USING SAMPLE 25 ROWS)"
+    ).collect()
+    assert r[0][0] == 25
+    sql = "SELECT * FROM t x USING SAMPLE 5"
+    assert rewrite_duckdb_dialect(sql) == sql  # untranslated → Spark error
+
+
+def test_residual_8_asof_unsupported_raises():
+    """#8: unsupported ASOF shapes raise AsofRewriteError (error over
+    wrong results)."""
+    from parquet_query_spark.workbench.dialect import AsofRewriteError
+
+    with pytest.raises(AsofRewriteError):
+        rewrite_duckdb_dialect(
+            "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts IS NOT DISTINCT FROM b.ts"
+        )
