@@ -74,7 +74,37 @@ TABLES = {
         "key": "o_orderkey",
         "filter": "o_orderkey <= 800",
     },
+    "customer_parquet": {
+        "num": ["c_custkey", "c_nationkey", "c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "key": "c_custkey",
+    },
+    "region_parquet": {
+        "num": ["r_regionkey"],
+        "str": ["r_name"],
+        "key": "r_regionkey",
+    },
 }
+
+# join shapes: (left table, right table, join condition, key for ORDER BY)
+JOINS = [
+    (
+        "nation_parquet n",
+        "region_parquet r",
+        "n.n_regionkey = r.r_regionkey",
+        "n.n_nationkey",
+        {"num": ["n.n_nationkey", "n.n_regionkey", "r.r_regionkey"],
+         "str": ["n.n_name", "r.r_name"]},
+    ),
+    (
+        "supplier_parquet s",
+        "nation_parquet n",
+        "s.s_nationkey = n.n_nationkey",
+        "s.s_suppkey",
+        {"num": ["s.s_suppkey", "s.s_acctbal", "n.n_regionkey"],
+         "str": ["s.s_name", "n.n_name"]},
+    ),
+]
 
 NUM_LITS = ["0", "1", "2", "3", "7", "10", "100", "-4", "-1", "2.5", "0.25", "-1.5", "9.99"]
 STR_LITS = ["'abc'", "''", "'Hello World'", "'a''b'", "'xy'", "'BUILDING'"]
@@ -269,7 +299,7 @@ class Gen:
 def gen_query(rng: random.Random):
     """Returns (render_fn, exprs) — render_fn(subset) rebuilds the query
     with only those select expressions, for shrinking."""
-    shape = rng.randrange(10)
+    shape = rng.randrange(17)
     if shape < 3:  # scalar, no FROM
         g = Gen(rng, {})
         exprs = [g.any_expr(rng.randrange(1, 4)) for _ in range(rng.randrange(2, 7))]
@@ -296,18 +326,125 @@ def gen_query(rng: random.Random):
             )
 
         return render, exprs
-    # agg-shape
-    gkey = rng.choice(cols["num"] + cols["str"])
-    exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
-    having = None
-    base_filter = cols.get("filter")
+    if shape < 10:  # agg-shape (+ optional HAVING)
+        gkey = rng.choice(cols["num"] + cols["str"])
+        exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
+        having = "count(*) >= 1" if rng.random() < 0.4 else None
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS a{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            h = f" HAVING {having}" if having else ""
+            return (
+                f"SELECT {gkey} AS k, {sel} FROM {table}{w} "
+                f"GROUP BY {gkey}{h} ORDER BY k"
+            )
+
+        return render, exprs
+    if shape == 10:  # window functions over a table
+        exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
+        part = rng.choice(cols["num"] + cols["str"])
+        wfn = rng.choice(
+            ["row_number()", "rank()", "dense_rank()", "count(*)",
+             f"sum({rng.choice(cols['num'])})",
+             f"lag({rng.choice(cols['num'])})",
+             f"lead({rng.choice(cols['num'])})"]
+        )
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            return (
+                f"SELECT {sel}, {wfn} OVER "
+                f"(PARTITION BY {part} ORDER BY {cols['key']}) AS wv "
+                f"FROM {table}{w} ORDER BY {cols['key']}"
+            )
+
+        return render, exprs
+    if shape == 11:  # DISTINCT projection
+        exprs = [g.any_expr(rng.randrange(0, 2)) for _ in range(rng.randrange(1, 3))]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            order = ", ".join(f"c{i} NULLS FIRST" for i in range(len(es)))
+            return f"SELECT DISTINCT {sel} FROM {table}{w} ORDER BY {order}"
+
+        return render, exprs
+    if shape == 12:  # UNION ALL of two compatible branches
+        exprs = [g.num(rng.randrange(1, 3)) for _ in range(2)]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            w = f" WHERE {base_filter}" if base_filter else ""
+            branches = " UNION ALL ".join(
+                f"SELECT {cols['key']} AS k, {e.sql} AS v FROM {table}{w}"
+                for e in es
+            )
+            return f"SELECT * FROM ({branches}) ORDER BY k, v NULLS FIRST"
+
+        return render, exprs
+    if shape == 13:  # scalar subquery in the select list
+        inner = rng.choice(cols["num"])
+        exprs = [g.num(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(
+                f"((SELECT max({inner}) FROM {table}) + {e.sql}) AS c{i}"
+                for i, e in enumerate(es)
+            )
+            w = f" WHERE {base_filter}" if base_filter else ""
+            return f"SELECT {sel} FROM {table}{w} ORDER BY {cols['key']}"
+
+        return render, exprs
+    if shape == 14:  # CTE wrapper
+        exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            return (
+                f"WITH base AS (SELECT * FROM {table}{w}) "
+                f"SELECT {sel} FROM base ORDER BY {cols['key']}"
+            )
+
+        return render, exprs
+    if shape == 15:  # IN / EXISTS subquery predicate
+        sub = rng.choice(cols["num"])
+        exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
+        base_filter = cols.get("filter")
+        pred = rng.choice(
+            [
+                f"{cols['key']} IN (SELECT {sub} FROM {table})",
+                f"EXISTS (SELECT 1 FROM {table} t2 WHERE t2.{sub} = {table}.{cols['key']})",
+            ]
+        )
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            conds = [c for c in [base_filter, pred] if c]
+            return (
+                f"SELECT {sel} FROM {table} WHERE {' AND '.join(conds)} "
+                f"ORDER BY {cols['key']}"
+            )
+
+        return render, exprs
+    # join shape
+    left, right, cond, key, jcols = rng.choice(JOINS)
+    jg = Gen(rng, jcols)
+    exprs = [jg.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
+    jtype = rng.choice(["JOIN", "LEFT JOIN"])
 
     def render(es):
-        sel = ", ".join(f"{e.sql} AS a{i}" for i, e in enumerate(es))
-        w = f" WHERE {base_filter}" if base_filter else ""
+        sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
         return (
-            f"SELECT {gkey} AS k, {sel} FROM {table}{w} "
-            f"GROUP BY {gkey} ORDER BY k"
+            f"SELECT {sel} FROM {left} {jtype} {right} ON {cond} "
+            f"ORDER BY {key}"
         )
 
     return render, exprs

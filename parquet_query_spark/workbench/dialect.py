@@ -1176,6 +1176,24 @@ def _macro_string_agg_ordered(args: list[str]) -> str | None:
     )
 
 
+def _macro_avg_double(args: list[str]) -> str | None:
+    """DuckDB ``avg`` ALWAYS returns DOUBLE (probed: typeof(avg(decimal))
+    = DOUBLE) while Spark's decimal ``avg`` keeps decimal(p+4, s+4) —
+    rounding the result at scale+4, a visible ~1e-5 divergence (fuzz seed
+    1223).  Cast the ARGUMENT to DOUBLE so the whole accumulation runs in
+    double like DuckDB's.  Self-guarded against re-expansion (trap: a
+    macro whose output contains its own name must detect itself)."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    up = a.upper()
+    if up.startswith("CAST(") and up.rstrip().endswith("AS DOUBLE)"):
+        return None
+    if up.startswith("DISTINCT "):
+        return f"avg(DISTINCT CAST({a[9:]} AS DOUBLE))"
+    return f"avg(CAST({a} AS DOUBLE))"
+
+
 def _macro_quantile_disc(args: list[str]) -> str | None:
     if len(args) != 2:
         return None
@@ -1553,6 +1571,8 @@ _FN_MACROS = {
     "string_agg": _macro_string_agg_ordered,
     "listagg": _macro_string_agg_ordered,
     "group_concat": _macro_string_agg_ordered,
+    "avg": _macro_avg_double,
+    "mean": _macro_avg_double,
     "quantile_disc": _macro_quantile_disc,
     "struct_extract": _macro_struct_extract,
     "json_extract": _macro_json_extract,

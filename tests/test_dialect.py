@@ -1530,6 +1530,9 @@ def test_fuzz_pinned_divergences_match_duckdb(engine):
         "SELECT (length(CAST(NULL AS VARCHAR)) // sqrt(abs(-1) + 1)) AS c0",
         # seed 29: FILTER'd aggregate over a zero-divisor expression
         "SELECT stddev_samp((0.25 / (0 / 3))) FILTER (WHERE (NOT (0.25 >= 1))) AS a0",
+        # seed 1223: avg over a decimal-typed expression must accumulate
+        # as DOUBLE (DuckDB typing), not round at decimal scale+4
+        "SELECT avg((-1.5 % x)) AS a0 FROM (VALUES (3), (4), (7)) t(x)",
     ]
     for q in battery:
         got = engine.sql(q).collect()[0][0]
