@@ -3289,6 +3289,29 @@ _DUCKTYPE_FN = re.compile(
 _DUCKTYPE_CAST = {"sign": "INT"}  # everything else casts to DOUBLE
 
 
+def _duckdb_round(x: str, d: str) -> str:
+    """DuckDB rounds DOUBLE as ``std::round(x * 10^d) / 10^d`` on the raw
+    BINARY value, while Spark rounds the shortest-decimal rendering
+    HALF_UP — values straddling a .xx5 boundary diverge (2045.395 stored
+    as 2045.39499… → DuckDB 2045.39, Spark 2045.40; fuzz seed 1915, the
+    trap-14 class).  Emulate DuckDB for double/float inputs with the
+    multiply-floor formula computed in double like DuckDB does; DECIMAL
+    inputs keep Spark's exact decimal rounding (identical to DuckDB's
+    decimal path).  Guard: once ``|x·10^d| ≥ 2^53`` the formula (and
+    DuckDB) is the identity, and floor's BIGINT range must not overflow."""
+    p = f"power(10, {d})"
+    half = (
+        f"(CASE WHEN isnan({x}) OR abs(({x}) * {p}) >= 9.007199254740992e15 "
+        f"THEN CAST({x} AS DOUBLE) "
+        f"WHEN ({x}) < 0 THEN -floor((-({x})) * {p} + 0.5d) / {p} "
+        f"ELSE floor(({x}) * {p} + 0.5d) / {p} END)"
+    )
+    return (
+        f"(CASE WHEN typeof({x}) IN ('double','float') THEN {half} "
+        f"ELSE CAST(round({x}, {d}) AS DOUBLE) END)"
+    )
+
+
 def _rewrite_ducktype_numerics(sql: str) -> str:
     if not _DUCKTYPE_FN.search(sql):
         return sql
@@ -3321,6 +3344,17 @@ def _rewrite_ducktype_numerics(sql: str) -> str:
                 rf"AS\s+{target}\s*\)", after, re.IGNORECASE
             ):
                 continue
+            if m.group("fn").lower() == "round":
+                parsed = _split_call_args(sql, mask, m.end() - 1)
+                if parsed is not None and len(parsed[0]) in (1, 2):
+                    args, _ = parsed
+                    rep = _duckdb_round(
+                        args[0].strip(),
+                        args[1].strip() if len(args) == 2 else "0",
+                    )
+                    sql = sql[: m.start()] + rep + sql[close + 1 :]
+                    changed = True
+                    break
             sql = (
                 sql[: m.start()]
                 + "CAST("
