@@ -68,6 +68,14 @@ def main() -> None:
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the warm pass; min over --repeat runs")
     ap.add_argument(
+        "--force", choices=["collect", "noop"], default="collect",
+        help="how to force computation: collect() (default; driver "
+        "materializes every row — at 10M+ output rows driver GC "
+        "dominates and hides the engine time) or a noop-format write "
+        "(full computation, rows consumed executor-side — what a real "
+        "cluster job does with large outputs)",
+    )
+    ap.add_argument(
         "--heavy", action="store_true",
         help="preset for the heavy dedup tier (VERDICT r7 #4): the three "
         "5-10 min queries at 64x only, no warm pass, min of 2 runs",
@@ -115,13 +123,23 @@ def main() -> None:
                 # exist to measure.  Rebuild the DataFrame fresh per run:
                 # re-collecting one DF reuses restage-shuffle outputs
                 # (skipped stages) and hides most of the cost.
+                def timed_force(df):
+                    if args.force == "noop":
+                        df.write.format("noop").mode("overwrite").save()
+                        return None
+                    return len(df.collect())
+
                 if not args.no_warm:
-                    spec.fn(spark, sf).collect()  # warm (plan + JIT + page cache)
+                    timed_force(spec.fn(spark, sf))  # warm (plan+JIT+cache)
                 best = math.inf
                 for _ in range(args.repeat):
                     t0 = time.time()
-                    rows[f] = len(spec.fn(spark, sf).collect())
+                    n = timed_force(spec.fn(spark, sf))
                     best = min(best, time.time() - t0)
+                    if n is not None:
+                        rows[f] = n
+                if f not in rows:  # noop mode: count outside the timing
+                    rows[f] = spec.fn(spark, sf).count()
                 points.append((f, best))
             slope = fit_slope(points)
             rec = {
