@@ -121,14 +121,14 @@ ORDER BY revenue DESC, n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join; dims broadcast, facts shuffle on join keys.
 
-    The one fact-fact join (lineitem ⋈ year-filtered orders) carries a
-    SHUFFLE_HASH hint on the orders side: the filtered slice is far
-    smaller than lineitem but too big to broadcast at scale, so a
-    shuffled hash join skips the SortMergeJoin's sort of 38M+ lineitem
-    rows per 64× (measured r8: 2.24 s vs 3.13 s at 64×, identical
-    results).  Per-partition build memory is the orders slice divided by
-    shuffle partitions — bounded at 100 TB by sizing partitions, where a
-    broadcast of a year of orders would not be."""
+    The one fact-fact join (lineitem ⋈ year-filtered orders) relies on
+    the session's ``preferSortMergeJoin=false``: at 64× the planner
+    picks a shuffled hash join (orders slice too big to broadcast, small
+    enough for per-partition hash builds — measured r8: 2.24 s vs
+    3.13 s SMJ, identical results), while at sf0.1 AQE converts the same
+    join to broadcast.  An explicit SHUFFLE_HASH hint would win at 64×
+    but BLOCK the AQE broadcast conversion at small scale (measured
+    0.70 s vs 0.42 s) — the session default gets both."""
     v = views(spark, sf_dir)
     return (
         v["lineitem"]
@@ -136,7 +136,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             v["orders"].where(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-            ).hint("SHUFFLE_HASH"),
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(v["customer"]), F.col("o_custkey") == F.col("c_custkey"))

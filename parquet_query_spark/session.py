@@ -29,6 +29,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Prefer shuffled-hash over sort-merge when a join side's per-partition
+    # hash build fits memory (Spark's canBuildLocalHashMap guard:
+    # side size < autoBroadcastJoinThreshold × shuffle partitions; SMJ
+    # remains the fallback above that).  Fact-fact joins with one
+    # filtered/smaller side skip the big side's sort entirely — measured
+    # r8 on TPC-H Q5 at 64×: 3.13 s (SMJ) → 2.24 s; at sf0.1 AQE still
+    # converts the same join to broadcast, so the small-scale plan is
+    # unchanged.  At 100 TB the guard scales with the partition count.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Don't bin-pack small parquet files into shared scan splits: this
     # engine's hot scans are compute-bound (regex/hash/shingle per row),
     # where bytes-based packing under-parallelizes badly — the restaged
