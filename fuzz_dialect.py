@@ -35,6 +35,7 @@ import argparse
 import datetime as _dt
 import math
 import random
+import re
 import sys
 from decimal import Decimal
 
@@ -109,6 +110,15 @@ JOINS = [
 NUM_LITS = ["0", "1", "2", "3", "7", "10", "100", "-4", "-1", "2.5", "0.25", "-1.5", "9.99"]
 STR_LITS = ["'abc'", "''", "'Hello World'", "'a''b'", "'xy'", "'BUILDING'"]
 LIKE_PATS = ["'%a%'", "'A%'", "'%e'", "'_b%'", "'%or%'"]
+# full-match semantics in DuckDB (`~` = regexp_full_match — probed: 'abcd' ~ 'b.' is false)
+RE_PATS = ["'.*a.*'", "'[A-Z].*'", "'.{0,5}'", "'%'", "'a+'", "'.*(or|er).*'"]
+# integer-preserving lambda bodies (no `/`: double rendering inside lists
+# has no tolerance in the comparator)
+LAMBDAS = ["x -> x * 2", "x -> x + 1", "x -> x - 3", "x -> -x",
+           "x -> abs(x)", "x -> x % 4", "x -> greatest(x, 2)", "x -> x // 2"]
+TS_UNITS = ["DAY", "HOUR", "MINUTE", "MONTH", "YEAR"]
+DP_PARTS = ["'year'", "'month'", "'day'", "'hour'", "'minute'", "'quarter'"]
+STRF_FMTS = ["'%Y-%m-%d'", "'%H:%M:%S'", "'%Y/%m'", "'%d %H'"]
 
 
 class Gen:
@@ -128,11 +138,45 @@ class Gen:
             if r.random() < 0.06:
                 return E("CAST(NULL AS INTEGER)", "num")
             return E(self.pick(NUM_LITS), "num")
-        choice = r.randrange(12)
+        choice = r.randrange(16)
         if choice < 4:
             a, b = self.num(d - 1), self.num(d - 1)
             op = self.pick(["+", "-", "*", "/", "%", "//"])
             return E(f"({a.sql} {op} {b.sql})", "num", (a, b))
+        if choice == 12:
+            l = self.lst(d - 1)
+            form = r.randrange(6)
+            if form == 0:
+                return E(f"{self.pick(['len', 'array_length'])}({l.sql})", "num", (l,))
+            if form == 1:
+                return E(f"list_sum({l.sql})", "num", (l,))
+            if form == 2:
+                fn = self.pick(["list_max", "list_min"])
+                return E(f"{fn}({l.sql})", "num", (l,))
+            if form == 3:
+                i = self.pick([1, 2, 3, 4, 5, -1, -2])
+                return E(f"({l.sql})[{i}]", "num", (l,))
+            if form == 4:
+                return E(f"list_position({l.sql}, {r.randrange(0, 9)})", "num", (l,))
+            return E(f"list_unique({l.sql})", "num", (l,))
+        if choice == 13:
+            a = self.num(d - 1)
+            op = self.pick(["^", "**"])
+            return E(f"((abs({a.sql}) % 10) {op} {r.randrange(0, 4)})", "num", (a,))
+        if choice == 14 and self.cols.get("ts"):
+            t = self.ts(d - 1)
+            form = r.randrange(3)
+            if form == 0:
+                return E(f"date_part({self.pick(DP_PARTS)}, {t.sql})", "num", (t,))
+            if form == 1:
+                return E(
+                    f"datediff('day', DATE '1995-01-01', CAST({t.sql} AS DATE))",
+                    "num", (t,))
+            return E(f"{self.pick(['week', 'quarter', 'isodow'])}({t.sql})", "num", (t,))
+        if choice == 15:
+            a, b = self.num(0), self.num(0)
+            key = self.pick(["a", "b"])
+            return E(f"({{'a': {a.sql}, 'b': {b.sql}}}).{key}", "num", (a, b))
         if choice == 4:
             a = self.num(d - 1)
             fn = self.pick(["abs", "floor", "ceil", "sign", "round"])
@@ -175,11 +219,32 @@ class Gen:
             if r.random() < 0.06:
                 return E("CAST(NULL AS VARCHAR)", "str")
             return E(self.pick(STR_LITS), "str")
-        choice = r.randrange(9)
+        choice = r.randrange(13)
         if choice == 0:
             a = self.s(d - 1)
             fn = self.pick(["lower", "upper", "trim", "reverse"])
+            if r.random() < 0.4:  # DuckDB method-chain spelling
+                return E(f"({a.sql}).{fn}()", "str", (a,))
             return E(f"{fn}({a.sql})", "str", (a,))
+        if choice == 9:
+            a = self.s(d - 1)
+            if r.random() < 0.5:
+                i = self.pick([1, 2, 3, -1, -2, 7])
+                return E(f"({a.sql})[{i}]", "str", (a,))
+            i, j = r.randrange(1, 4), r.randrange(2, 7)
+            return E(f"({a.sql})[{i}:{j}]", "str", (a,))
+        if choice == 10:
+            a = self.s(d - 1)
+            return E(f"repeat({a.sql}, {r.randrange(0, 4)})", "str", (a,))
+        if choice == 11 and self.cols.get("ts"):
+            t = self.ts(d - 1)
+            form = r.randrange(3)
+            if form == 0:
+                return E(f"strftime({t.sql}, {self.pick(STRF_FMTS)})", "str", (t,))
+            return E(f"{self.pick(['dayname', 'monthname'])}({t.sql})", "str", (t,))
+        if choice == 12:
+            l = self.lst(d - 1)
+            return E(f"array_to_string({l.sql}, ',')", "str", (l,))
         if choice == 1:
             a = self.s(d - 1)
             i, n = r.randrange(1, 5), r.randrange(0, 6)
@@ -221,11 +286,25 @@ class Gen:
             a, b = self.num(0), self.num(0)
             op = self.pick(["=", "<>", "<", "<=", ">", ">="])
             return E(f"({a.sql} {op} {b.sql})", "bool", (a, b))
-        choice = r.randrange(9)
+        choice = r.randrange(12)
         if choice < 2:
             a, b = self.num(d - 1), self.num(d - 1)
             op = self.pick(["=", "<>", "<", "<=", ">", ">="])
             return E(f"({a.sql} {op} {b.sql})", "bool", (a, b))
+        if choice == 9:
+            a = self.s(d - 1)
+            form = r.randrange(3)
+            if form == 0:
+                return E(f"({a.sql} ~ {self.pick(RE_PATS)})", "bool", (a,))
+            if form == 1:
+                return E(f"({a.sql} !~ {self.pick(RE_PATS)})", "bool", (a,))
+            return E(f"({a.sql} SIMILAR TO {self.pick(RE_PATS)})", "bool", (a,))
+        if choice == 10:
+            a = self.s(d - 1)
+            return E(f"({a.sql} ILIKE {self.pick(LIKE_PATS)})", "bool", (a,))
+        if choice == 11:
+            l, v = self.lst(d - 1), self.num(0)
+            return E(f"list_contains({l.sql}, {v.sql})", "bool", (l, v))
         if choice == 2:
             a, b = self.s(d - 1), self.s(d - 1)
             op = self.pick(["=", "<>", "<", ">"])
@@ -256,9 +335,67 @@ class Gen:
     # ── timestamp ──
     def ts(self, d: int) -> E:
         r = self.rng
-        if self.cols.get("ts") and r.random() < 0.7:
-            return E(self.pick(self.cols["ts"]), "ts")
-        return E("TIMESTAMP '1995-06-17 12:30:00'", "ts")
+        if d <= 0 or r.random() < 0.5:
+            if self.cols.get("ts") and r.random() < 0.7:
+                return E(self.pick(self.cols["ts"]), "ts")
+            return E("TIMESTAMP '1995-06-17 12:30:00'", "ts")
+        choice = r.randrange(3)
+        if choice == 0:
+            t = self.ts(d - 1)
+            op = self.pick(["+", "-"])
+            k = r.randrange(1, 30)
+            unit = self.pick(TS_UNITS)
+            return E(f"({t.sql} {op} INTERVAL {k} {unit})", "ts", (t,))
+        if choice == 1:
+            t = self.ts(d - 1)
+            gran = self.pick(["'year'", "'month'", "'day'", "'hour'"])
+            return E(f"date_trunc({gran}, {t.sql})", "ts", (t,))
+        t = self.ts(d - 1)
+        k = self.pick([5, 15, 60])
+        return E(f"time_bucket(INTERVAL {k} MINUTE, {t.sql})", "ts", (t,))
+
+    # ── integer list ──
+    def lst(self, d: int) -> E:
+        r = self.rng
+        if d <= 0 or r.random() < 0.4:
+            if r.random() < 0.25:
+                lo = r.randrange(-2, 4)
+                return E(f"range({lo}, {lo + r.randrange(0, 5)})", "lst")
+            n = r.randrange(0, 5)
+            items = [self.pick(["0", "1", "2", "3", "7", "-4", "-1", "9", "NULL"])
+                     for _ in range(n)]
+            return E(f"[{', '.join(items)}]", "lst")
+        choice = r.randrange(6)
+        if choice == 0:
+            a, b = self.lst(d - 1), self.lst(d - 1)
+            if r.random() < 0.5:
+                return E(f"({a.sql} || {b.sql})", "lst", (a, b))
+            return E(f"list_concat({a.sql}, {b.sql})", "lst", (a, b))
+        if choice == 1:
+            a = self.lst(d - 1)
+            fn = self.pick(["list_sort", "list_reverse"])
+            return E(f"{fn}({a.sql})", "lst", (a,))
+        if choice == 2:
+            # list_distinct's order is unstable (probed) — sort to compare
+            a = self.lst(d - 1)
+            return E(f"list_sort(list_distinct({a.sql}))", "lst", (a,))
+        if choice == 3:
+            a = self.lst(d - 1)
+            return E(f"list_transform({a.sql}, {self.pick(LAMBDAS)})", "lst", (a,))
+        if choice == 4:
+            a = self.lst(d - 1)
+            cmp_ = self.pick(["x > 1", "x % 2 = 0", "x IS NOT NULL", "x < 5"])
+            return E(f"list_filter({a.sql}, x -> {cmp_})", "lst", (a,))
+        a = self.lst(d - 1)
+        i, j = r.randrange(1, 4), r.randrange(1, 6)
+        if r.random() < 0.5:
+            return E(f"list_slice({a.sql}, {i}, {j})", "lst", (a,))
+        form = r.randrange(3)
+        if form == 0:
+            return E(f"({a.sql})[{i}:{j}]", "lst", (a,))
+        if form == 1:
+            return E(f"({a.sql})[{i}:]", "lst", (a,))
+        return E(f"({a.sql})[:{j}]", "lst", (a,))
 
     def any_expr(self, d: int) -> E:
         k = self.rng.randrange(4)
@@ -299,7 +436,7 @@ class Gen:
 def gen_query(rng: random.Random):
     """Returns (render_fn, exprs) — render_fn(subset) rebuilds the query
     with only those select expressions, for shrinking."""
-    shape = rng.randrange(17)
+    shape = rng.randrange(22)
     if shape < 3:  # scalar, no FROM
         g = Gen(rng, {})
         exprs = [g.any_expr(rng.randrange(1, 4)) for _ in range(rng.randrange(2, 7))]
@@ -434,6 +571,81 @@ def gen_query(rng: random.Random):
             )
 
         return render, exprs
+    if shape == 17:  # GROUP BY ALL (DuckDB idiom)
+        gkey = rng.choice(cols["num"] + cols["str"])
+        exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS a{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            # shrinking can replace an aggregate with a plain column, which
+            # GROUP BY ALL then treats as a grouping key — order by every
+            # output column so ties stay deterministic
+            order = ", ".join(["k"] + [f"a{i}" for i in range(len(es))])
+            return (
+                f"SELECT {gkey} AS k, {sel} FROM {table}{w} "
+                f"GROUP BY ALL ORDER BY {order}"
+            )
+
+        return render, exprs
+    if shape == 18:  # QUALIFY over a window
+        part = rng.choice(cols["num"] + cols["str"])
+        lim = rng.randrange(1, 4)
+        exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            return (
+                f"SELECT {cols['key']} AS k, {sel}, row_number() OVER "
+                f"(PARTITION BY {part} ORDER BY {cols['key']}) AS rn "
+                f"FROM {table}{w} QUALIFY rn <= {lim} ORDER BY k"
+            )
+
+        return render, exprs
+    if shape == 19:  # SELECT * EXCLUDE / REPLACE
+        all_cols = cols["num"] + cols["str"] + cols.get("ts", [])
+        victim = rng.choice([c for c in all_cols if c != cols["key"]])
+        exprs = [g.num(rng.randrange(1, 3))]
+        base_filter = cols.get("filter")
+        use_exclude = rng.random() < 0.5
+        repl_col = rng.choice(cols["num"])
+
+        def render(es):
+            w = f" WHERE {base_filter}" if base_filter else ""
+            if use_exclude:
+                star = f"* EXCLUDE ({victim})"
+            else:
+                star = f"* REPLACE (({repl_col} + {es[0].sql}) AS {repl_col})"
+            return f"SELECT {star} FROM {table}{w} ORDER BY {cols['key']}"
+
+        return render, exprs
+    if shape == 20:  # ORDER BY ALL
+        exprs = [g.pick([g.num(rng.randrange(1, 3)), g.s(rng.randrange(1, 3))])
+                 for _ in range(rng.randrange(1, 4))]
+        base_filter = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            return (
+                f"SELECT {cols['key']} AS k, {sel} FROM {table}{w} "
+                f"ORDER BY ALL"
+            )
+
+        return render, exprs
+    if shape == 21:  # unnest of a generated list
+        lists = [g.lst(rng.randrange(1, 3)) for _ in range(1)]
+        exprs = lists
+
+        def render(es):
+            return (
+                f"SELECT unnest({es[0].sql}) AS u ORDER BY u NULLS FIRST"
+            )
+
+        return render, exprs
     # join shape
     left, right, cond, key, jcols = rng.choice(JOINS)
     jg = Gen(rng, jcols)
@@ -557,6 +769,17 @@ def shrink(differ: Differ, render, exprs):
     return render(exprs), differ.run(render(exprs))
 
 
+# Divergences documented in dialect.py's KNOWN INTENTIONAL DIFFERENCES
+# list (each pinned in tests/test_dialect_residuals.py) — matched against
+# the minimized reproduction and tallied separately, not failed.
+INTENTIONAL = [
+    re.compile(r"-\s*\(?\s*list_unique\s*\("),  # #9 UBIGINT negation wrap
+    # #3: list_sum/list_avg expand to a DOUBLE-typed aggregate, so a
+    # downstream // divides plainly where DuckDB truncates integrally
+    re.compile(r"list_(sum|avg)\s*\(.*//|//.*list_(sum|avg)\s*\(", re.DOTALL),
+]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=200)
@@ -596,6 +819,10 @@ def main() -> int:
                 mini, verdict = sql, (cls, a, b)
             else:
                 mini, verdict = shrink(differ, render, exprs)
+            if any(p.search(mini) for p in INTENTIONAL):
+                counts[cls] -= 1
+                counts["intentional"] = counts.get("intentional", 0) + 1
+                continue
             failures.append((seed, verdict[0], mini, verdict[1], verdict[2]))
             print(f"[seed {seed}] {verdict[0]}: {mini}\n    detail: {verdict[1] or verdict[2]}")
         elif cls == "duckdb_error_only" and args.one is None:

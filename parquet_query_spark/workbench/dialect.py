@@ -109,7 +109,11 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    (the zero-guard routes integer division via ``try_divide``).
 3. A ``//`` whose integral static type crosses a subquery/alias
    boundary is seen as DOUBLE by the outer ``//`` and divides plainly;
-   only same-expression chains dispatch atomically.
+   only same-expression chains dispatch atomically.  The list-aggregate
+   macros (``list_sum``/``list_avg``) are in this class: their
+   ``aggregate`` expansion is DOUBLE-typed, so DuckDB's integral
+   ``list_sum(ints) // n`` truncation becomes plain division (fuzz r8
+   seed 529).
 4. ``INTERVAL / n`` is rejected (the DOUBLE dividend cast fails
    analysis) where DuckDB scales the interval — error over silently
    NULL rows.
@@ -124,6 +128,10 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    than silently sampling a prefix.
 8. Unsupported ``ASOF JOIN`` shapes raise ``AsofRewriteError`` rather
    than risk wrong results.
+9. DuckDB's unsigned 64-bit results wrap on negation — ``-
+   list_unique([1, 1])`` is 18446744073709551615 (UBIGINT arithmetic);
+   Spark has no unsigned type, so counts stay signed and negate to -2
+   (fuzz r8 seed 259).
 """
 
 from __future__ import annotations
@@ -719,9 +727,6 @@ _FN_MAP = {
     "string_split": "split",
     "str_split": "split",
     "string_split_regex": "split",
-    "list_contains": "array_contains",
-    "list_has": "array_contains",
-    "list_distinct": "array_distinct",
     "list_sort": "sort_array",
     "list_append": "array_append",
     # (list_prepend is a MACRO — DuckDB takes (elem, list), Spark
@@ -733,9 +738,6 @@ _FN_MAP = {
     "epoch_us": "unix_micros",
     "list_transform": "transform",
     "list_filter": "filter",
-    "list_concat": "concat",
-    "list_cat": "concat",
-    "array_to_string": "array_join",
     # round 6: remaining unambiguous 1:1 list_*/array_* renames (same
     # argument order).  round 7: DuckDB list_extract returns NULL on
     # out-of-bounds/zero index; Spark element_at THROWS under ANSI mode
@@ -751,7 +753,6 @@ _FN_MAP = {
     "list_has_any": "arrays_overlap",
     "array_has_any": "arrays_overlap",
     "list_pack": "array",
-    "array_concat": "concat",
     # aggregates (string_agg/listagg/median are Spark-native already)
     "arg_min": "min_by",
     "arg_max": "max_by",
@@ -1516,6 +1517,75 @@ def _macro_format(args: list[str]) -> str | None:
     return f"format_string('{fmt}'{rest})"
 
 
+def _macro_array_to_string(args) -> str | None:
+    """DuckDB ``array_to_string(l, sep)`` skips NULL elements but returns
+    NULL — not '' — when the list is NULL, empty, or all-NULL (probed:
+    ``array_to_string([], ',')`` and ``array_to_string([NULL], ',')`` are
+    both NULL; fuzz r8 seeds 89/104/111).  Spark ``array_join`` returns
+    '' for those, so the emptiness guard wraps it."""
+    if len(args) != 2:
+        return None
+    l, sep = args[0].strip(), args[1].strip()
+    return (
+        f"(CASE WHEN size(filter(({l}), x -> x IS NOT NULL)) > 0 "
+        f"THEN array_join(({l}), ({sep})) ELSE NULL END)"
+    )
+
+
+def _macro_list_distinct(args) -> str | None:
+    """DuckDB ``list_distinct`` DROPS NULL elements (probed:
+    ``list_distinct([9, 2, NULL])`` → [2, 9]); Spark ``array_distinct``
+    keeps one NULL (fuzz r8 seed 1045).  ``array_union(f, f)`` is the
+    token-free dedup — emitting ``array_distinct`` would re-trigger this
+    macro every fixpoint pass until the cap (trap 27).  A literal NULL
+    argument fails filter() analysis, so it short-circuits."""
+    if len(args) != 1:
+        return None
+    l = args[0].strip()
+    if l.upper() == "NULL":
+        return "NULL"
+    f = f"filter(({l}), x -> x IS NOT NULL)"
+    return f"array_union({f}, {f})"
+
+
+def _macro_list_contains(args) -> str | None:
+    """DuckDB ``list_contains`` is NULL only for a NULL list or NULL
+    needle; a not-found probe returns false even when the list holds NULL
+    elements (probed: ``list_contains([0, NULL], 99)`` → false).  Spark
+    ``array_contains`` returns NULL there (SQL three-valued membership;
+    fuzz r8 seed 190), so the not-found case is coalesced to false."""
+    if len(args) != 2:
+        return None
+    l, x = args[0].strip(), args[1].strip()
+    if l.upper() == "NULL" or x.upper() == "NULL":
+        # a literal NULL argument fails array_contains analysis
+        # (NULL_TYPE) even inside a dead CASE branch
+        return "CAST(NULL AS BOOLEAN)"
+    return (
+        f"(CASE WHEN ({l}) IS NULL OR ({x}) IS NULL THEN NULL "
+        f"ELSE coalesce(array_contains(({l}), ({x})), false) END)"
+    )
+
+
+def _macro_list_concat(args) -> str | None:
+    """DuckDB ``list_concat(a, b)`` (strictly 2-arg, probed) SKIPS a NULL
+    side (``list_concat([1], NULL)`` → [1]; NULL, NULL → NULL) and keeps
+    the LIST type — it must NOT fold into the string ``concat`` rename,
+    whose skip-NULL rewrite (``concat_ws``) silently stringifies arrays
+    (fuzz r8).  ``flatten(array(a, b))`` is the token-free Spark array
+    concat (trap 31: the output can't contain ``concat`` or the
+    skip-NULLs pass re-captures it)."""
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    if a.upper() == "NULL" and b.upper() == "NULL":
+        return "NULL"  # untyped: flatten(array(NULL, NULL)) fails analysis
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN ({b}) WHEN ({b}) IS NULL THEN ({a}) "
+        f"ELSE flatten(array(({a}), ({b}))) END)"
+    )
+
+
 _FN_MACROS = {
     "array_cosine_similarity": _macro_cosine,
     "list_cosine_similarity": _macro_cosine,
@@ -1594,6 +1664,14 @@ _FN_MACROS = {
     "last": _ordered_first_last("last"),
     "map_extract": _macro_map_extract,
     "unnest": lambda args: f"explode(({args[0].strip()}))" if len(args) == 1 else None,
+    "array_to_string": _macro_array_to_string,
+    "list_distinct": _macro_list_distinct,
+    "array_distinct": _macro_list_distinct,
+    "list_contains": _macro_list_contains,
+    "list_has": _macro_list_contains,
+    "list_concat": _macro_list_concat,
+    "list_cat": _macro_list_concat,
+    "array_concat": _macro_list_concat,
     "epoch": _macro_epoch,
     "extract": _macro_extract_epoch,
     "struct_pack": _macro_struct_pack,
@@ -1602,6 +1680,7 @@ _FN_MACROS = {
 _MACRO_CALL = re.compile(
     r"\b(" + "|".join(_FN_MACROS) + r")\s*\(", re.IGNORECASE
 )
+
 
 
 def _rewrite_fn_macros(sql: str) -> str:
@@ -2006,6 +2085,55 @@ def _rewrite_comprehension(inner: str) -> str | None:
     return f"transform({src.strip()}, {var} -> {expr})"
 
 
+# Flipped by the fallback pipeline: DuckDB subscripts are polymorphic
+# (lists AND strings) but Spark's element_at/slice are array-only, so the
+# primary text emits the array reading and a retry-on-AnalysisException
+# variant re-renders every subscript with DuckDB's string semantics
+# (probed: 'abc'[0] = '', 'abc'[-5] = '', 'abcdef'[-3:-1] = 'def',
+# 'abcdef'[4:2] = '', bounds clamp — Spark substr alone matches none of
+# the 0/clamp cases).
+_STRING_SUBSCRIPTS = False
+
+# In string mode, a base that is textually a list literal / list-producing
+# call keeps the array reading — so one query can mix string and array
+# subscripts as long as the array bases are recognizable (fuzz r8 seed 72).
+# Both DuckDB and already-rewritten Spark spellings appear here because
+# nested bracket groups are walked (and rewritten) before their outer base
+# is classified.
+_ARRAYISH_BASE = re.compile(
+    # names must RETURN a list — array_to_string/list_sum/list_position
+    # etc. return scalars and their subscripts must take the string path
+    # (fuzz r8 seeds 598/605)
+    r"^\(*\s*(\["
+    r"|array\s*\("
+    r"|array_(distinct|intersect|union|except|remove|compact|repeat|sort"
+    r"|slice|reverse|concat|cat|prepend|append|filter|transform)\s*\("
+    r"|list_(value|pack|sort|reverse_sort|reverse|distinct|concat|cat"
+    r"|slice|transform|filter|prepend|append|intersect|zip|select"
+    r"|grade_up|resize|where)\s*\("
+    r"|range\s*\(|sequence\s*\(|flatten\s*\(|string_split\s*\("
+    r"|str_split\s*\(|string_to_array\s*\(|split\s*\("
+    r"|regexp_split_to_array\s*\(|map_keys\s*\(|map_values\s*\("
+    r"|collect_list\s*\(|collect_set\s*\(|transform\s*\(|filter\s*\("
+    r"|slice\s*\(|sort_array\s*\(|generate_series\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _str_slice(base: str, a: str, b: str | None) -> str:
+    lo = (
+        f"(CASE WHEN ({a}) < 0 THEN greatest(length({base}) + ({a}) + 1, 1) "
+        f"ELSE greatest(({a}), 1) END)"
+    )
+    if b is None:
+        return f"substr(({base}), {lo})"
+    hi = (
+        f"(CASE WHEN ({b}) < 0 THEN length({base}) + ({b}) + 1 "
+        f"ELSE least(({b}), length({base})) END)"
+    )
+    return f"substr(({base}), {lo}, greatest({hi} - {lo} + 1, 0))"
+
+
 def _rewrite_brackets(sql: str) -> str:
     mask = _code_mask(sql)
 
@@ -2013,6 +2141,8 @@ def _rewrite_brackets(sql: str) -> str:
         parts = _split_top_colon(inner)
         a = parts[0].strip() or "1"
         b = parts[1].strip()
+        if _STRING_SUBSCRIPTS and not _ARRAYISH_BASE.match(base.strip()):
+            return _str_slice(base, a, b or None)
         if not b:
             return (
                 f"slice({base}, {a}, "
@@ -2068,6 +2198,11 @@ def _rewrite_brackets(sql: str) -> str:
                 out = [stripped[:cut]]
                 if _split_top_colon(inner) is not None:
                     out.append(emit_slice(base, inner))
+                elif _STRING_SUBSCRIPTS and not _ARRAYISH_BASE.match(base.strip()):
+                    out.append(
+                        f"(CASE WHEN ({inner}) = 0 THEN '' "
+                        f"ELSE substr(({base}), ({inner}), 1) END)"
+                    )
                 else:
                     out.append(f"try_element_at({base}, {inner})")
                 continue
@@ -2551,6 +2686,34 @@ def _left_operand_start(
         tok = sql[start : end + 1]
         if not tok or tok.lower() in _BRACKET_NONLITERAL_KEYWORDS:
             return None
+        if tok.startswith(".") and k >= 0 and sql[k] == ")":
+            # struct-field access on a parenthesized base —
+            # ``({'a': 1}).a % 2`` — absorb the (...) group (and any
+            # call-name chain) into the operand (fuzz r8 seed 198)
+            depth = 0
+            j = k
+            while j >= 0:
+                if mask[j] and sql[j] == ")":
+                    depth += 1
+                elif mask[j] and sql[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if depth != 0:
+                return None
+            k2 = j - 1
+            while k2 >= 0 and (sql[k2].isalnum() or sql[k2] in "_$."):
+                k2 -= 1
+            name = sql[k2 + 1 : j]
+            if (
+                name
+                and not name[0].isdigit()
+                and name.lower() not in _BRACKET_NEVER_CALL_KEYWORDS
+            ):
+                start = k2 + 1
+            else:
+                start = j
     else:
         return None
     # a ``::type`` cast chain binds tighter than any operator here — keep
@@ -2615,6 +2778,20 @@ def _right_operand_end(sql: str, mask: list[bool], pos: int) -> int | None:
             elif mask[i] and sql[i] == ")":
                 depth -= 1
                 if depth == 0:
+                    # struct-field access binds tighter than any operator:
+                    # ``10 // ({'a': k}).a`` — absorb trailing ``.ident``
+                    # chains into the operand (fuzz r8 seed 349)
+                    while (
+                        i + 1 < n
+                        and sql[i + 1] == "."
+                        and i + 2 < n
+                        and (sql[i + 2].isalpha() or sql[i + 2] in "_$")
+                    ):
+                        i += 2
+                        while i + 1 < n and (
+                            sql[i + 1].isalnum() or sql[i + 1] in "_$"
+                        ):
+                            i += 1
                     return i
             i += 1
         return None
@@ -2751,9 +2928,63 @@ def _rewrite_similar_to(sql: str) -> str:
                 else:
                     break
             pat = sql[m.end() : rend + 1].strip()
-            rep = f"rlike({left}, concat('^(?:', {pat}, ')$'))"
+            # `||` not concat(): the skip-NULLs pass would re-capture the
+            # emitted concat and a NULL pattern must stay NULL (trap 31)
+            rep = f"rlike({left}, '^(?:' || ({pat}) || ')$')"
             end = rend + 1
         if m.group(1):
+            rep = f"NOT ({rep})"
+        sql = sql[:ls] + "(" + rep + ")" + sql[end:]
+    return sql
+
+
+_TILDE_OP = re.compile(r"(?<![~!<>=|^*/%+-])(!?~)(?![~*=])")
+
+
+def _rewrite_tilde_regex(sql: str) -> str:
+    """Postgres-style regex operators ``x ~ p`` / ``x !~ p`` → anchored
+    RLIKE (probed: DuckDB ``~`` is regexp_full_match — ``'abcd' ~ 'b.'``
+    is false).  A ``~`` with no left operand (or a keyword before it) is
+    unary bitwise NOT in both engines and is left alone."""
+    while True:
+        mask = _code_mask(sql)
+        hit = None
+        for c in _TILDE_OP.finditer(sql):
+            if not all(mask[i] for i in range(c.start(1), c.end(1))):
+                continue
+            ls = _left_operand_start(sql, mask, c.start(1))
+            if ls is None:
+                # the operand helper rejects keyword tokens, but a literal
+                # NULL left side is a valid regex operand (NULL ~ p → NULL)
+                nm = re.search(r"(?<![\w$])NULL\s*$", sql[: c.start(1)], re.IGNORECASE)
+                if nm is None:
+                    continue
+                ls = nm.start()
+            left = sql[ls : c.start(1)].strip()
+            if not left or (
+                left.lower() in _BRACKET_NONLITERAL_KEYWORDS
+                and left.lower() != "null"
+            ):
+                continue  # unary bitwise-NOT position
+            hit = (c, ls, left)
+            break
+        if hit is None:
+            return sql
+        m, ls, left = hit
+        lit = re.match(r"\s*'((?:[^']|'')*)'(?!\s*\|\|)", sql[m.end(1) :])
+        if lit:
+            rep = f"{left} RLIKE '^(?:{lit.group(1)})$'"
+            end = m.end(1) + lit.end()
+        else:
+            rend = _right_operand_end(sql, mask, m.end(1))
+            if rend is None:
+                return sql
+            pat = sql[m.end(1) : rend + 1].strip()
+            # `||` not concat(): the skip-NULLs pass would re-capture the
+            # emitted concat and a NULL pattern must stay NULL (trap 31)
+            rep = f"rlike({left}, '^(?:' || ({pat}) || ')$')"
+            end = rend + 1
+        if m.group(1).startswith("!"):
             rep = f"NOT ({rep})"
         sql = sql[:ls] + "(" + rep + ")" + sql[end:]
     return sql
@@ -3543,6 +3774,7 @@ def _rewrite_divmod_null(sql: str) -> str:
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_order_by_nulls(
         _rewrite_series_tvf(
+        _rewrite_tilde_regex(
         _rewrite_similar_to(
             _rewrite_power(
                 _rewrite_caret_at(
@@ -3553,6 +3785,7 @@ def _rewrite_ops_pack(sql: str) -> str:
                     )
                 )
             )
+        )
         )
         )
     )
@@ -3658,6 +3891,17 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
         swapped = _swap_len_to_size(base)
         if swapped != base and swapped not in out:
             out.append(swapped)
+    # string-typed subscripts: retry with every x[i] / x[i:j] rendered via
+    # substr (DuckDB subscripts are polymorphic; element_at/slice are not)
+    if "[" in sql:
+        global _STRING_SUBSCRIPTS
+        _STRING_SUBSCRIPTS = True
+        try:
+            strsub = rewrite_duckdb_dialect(sql)
+        finally:
+            _STRING_SUBSCRIPTS = False
+        if strsub != primary and strsub not in out:
+            out.append(strsub)
     return out
 
 

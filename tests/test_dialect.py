@@ -237,7 +237,14 @@ def test_fn_map_list_functions():
     out = rewrite_duckdb_dialect(
         "SELECT list_contains(xs, 1), list_distinct(xs), list_sort(xs) FROM t"
     )
-    assert out == "SELECT array_contains(xs, 1), array_distinct(xs), sort_array(xs) FROM t"
+    # list_contains carries DuckDB's NULL semantics (false on not-found
+    # even with NULL elements; NULL only for NULL list/needle — fuzz r8)
+    assert out == (
+        "SELECT (CASE WHEN (xs) IS NULL OR (1) IS NULL THEN NULL "
+        "ELSE coalesce(array_contains((xs), (1)), false) END), "
+        "array_union(filter((xs), x -> x IS NOT NULL), "
+        "filter((xs), x -> x IS NOT NULL)), sort_array(xs) FROM t"
+    )
 
 
 def test_fn_map_list_aggregate_and_epoch():
@@ -462,7 +469,12 @@ def test_fn_map_list_min_max_intersect_overlap():
 
 def test_list_unique_wraps_distinct():
     out = rewrite_duckdb_dialect("SELECT list_unique(xs) FROM t")
-    assert out == "SELECT size(array_distinct(xs)) FROM t"
+    # the distinct expansion drops NULL elements (DuckDB counts non-NULL
+    # distinct values: list_unique([9,2,NULL]) = 2, [NULL,NULL] = 0)
+    assert out == (
+        "SELECT size(array_union(filter((xs), x -> x IS NOT NULL), "
+        "filter((xs), x -> x IS NOT NULL))) FROM t"
+    )
 
 
 def test_list_has_all_via_array_except():
@@ -1030,7 +1042,10 @@ def test_similar_to_anchored():
 
 def test_similar_to_concat_chain_binds_tighter():
     out = rewrite_duckdb_dialect("SELECT y SIMILAR TO pre || '$' FROM t")
-    assert out == "SELECT (rlike(y, concat_ws('', '^(?:', pre || '$', ')$'))) FROM t"
+    # anchors splice via `||` so a NULL pattern stays NULL (the old
+    # concat emission was captured by the skip-NULLs pass and matched
+    # '^(?:)$' instead — fuzz r8)
+    assert out == "SELECT (rlike(y, '^(?:' || (pre || '$') || ')$')) FROM t"
 
 
 def test_dollar_quoted_strings():
@@ -1545,4 +1560,70 @@ def test_fuzz_pinned_divergences_match_duckdb(engine):
             assert math.isclose(float(got), float(want), rel_tol=1e-9, abs_tol=1e-9), (
                 q, got, want,
             )
+    con.close()
+
+
+def test_fuzz_pinned_r8_wave2_match_duckdb(engine):
+    """Minimized reproductions from the r8 extended-grammar fuzz campaign
+    (lists, subscripts, regex operators, struct fields) — each was a real
+    cross-engine divergence, fixed in the bracket/tilde/macro passes and
+    pinned here verbatim."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # list_concat must keep LIST type and skip NULL sides — the old
+        # rename to concat stringified through the skip-NULLs pass
+        "SELECT list_concat(list_filter([], x -> x < 5), [1,2]) AS c0",
+        "SELECT list_concat([1], NULL) AS c0",
+        "SELECT list_concat(NULL, NULL) AS c0",
+        # string subscripts (DuckDB polymorphic brackets): 0 and
+        # out-of-range clamp to '', negatives count from the end
+        "SELECT ('abc')[2] AS c0, ('abc')[0] AS c1, ('abc')[-1] AS c2",
+        "SELECT ('abc')[-5] AS c0, ('abc')[7] AS c1",
+        "SELECT ('abcdef')[2:4] AS c0, ('abcdef')[-3:-1] AS c1",
+        "SELECT ('abcdef')[4:2] AS c0, ('abcdef')[0:2] AS c1",
+        "SELECT ('abcdef')[2:] AS c0, ('abcdef')[:3] AS c1",
+        # mixed string and array subscripts in one statement (seed 72)
+        "SELECT ((CASE WHEN (3 < CAST(NULL AS INTEGER)) THEN 'a''b' "
+        "ELSE '' END))[-1] AS c3, ([NULL, 1, 7])[3] AS c4",
+        # postgres-style regex operators are FULL-match in DuckDB
+        "SELECT ('abcd' ~ 'b.') AS c0, ('xy' ~ 'x.') AS c1",
+        "SELECT ('xy' !~ 'x.') AS c0, (NULL ~ 'x') AS c1, ('xy' ~ NULL) AS c2",
+        "SELECT (upper('ab') ~ ('A' || 'B')) AS c0, (~ 5) AS c1",
+        # array_to_string: NULL for NULL/empty/all-NULL lists (seeds 89/104)
+        "SELECT array_to_string([], ',') AS c0, array_to_string([NULL], ',') AS c1",
+        "SELECT array_to_string([1,NULL,2], ',') AS c0",
+        # list_contains: false (not NULL) on not-found with NULL elements
+        # (seed 190); NULL only for NULL list or needle
+        "SELECT list_contains([0, NULL, 1, NULL], -1.5) AS c0",
+        "SELECT list_contains([0, NULL, 1], 1) AS c0, "
+        "list_contains(NULL, 1) AS c1, list_contains([1,2], NULL) AS c2",
+        # struct-field access as an operand of % and // (seeds 198/349)
+        "SELECT (({'a': 100, 'b': 0}).a % sqrt(abs(CAST(NULL AS INTEGER)) + 1)) AS c0",
+        "SELECT ((- 10) // ({'a': 4, 'b': 2}).a) AS c0",
+        # list_distinct drops NULL elements in DuckDB (seed 1045); the
+        # expansion must not re-trigger its own macro (trap 27)
+        "SELECT list_sort(list_distinct([9, 2, NULL])) AS c0",
+        "SELECT list_sort(array_distinct([3, NULL, 3, 1])) AS c0, "
+        "list_distinct(NULL) AS c1",
+        # subscripts on array_to_string results are STRING subscripts even
+        # though the name starts with 'array' (seeds 598/605)
+        "SELECT (array_to_string([-1, 0], ','))[3] AS c0",
+        "SELECT (array_to_string(list_transform(range(3, 5), x -> x - 3), ','))[1:3] AS c0",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert len(got) == len(want), q
+        for gr, wr in zip(got, want):
+            for gv, wv in zip(gr, wr):
+                if gv is None or wv is None:
+                    assert gv is None and wv is None, (q, gv, wv)
+                elif isinstance(gv, (int, float)) and isinstance(wv, (int, float)):
+                    # dynamic // dispatch renders integers through DOUBLE
+                    # (residual #3) — compare numerically like the fuzzer
+                    assert float(gv) == float(wv), (q, gv, wv)
+                else:
+                    assert str(gv) == str(wv), (q, gv, wv)
     con.close()

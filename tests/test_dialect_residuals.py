@@ -106,3 +106,11 @@ def test_residual_8_asof_unsupported_raises():
         rewrite_duckdb_dialect(
             "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts IS NOT DISTINCT FROM b.ts"
         )
+
+
+def test_residual_9_ubigint_negation_stays_signed(engine):
+    """#9: DuckDB negates unsigned counts with UBIGINT wraparound
+    (fuzz r8 seed 259); Spark counts are signed BIGINT."""
+    q = "SELECT (- list_unique([-1, 9, -1])) AS v"
+    assert engine.sql(q).collect()[0][0] == -2
+    assert duckdb.connect().execute(q).fetchone()[0] == 18446744073709551614
