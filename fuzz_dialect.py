@@ -174,9 +174,20 @@ class Gen:
                     "num", (t,))
             return E(f"{self.pick(['week', 'quarter', 'isodow'])}({t.sql})", "num", (t,))
         if choice == 15:
-            a, b = self.num(0), self.num(0)
-            key = self.pick(["a", "b"])
-            return E(f"({{'a': {a.sql}, 'b': {b.sql}}}).{key}", "num", (a, b))
+            form = r.randrange(3)
+            if form == 0:
+                a, b = self.num(0), self.num(0)
+                key = self.pick(["a", "b"])
+                return E(f"({{'a': {a.sql}, 'b': {b.sql}}}).{key}", "num", (a, b))
+            if form == 1:
+                # DuckDB int casts ROUND half-away (2.5::BIGINT = 3)
+                a = self.num(d - 1)
+                t = self.pick(["BIGINT", "INTEGER", "INT"])
+                if r.random() < 0.5:
+                    return E(f"(({a.sql})::{t})", "num", (a,))
+                return E(f"CAST(({a.sql}) AS {t})", "num", (a,))
+            a = self.num(d - 1)
+            return E(f"(({a.sql})::DOUBLE)", "num", (a,))
         if choice == 4:
             a = self.num(d - 1)
             fn = self.pick(["abs", "floor", "ceil", "sign", "round"])
@@ -243,8 +254,19 @@ class Gen:
                 return E(f"strftime({t.sql}, {self.pick(STRF_FMTS)})", "str", (t,))
             return E(f"{self.pick(['dayname', 'monthname'])}({t.sql})", "str", (t,))
         if choice == 12:
-            l = self.lst(d - 1)
-            return E(f"array_to_string({l.sql}, ',')", "str", (l,))
+            form = r.randrange(3)
+            if form == 0:
+                l = self.lst(d - 1)
+                return E(f"array_to_string({l.sql}, ',')", "str", (l,))
+            if form == 1:
+                doc = "'{\"a\": 1, \"b\": {\"c\": 5}, \"d\": [7, 8]}'"
+                path = self.pick(
+                    [f"{doc} ->> 'a'", f"{doc} -> 'b' ->> 'c'",
+                     f"{doc} -> 'd' ->> 1", f"{doc} ->> 'missing'"]
+                )
+                return E(f"({path})", "str")
+            a = self.s(d - 1)
+            return E(f"(({a.sql})::VARCHAR)", "str", (a,))
         if choice == 1:
             a = self.s(d - 1)
             i, n = r.randrange(1, 5), r.randrange(0, 6)

@@ -2589,6 +2589,148 @@ def _looks_like_cast(sql: str, mask: list[bool], pos: int) -> bool:
     return False
 
 
+# ── CAST to integer: DuckDB ROUNDS, Spark truncates ─────────────────────
+#
+# Probed: ``CAST(2.5 AS BIGINT)`` / ``2.5::BIGINT`` → 3 in DuckDB
+# (half-away-from-zero, ``-2.5`` → -3) while Spark truncates to 2 — a
+# silent wrong answer on any fractional value (playbook trap 7, fuzz
+# r8).  Each integer-typed cast dispatches on runtime typeof: fractional
+# inputs round half-away via the floor formula computed in DOUBLE (the
+# explicit DOUBLE cast keeps the THEN branch analyzable for string
+# operands; decimals above 2^53 lose exactness there — accepted edge),
+# everything else keeps the plain cast.
+
+_CAST_INT_TYPES = frozenset(
+    "bigint integer int int1 int2 int4 int8 smallint tinyint signed".split()
+)
+_CAST_CALL_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+_COLON_INT_RE = re.compile(
+    r"::\s*(BIGINT|INTEGER|INT[1248]?|SMALLINT|TINYINT|SIGNED)(?![\w$(])",
+    re.IGNORECASE,
+)
+
+
+def _paren_close(sql: str, mask: list[bool], i: int) -> int | None:
+    depth = 0
+    for k in range(i, len(sql)):
+        if not mask[k]:
+            continue
+        if sql[k] == "(":
+            depth += 1
+        elif sql[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    return None
+
+
+def _split_top_as(text: str) -> tuple[str, str] | None:
+    """Split ``operand AS type`` on the LAST top-level ``AS``."""
+    mask = _code_mask(text)
+    depth = 0
+    best = None
+    for m in re.finditer(r"(?<![\w$])AS(?![\w$])", text, re.IGNORECASE):
+        i = m.start()
+        if not all(mask[i : i + 2]):
+            continue
+        d = 0
+        for k in range(i):
+            if mask[k] and text[k] in "([":
+                d += 1
+            elif mask[k] and text[k] in ")]":
+                d -= 1
+        if d == 0:
+            best = i
+    if best is None:
+        return None
+    return text[:best], text[best + 2 :]
+
+
+def _int_cast_emit(fn: str, x: str, T: str) -> str:
+    xd = f"CAST(({x}) AS DOUBLE)"
+    rounded = (
+        f"(CASE WHEN {xd} < 0 THEN -floor(0.5 - {xd}) "
+        f"ELSE floor({xd} + 0.5) END)"
+    )
+    return (
+        f"(CASE WHEN typeof(({x})) IN ('double', 'float') "
+        f"OR typeof(({x})) LIKE 'decimal%' "
+        f"THEN {fn}({rounded} AS {T}) "
+        f"ELSE {fn}(({x}) AS {T}) END)"
+    )
+
+
+def _rewrite_int_casts(sql: str) -> str:
+    # CAST/TRY_CAST(x AS <int>) — innermost-first via recursion on the
+    # operand; the scan cursor jumps past each emission so the plain-cast
+    # ELSE branch is never re-captured (trap 31)
+    out = sql
+    pos = 0
+    for _ in range(400):  # safety cap
+        mask = _code_mask(out)
+        m = next(
+            (
+                c
+                for c in _CAST_CALL_RE.finditer(out, pos)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            break
+        close = _paren_close(out, mask, m.end() - 1)
+        if close is None:
+            pos = m.end()
+            continue
+        split = _split_top_as(out[m.end() : close])
+        if split is None:
+            pos = m.end()
+            continue
+        x, T = split
+        if T.strip().lower() not in _CAST_INT_TYPES:
+            pos = m.end()
+            continue
+        if x.strip().lower().startswith("try_divide"):
+            # the // pass (which runs earlier) emits CAST(try_divide(..)
+            # AS BIGINT) for its TRUNCATING integer branch — rounding it
+            # would break integer division
+            pos = m.end()
+            continue
+        rep = _int_cast_emit(
+            m.group(1).upper(), _rewrite_int_casts(x.strip()), T.strip()
+        )
+        out = out[: m.start()] + rep + out[close + 1 :]
+        pos = m.start() + len(rep)
+    # x::<int> — the left operand (already cast-processed above) rounds
+    # the same way; chains fold left because the cursor resumes after
+    # each emission
+    pos = 0
+    for _ in range(400):
+        mask = _code_mask(out)
+        m = next(
+            (
+                c
+                for c in _COLON_INT_RE.finditer(out, pos)
+                if all(mask[i] for i in range(c.start(), c.start() + 2))
+            ),
+            None,
+        )
+        if m is None:
+            break
+        ls = _left_operand_start(out, mask, m.start())
+        if ls is None:
+            pos = m.end()
+            continue
+        x = out[ls : m.start()].strip()
+        if not x or x.lower() in _BRACKET_NONLITERAL_KEYWORDS:
+            pos = m.end()
+            continue
+        rep = _int_cast_emit("CAST", x, m.group(1).upper())
+        out = out[:ls] + rep + out[m.end() :]
+        pos = ls + len(rep)
+    return out
+
+
 def _rewrite_intdiv(sql: str) -> str:
     if "//" not in sql:
         return sql
@@ -3793,7 +3935,7 @@ def _rewrite_ops_pack(sql: str) -> str:
 
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    return _rewrite_divmod_null(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_qualify(
+    return _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
                 _rewrite_exclude(
@@ -3833,7 +3975,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                 )
             )
         )
-    ))))
+    )))))
 
 
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
@@ -3880,7 +4022,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
             )
         )
     )
-    alt = _rewrite_divmod_null(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(alt)))
+    alt = _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(alt))))
     primary = rewrite_duckdb_dialect(sql)
     out = [alt] if alt != primary else []
     # DuckDB ``len`` is polymorphic (strings AND lists); Spark's ``len``
@@ -3902,6 +4044,11 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
             _STRING_SUBSCRIPTS = False
         if strsub != primary and strsub not in out:
             out.append(strsub)
+            # a query can need BOTH variants at once — string subscripts
+            # and the array reading of ``len`` (fuzz r8 seed 1427)
+            swapped = _swap_len_to_size(strsub)
+            if swapped != strsub and swapped not in out:
+                out.append(swapped)
     return out
 
 

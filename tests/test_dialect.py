@@ -1065,9 +1065,15 @@ def test_struct_and_map_literals():
         == "SELECT map('k', 2, 'j', 3)"
     )
     # nested struct + list literal value; casts inside values survive
+    # (the ::INT cast now dispatches through the int-cast rounding pass —
+    # DuckDB rounds fractional casts where Spark truncates, fuzz r8)
     assert (
         rewrite_duckdb_dialect("SELECT {'a': {'b': [1,2]}, 'c': x::INT}")
-        == "SELECT named_struct('a', named_struct('b', array(1,2)), 'c', x::INT)"
+        == "SELECT named_struct('a', named_struct('b', array(1,2)), 'c', "
+        "(CASE WHEN typeof((x)) IN ('double', 'float') OR typeof((x)) "
+        "LIKE 'decimal%' THEN CAST((CASE WHEN CAST((x) AS DOUBLE) < 0 "
+        "THEN -floor(0.5 - CAST((x) AS DOUBLE)) ELSE floor(CAST((x) AS "
+        "DOUBLE) + 0.5) END) AS INT) ELSE CAST((x) AS INT) END))"
     )
 
 
@@ -1611,6 +1617,17 @@ def test_fuzz_pinned_r8_wave2_match_duckdb(engine):
         # though the name starts with 'array' (seeds 598/605)
         "SELECT (array_to_string([-1, 0], ','))[3] AS c0",
         "SELECT (array_to_string(list_transform(range(3, 5), x -> x - 3), ','))[1:3] AS c0",
+        # a query can need string subscripts AND the array reading of len
+        # at the same time (seed 1427)
+        "SELECT ((1 = len(range(2, 2))) AND "
+        "(array_to_string(range(-2, -2), ',') <> ('xy')[-2])) AS c0",
+        # integer-typed casts ROUND half-away in DuckDB, Spark truncates
+        "SELECT CAST(2.5 AS BIGINT) AS c0, CAST(-2.5 AS INTEGER) AS c1, "
+        "CAST(2.4 AS BIGINT) AS c2",
+        "SELECT (2.5)::BIGINT AS c0, TRY_CAST(3.5 AS INTEGER) AS c1, "
+        "CAST(CAST(2.5 AS INT) AS BIGINT) AS c2",
+        "SELECT ('7')::INTEGER + 1 AS c0, CAST(true AS INT) AS c1, "
+        "TRY_CAST('x' AS INTEGER) AS c2",
     ]
     for q in battery:
         got = [tuple(r) for r in engine.sql(q).collect()]
