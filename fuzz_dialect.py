@@ -488,7 +488,14 @@ def gen_query(rng: random.Random):
     if shape < 10:  # agg-shape (+ optional HAVING)
         gkey = rng.choice(cols["num"] + cols["str"])
         exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
-        having = "count(*) >= 1" if rng.random() < 0.4 else None
+        having = None
+        if rng.random() < 0.4:
+            having = rng.choice(
+                ["count(*) >= 1",
+                 f"count(*) > {rng.randrange(0, 3)}",
+                 f"max({rng.choice(cols['num'])}) IS NOT NULL",
+                 f"avg({rng.choice(cols['num'])}) <> 0.125"]
+            )
         base_filter = cols.get("filter")
 
         def render(es):
@@ -510,6 +517,15 @@ def gen_query(rng: random.Random):
              f"lag({rng.choice(cols['num'])})",
              f"lead({rng.choice(cols['num'])})"]
         )
+        frame = ""
+        if rng.random() < 0.4 and "(" not in wfn[:4]:  # no frame for rank family
+            frame = ""
+        elif rng.random() < 0.5 and wfn.startswith(("sum", "count")):
+            frame = rng.choice(
+                [" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                 " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                 " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+            )
         base_filter = cols.get("filter")
 
         def render(es):
@@ -517,7 +533,7 @@ def gen_query(rng: random.Random):
             w = f" WHERE {base_filter}" if base_filter else ""
             return (
                 f"SELECT {sel}, {wfn} OVER "
-                f"(PARTITION BY {part} ORDER BY {cols['key']}) AS wv "
+                f"(PARTITION BY {part} ORDER BY {cols['key']}{frame}) AS wv "
                 f"FROM {table}{w} ORDER BY {cols['key']}"
             )
 

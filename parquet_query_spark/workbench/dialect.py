@@ -2647,15 +2647,20 @@ def _split_top_as(text: str) -> tuple[str, str] | None:
 
 
 def _int_cast_emit(fn: str, x: str, T: str) -> str:
+    # DECIMAL → int rounds HALF AWAY FROM ZERO (probed: CAST(0.5 AS INT)
+    # = 1, CAST(-2.5 AS INT) = -3); DOUBLE/FLOAT → int rounds HALF TO
+    # EVEN (probed: CAST(2.5::DOUBLE AS INT) = 2, 3.5 → 4, -2.5 → -2 —
+    # std::nearbyint), which Spark bround matches.
     xd = f"CAST(({x}) AS DOUBLE)"
-    rounded = (
+    away = (
         f"(CASE WHEN {xd} < 0 THEN -floor(0.5 - {xd}) "
         f"ELSE floor({xd} + 0.5) END)"
     )
     return (
         f"(CASE WHEN typeof(({x})) IN ('double', 'float') "
-        f"OR typeof(({x})) LIKE 'decimal%' "
-        f"THEN {fn}({rounded} AS {T}) "
+        f"THEN {fn}(bround({xd}) AS {T}) "
+        f"WHEN typeof(({x})) LIKE 'decimal%' "
+        f"THEN {fn}({away} AS {T}) "
         f"ELSE {fn}(({x}) AS {T}) END)"
     )
 

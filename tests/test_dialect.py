@@ -1070,8 +1070,10 @@ def test_struct_and_map_literals():
     assert (
         rewrite_duckdb_dialect("SELECT {'a': {'b': [1,2]}, 'c': x::INT}")
         == "SELECT named_struct('a', named_struct('b', array(1,2)), 'c', "
-        "(CASE WHEN typeof((x)) IN ('double', 'float') OR typeof((x)) "
-        "LIKE 'decimal%' THEN CAST((CASE WHEN CAST((x) AS DOUBLE) < 0 "
+        "(CASE WHEN typeof((x)) IN ('double', 'float') "
+        "THEN CAST(bround(CAST((x) AS DOUBLE)) AS INT) "
+        "WHEN typeof((x)) LIKE 'decimal%' "
+        "THEN CAST((CASE WHEN CAST((x) AS DOUBLE) < 0 "
         "THEN -floor(0.5 - CAST((x) AS DOUBLE)) ELSE floor(CAST((x) AS "
         "DOUBLE) + 0.5) END) AS INT) ELSE CAST((x) AS INT) END))"
     )
@@ -1621,9 +1623,16 @@ def test_fuzz_pinned_r8_wave2_match_duckdb(engine):
         # at the same time (seed 1427)
         "SELECT ((1 = len(range(2, 2))) AND "
         "(array_to_string(range(-2, -2), ',') <> ('xy')[-2])) AS c0",
-        # integer-typed casts ROUND half-away in DuckDB, Spark truncates
+        # integer-typed casts ROUND in DuckDB, Spark truncates: decimal
+        # rounds half-away, double/float half-to-even (std::nearbyint)
         "SELECT CAST(2.5 AS BIGINT) AS c0, CAST(-2.5 AS INTEGER) AS c1, "
         "CAST(2.4 AS BIGINT) AS c2",
+        "SELECT CAST((0.5)::DOUBLE AS INT) AS c0, "
+        "CAST((2.5)::DOUBLE AS INT) AS c1, "
+        "CAST((3.5)::DOUBLE AS INT) AS c2, "
+        "CAST((-2.5)::DOUBLE AS INT) AS c3",
+        "SELECT CAST(((2.5 / -1)) AS INT) AS c0, "
+        "CAST((2.5)::FLOAT AS INT) AS c1",
         "SELECT (2.5)::BIGINT AS c0, TRY_CAST(3.5 AS INTEGER) AS c1, "
         "CAST(CAST(2.5 AS INT) AS BIGINT) AS c2",
         "SELECT ('7')::INTEGER + 1 AS c0, CAST(true AS INT) AS c1, "
