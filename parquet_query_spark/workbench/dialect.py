@@ -727,7 +727,6 @@ _FN_MAP = {
     "string_split": "split",
     "str_split": "split",
     "string_split_regex": "split",
-    "list_sort": "sort_array",
     "list_append": "array_append",
     # (list_prepend is a MACRO — DuckDB takes (elem, list), Spark
     # array_prepend takes (list, elem); a plain rename swaps the args)
@@ -1126,6 +1125,65 @@ def _macro_list_prepend(args: list[str]) -> str | None:
     if len(args) != 2:
         return None
     return f"array_prepend(({args[1].strip()}), ({args[0].strip()}))"
+
+
+_DEC_LITERAL = re.compile(r"^[+-]?\d+\.\d+$")
+
+
+def _macro_least_greatest_double(name):
+    """DuckDB types least/greatest with ANY decimal argument as DOUBLE
+    (probed: typeof(least(2.5, 1.5)) = DOUBLE, all-int = BIGINT), while
+    Spark keeps DECIMAL — downstream typeof dispatch (int-cast rounding,
+    //) then diverges (fuzz r8 seed 6749: (least(2.5, 3))::INT is 2 via
+    half-even DOUBLE in DuckDB, was 3 via half-away DECIMAL here).
+    Casting each top-level decimal-LITERAL argument to DOUBLE makes
+    Spark's common type DOUBLE whenever the literal is what made
+    DuckDB's; decimal COLUMNS without a literal stay a documented
+    residual (#3 class).  Returns None when no literal matches, which
+    also ends the fixpoint re-match."""
+
+    def macro(args: list[str]) -> str | None:
+        if len(args) < 2 or not any(
+            _DEC_LITERAL.match(a.strip()) for a in args
+        ):
+            return None
+        out = [
+            f"CAST({a.strip()} AS DOUBLE)"
+            if _DEC_LITERAL.match(a.strip())
+            else a.strip()
+            for a in args
+        ]
+        return f"{name}({', '.join(out)})"
+
+    return macro
+
+
+def _macro_list_sort(args: list[str]) -> str | None:
+    """DuckDB ``list_sort`` places NULLs LAST in both directions (probed:
+    ``list_sort([NULL, 2, -1, -1])`` → [-1, -1, 2, NULL]; 'DESC' →
+    [2, NULL]); Spark ``sort_array`` ascending puts NULLs FIRST (fuzz r8
+    seed 6698), while ``array_sort`` ascending and ``sort_array(_,
+    false)`` descending both match.  Direction forms beyond a literal
+    ASC/DESC are left untouched so Spark's error names them."""
+    a = args[0].strip()
+    if len(args) == 1:
+        return f"array_sort(({a}))"
+    if len(args) == 2:
+        d = args[1].strip().strip("'").lower()
+        if d == "desc":
+            return f"sort_array(({a}), false)"
+        if d == "asc":
+            return f"array_sort(({a}))"
+    return None
+
+
+def _macro_array_sort_direction(args: list[str]) -> str | None:
+    # Spark's own 1-arg array_sort already sorts NULLS LAST — rewriting
+    # it would re-trigger this macro every fixpoint pass (trap 27); only
+    # DuckDB's 2-arg direction form needs translating.
+    if len(args) == 2:
+        return _macro_list_sort(args)
+    return None
 
 
 def _macro_list_reverse_sort(args: list[str]) -> str | None:
@@ -1631,6 +1689,10 @@ _FN_MACROS = {
     "isfinite": _macro_isfinite,
     "isinf": _macro_isinf,
     "list_prepend": _macro_list_prepend,
+    "least": _macro_least_greatest_double("least"),
+    "greatest": _macro_least_greatest_double("greatest"),
+    "list_sort": _macro_list_sort,
+    "array_sort": _macro_array_sort_direction,
     "list_reverse_sort": _macro_list_reverse_sort,
     "array_reverse_sort": _macro_list_reverse_sort,
     "list_any_value": _macro_list_any_value,
@@ -3747,6 +3809,95 @@ def _rewrite_ducktype_numerics(sql: str) -> str:
     return sql
 
 
+def _flatten_leading_mul_groups(sql: str) -> str:
+    """See _rewrite_divmod_null: unwrap ``(a * b div c)`` when the group
+    starts a multiplicative chain and contains only top-level ``*``/
+    ``div`` operators."""
+    for _ in range(64):
+        mask = _code_mask(sql)
+        changed = False
+        for i, ch in enumerate(sql):
+            if ch != "(" or not mask[i]:
+                continue
+            j = _paren_close(sql, mask, i)
+            if j is None:
+                continue
+            inner = sql[i + 1 : j]
+            imask = _code_mask(inner)
+            depth = 0
+            has_mul = False
+            bad = False
+            k = 0
+            while k < len(inner):
+                if not imask[k]:
+                    k += 1
+                    continue
+                c = inner[k]
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    depth -= 1
+                elif depth == 0:
+                    if c == "*":
+                        has_mul = True
+                    elif c in "+-/%<>=!|&^~,:":
+                        bad = True
+                        break
+                    elif c.isalpha():
+                        w = k
+                        while k + 1 < len(inner) and (
+                            inner[k + 1].isalnum() or inner[k + 1] in "_$"
+                        ):
+                            k += 1
+                        word = inner[w : k + 1].lower()
+                        if word == "div":
+                            has_mul = True
+                        elif word in ("and", "or", "not", "case", "when",
+                                      "then", "else", "end", "is", "in",
+                                      "like", "between"):
+                            bad = True
+                            break
+                k += 1
+            if bad or not has_mul:
+                continue
+            # previous token must end a chain boundary (not a call name,
+            # postfix, or same-level operator)
+            p = i - 1
+            while p >= 0 and sql[p].isspace():
+                p -= 1
+            if p >= 0:
+                pc = sql[p]
+                if pc in "_$)]'\"" or pc in "*%/":
+                    continue
+                if pc.isalnum():
+                    w = p
+                    while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
+                        w -= 1
+                    word = sql[w + 1 : p + 1].lower()
+                    # a statement keyword is a chain boundary; any other
+                    # identifier would make the group a call argument
+                    if word not in _BRACKET_NEVER_CALL_KEYWORDS:
+                        continue
+            # next token must continue the chain with div or *
+            q = j + 1
+            while q < len(sql) and sql[q].isspace():
+                q += 1
+            if not (
+                sql[q : q + 1] == "*"
+                or (
+                    re.match(r"div(?![\w$])", sql[q:], re.IGNORECASE)
+                    and all(mask[x] for x in range(q, min(q + 3, len(sql))))
+                )
+            ):
+                continue
+            sql = sql[:i] + " " + inner + " " + sql[j + 1 :]
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
+
+
 def _rewrite_divmod_null(sql: str) -> str:
     """DuckDB returns NULL for division/modulo by zero (probed: ``5/0``,
     ``5 % 0``, ``5 // 0``, ``5.0 % 0`` → all NULL) while Spark under ANSI
@@ -3780,6 +3931,15 @@ def _rewrite_divmod_null(sql: str) -> str:
     mis-capture)."""
     if "/" not in sql and "%" not in sql and not re.search(_DIVMOD_OP, sql):
         return sql
+    # ``(a // b) // c`` parses identically to ``a // b // c`` (same
+    # precedence level, left-assoc), but the parens split the chain into
+    # two rewrites and the inner CASE's DOUBLE surface type poisons the
+    # outer ``typeof`` dispatch (fuzz r8 seed 6884: integral chain took
+    # plain division).  Strip parens around a pure multiplicative group
+    # when it STARTS a chain — never after *, /, %, div (grouping would
+    # change: ``2 * (a div b) div c`` ≠ ``2 * a div b div c``) and never
+    # as a call/postfix argument.
+    sql = _flatten_leading_mul_groups(sql)
     skipped: set[tuple[int, str]] = set()
     guard = 0
     while guard < 500:

@@ -243,7 +243,7 @@ def test_fn_map_list_functions():
         "SELECT (CASE WHEN (xs) IS NULL OR (1) IS NULL THEN NULL "
         "ELSE coalesce(array_contains((xs), (1)), false) END), "
         "array_union(filter((xs), x -> x IS NOT NULL), "
-        "filter((xs), x -> x IS NOT NULL)), sort_array(xs) FROM t"
+        "filter((xs), x -> x IS NOT NULL)), array_sort((xs)) FROM t"
     )
 
 
@@ -262,8 +262,8 @@ def test_fn_map_qualified_name_reads_as_chain():
     # qualified function names only win when the schema exists); the shim
     # takes the same reading, so the rename then applies to the flattened
     # call.
-    sql = "SELECT db.list_sort(xs) FROM t"
-    assert rewrite_duckdb_dialect(sql) == "SELECT sort_array(db, xs) FROM t"
+    sql = "SELECT db.list_position(xs) FROM t"
+    assert rewrite_duckdb_dialect(sql) == "SELECT array_position(db, xs) FROM t"
 
 
 def test_fn_map_inside_string_untouched():
@@ -1633,6 +1633,18 @@ def test_fuzz_pinned_r8_wave2_match_duckdb(engine):
         "CAST((-2.5)::DOUBLE AS INT) AS c3",
         "SELECT CAST(((2.5 / -1)) AS INT) AS c0, "
         "CAST((2.5)::FLOAT AS INT) AS c1",
+        # list_sort places NULLs LAST in DuckDB, both directions
+        # (seed 6698); Spark sort_array ascending put them first
+        "SELECT (list_sort([NULL, 2, -1, -1]))[4] AS c0, "
+        "list_sort([NULL, 2], 'DESC') AS c1",
+        # least/greatest type as DOUBLE with any decimal argument
+        # (seed 6749): the ::INT then rounds half-even, not half-away
+        "SELECT ((least(2.5, 3))::INT) AS c0, "
+        "((greatest(0.5, 0))::INT) AS c1",
+        # a parenthesized // subchain keeps its integral dispatch when it
+        # starts the chain (seed 6884)
+        "SELECT ((17 // 17) // 17) AS c0, (10 - (9 // 2) // 2) AS c1, "
+        "(2 * (7 // 2)) AS c2, (2 * (7 // 2) // 2) AS c3",
         "SELECT (2.5)::BIGINT AS c0, TRY_CAST(3.5 AS INTEGER) AS c1, "
         "CAST(CAST(2.5 AS INT) AS BIGINT) AS c2",
         "SELECT ('7')::INTEGER + 1 AS c0, CAST(true AS INT) AS c1, "
