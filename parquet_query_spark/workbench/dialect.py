@@ -1158,6 +1158,45 @@ def _macro_least_greatest_double(name):
     return macro
 
 
+_IGNORE_NULLS_TAIL = re.compile(
+    r"^(.*?)\s+(IGNORE|RESPECT)\s+NULLS\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _macro_ignore_nulls_inside(name):
+    """DuckDB writes ``first_value(x IGNORE NULLS)`` INSIDE the call;
+    Spark puts the modifier after it: ``first_value(x) IGNORE NULLS``
+    (probed both).  Strips the tail from the last argument and re-emits
+    it post-call; re-match finds no tail and stops the fixpoint."""
+
+    def macro(args: list[str]) -> str | None:
+        if not args:
+            return None
+        m = _IGNORE_NULLS_TAIL.match(args[-1].strip())
+        if m is None:
+            return None
+        new_args = [a.strip() for a in args[:-1]] + [m.group(1).strip()]
+        return f"{name}({', '.join(new_args)}) {m.group(2).upper()} NULLS"
+
+    return macro
+
+
+def _macro_product(args: list[str]) -> str | None:
+    """DuckDB ``product(x)`` (DOUBLE aggregate).  Spark has no product
+    aggregate; composed from sign/zero bookkeeping + exp(sum(ln)) —
+    within the comparator's 1e-9 tolerance of DuckDB's sequential
+    multiply for non-extreme magnitudes."""
+    if len(args) != 1:
+        return None
+    x = args[0].strip()
+    return (
+        f"(CASE WHEN count(({x})) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN min(abs(({x}))) = 0 THEN 0.0d "
+        f"ELSE (CASE WHEN pmod(sum(CASE WHEN ({x}) < 0 THEN 1 ELSE 0 END), 2) = 1 "
+        f"THEN -1.0d ELSE 1.0d END) * exp(sum(ln(abs(CAST(({x}) AS DOUBLE))))) END)"
+    )
+
+
 def _macro_list_sort(args: list[str]) -> str | None:
     """DuckDB ``list_sort`` places NULLs LAST in both directions (probed:
     ``list_sort([NULL, 2, -1, -1])`` → [-1, -1, 2, NULL]; 'DESC' →
@@ -1691,6 +1730,12 @@ _FN_MACROS = {
     "list_prepend": _macro_list_prepend,
     "least": _macro_least_greatest_double("least"),
     "greatest": _macro_least_greatest_double("greatest"),
+    "first_value": _macro_ignore_nulls_inside("first_value"),
+    "last_value": _macro_ignore_nulls_inside("last_value"),
+    "nth_value": _macro_ignore_nulls_inside("nth_value"),
+    "lag": _macro_ignore_nulls_inside("lag"),
+    "lead": _macro_ignore_nulls_inside("lead"),
+    "product": _macro_product,
     "list_sort": _macro_list_sort,
     "array_sort": _macro_array_sort_direction,
     "list_reverse_sort": _macro_list_reverse_sort,
