@@ -132,6 +132,11 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    list_unique([1, 1])`` is 18446744073709551615 (UBIGINT arithmetic);
    Spark has no unsigned type, so counts stay signed and negate to -2
    (fuzz r8 seed 259).
+10. ``hash(x)`` returns Spark's 32-bit Murmur3, not DuckDB's 64-bit
+   internal hash — both are opaque; matching would require porting
+   DuckDB's private mix function.  ``strip_accents`` folds the curated
+   Latin-1 accent set via translate; characters outside it pass
+   through where DuckDB's full-Unicode NFD strip would fold them.
 """
 
 from __future__ import annotations
@@ -763,6 +768,12 @@ _FN_MAP = {
     # every entry pinned by an engine-vs-DuckDB differential
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "suffix": "endswith",
+    "prefix": "startswith",
+    "editdist3": "levenshtein",
+    "ord": "ascii",  # DuckDB ord = unicode codepoint; Spark ascii matches
+                     # (the unicode→ascii rename below is single-pass, so
+                     # ord must map to the FINAL name)
     "strpos": "instr",
     "string_to_array": "split",
     "from_hex": "unhex",
@@ -1090,13 +1101,6 @@ def _macro_date_sub3(args: list[str]) -> str | None:
     )
 
 
-def _macro_date_add_interval(args: list[str]) -> str | None:
-    # DuckDB date_add(d, INTERVAL ...) — Spark's date_add wants an int
-    # day count; interval addition is just +
-    if len(args) != 2 or not _INTERVAL_ARG.search(args[1]):
-        return None
-    return f"(({args[0].strip()}) + ({args[1].strip()}))"
-
 
 def _macro_trunc1(args: list[str]) -> str | None:
     # DuckDB single-arg trunc = toward zero; Spark trunc is date-only
@@ -1195,6 +1199,160 @@ def _macro_product(args: list[str]) -> str | None:
         f"ELSE (CASE WHEN pmod(sum(CASE WHEN ({x}) < 0 THEN 1 ELSE 0 END), 2) = 1 "
         f"THEN -1.0d ELSE 1.0d END) * exp(sum(ln(abs(CAST(({x}) AS DOUBLE))))) END)"
     )
+
+
+def _one_arg(args):
+    return args[0].strip() if len(args) == 1 else None
+
+
+def _macro_century(args):
+    a = _one_arg(args)
+    # probed: century(2000-12-31) = 20, century(2001-01-01) = 21
+    return None if a is None else f"CAST(ceil(year(({a})) / 100.0) AS BIGINT)"
+
+
+def _macro_decade(args):
+    a = _one_arg(args)
+    return None if a is None else f"CAST(floor(year(({a})) / 10.0) AS BIGINT)"
+
+
+def _macro_era(args):
+    a = _one_arg(args)
+    return None if a is None else f"(CASE WHEN year(({a})) > 0 THEN 1 ELSE 0 END)"
+
+
+def _macro_yearweek(args):
+    # probed: yearweek(1995-01-01) = 199452 (ISO year * 100 + ISO week)
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return f"(extract(YEAROFWEEK FROM ({a})) * 100 + weekofyear(({a})))"
+
+
+def _macro_julian(args):
+    # probed: julian(1995-06-17) = 2449886.0, 12:30 adds 0.5208 —
+    # i.e. unix days + 2440588 plus the time fraction
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return (
+        f"(CAST(unix_micros(CAST(({a}) AS TIMESTAMP)) AS DOUBLE) "
+        f"/ 86400000000.0 + 2440588)"
+    )
+
+
+def _macro_to_interval(days_mult=None, slot=None):
+    """DuckDB to_days/to_hours/… → Spark make_dt_interval, which the
+    Python client renders as the same timedelta (probed: to_years(2) is
+    720 days — DuckDB approximates years/months as 360/30 days when
+    converting to timedelta)."""
+
+    def macro(args):
+        a = _one_arg(args)
+        if a is None:
+            return None
+        if days_mult is not None:
+            return f"make_dt_interval(({a}) * {days_mult})"
+        z = ["0"] * slot + [f"({a})"]
+        return f"make_dt_interval({', '.join(z)})"
+
+    return macro
+
+
+def _macro_jaccard(args):
+    # probed: character-SET jaccard — jaccard('aab', 'ab') = 1.0
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    sa = f"array_distinct(split(({a}), ''))"
+    sb = f"array_distinct(split(({b}), ''))"
+    return (
+        f"(CAST(size(array_intersect({sa}, {sb})) AS DOUBLE) "
+        f"/ size(array_union({sa}, {sb})))"
+    )
+
+
+def _macro_hamming(args):
+    # positions that differ; DuckDB errors on unequal lengths — NULL here
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    return (
+        f"(CASE WHEN length(({a})) = length(({b})) THEN "
+        f"size(filter(zip_with(split(({a}), ''), split(({b}), ''), "
+        f"(x, y) -> x <> y), v -> v)) ELSE NULL END)"
+    )
+
+
+def _macro_parse_path(args):
+    # probed: parse_path('/a/b/c.txt') = ['/', 'a', 'b', 'c.txt'];
+    # relative paths have no leading '/' element
+    a = _one_arg(args)
+    if a is None:
+        return None
+    rest = f"filter(split(({a}), '/'), x -> x <> '')"
+    return (
+        f"(CASE WHEN substr(({a}), 1, 1) = '/' "
+        f"THEN flatten(array(array('/'), {rest})) ELSE {rest} END)"
+    )
+
+
+def _macro_parse_dirname(args):
+    # probed: FIRST path component ('/' for absolute, 'a' for 'a/b/c')
+    if len(args) not in (1, 2):
+        return None
+    a = args[0].strip()
+    return (
+        f"(CASE WHEN substr(({a}), 1, 1) = '/' THEN '/' "
+        f"ELSE try_element_at(filter(split(({a}), '/'), x -> x <> ''), 1) END)"
+    )
+
+
+def _macro_parse_filename(args):
+    # probed: last component; optional trim_extension arg
+    if len(args) not in (1, 2):
+        return None
+    a = args[0].strip()
+    base = f"try_element_at(filter(split(({a}), '/'), x -> x <> ''), -1)"
+    trim = args[1].strip().lower() if len(args) == 2 else "false"
+    if trim in ("true", "1"):
+        return f"regexp_replace({base}, '\\\\.[^.]*$', '')"
+    if trim in ("false", "0"):
+        return base
+    return None
+
+
+_ACCENTS_FROM = (
+    "\u00c0\u00c1\u00c2\u00c3\u00c4\u00c5\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5"
+    "\u00c8\u00c9\u00ca\u00cb\u00e8\u00e9\u00ea\u00eb"
+    "\u00cc\u00cd\u00ce\u00cf\u00ec\u00ed\u00ee\u00ef"
+    "\u00d2\u00d3\u00d4\u00d5\u00d6\u00f2\u00f3\u00f4\u00f5\u00f6"
+    "\u00d9\u00da\u00db\u00dc\u00f9\u00fa\u00fb\u00fc"
+    "\u00dd\u00fd\u00ff\u00d1\u00f1\u00c7\u00e7"
+)
+_ACCENTS_TO = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuYyyNnCc"
+
+
+def _macro_strip_accents(args):
+    """Latin-1 accent folding via translate (probed: 'AEIou N c' for
+    mixed input).  DuckDB does full Unicode NFD stripping; characters
+    outside the curated Latin-1 map pass through unchanged here —
+    a documented partial-coverage residual."""
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return f"translate(({a}), '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
+
+
+def _macro_date_add_interval(args):
+    # DuckDB date_add(date, INTERVAL) returns a TIMESTAMP (probed);
+    # Spark's 2-arg date_add is (date, int_days) — only the INTERVAL
+    # form is rewritten
+    if len(args) != 2:
+        return None
+    if not re.search(r"\bINTERVAL\b", args[1], re.IGNORECASE):
+        return None
+    return f"(CAST(({args[0].strip()}) AS TIMESTAMP) + ({args[1].strip()}))"
 
 
 def _macro_list_sort(args: list[str]) -> str | None:
@@ -1722,8 +1880,6 @@ _FN_MACROS = {
     "date_diff": _macro_date_diff,
     "datediff": _macro_date_diff,
     "date_sub": _macro_date_sub3,
-    "date_add": _macro_date_add_interval,
-    "dateadd": _macro_date_add_interval,
     "trunc": _macro_trunc1,
     "isfinite": _macro_isfinite,
     "isinf": _macro_isinf,
@@ -1736,6 +1892,29 @@ _FN_MACROS = {
     "lag": _macro_ignore_nulls_inside("lag"),
     "lead": _macro_ignore_nulls_inside("lead"),
     "product": _macro_product,
+    "century": _macro_century,
+    "decade": _macro_decade,
+    "era": _macro_era,
+    "yearweek": _macro_yearweek,
+    "julian": _macro_julian,
+    "to_days": _macro_to_interval(slot=0),
+    "to_hours": _macro_to_interval(slot=1),
+    "to_minutes": _macro_to_interval(slot=2),
+    "to_seconds": _macro_to_interval(slot=3),
+    "to_weeks": _macro_to_interval(days_mult=7),
+    "to_months": _macro_to_interval(days_mult=30),
+    "to_years": _macro_to_interval(days_mult=360),
+    "jaccard": _macro_jaccard,
+    "hamming": _macro_hamming,
+    "mismatches": _macro_hamming,
+    "parse_path": _macro_parse_path,
+    "parse_dirname": _macro_parse_dirname,
+    "parse_filename": _macro_parse_filename,
+    "strip_accents": _macro_strip_accents,
+    "date_add": _macro_date_add_interval,
+    "dateadd": _macro_date_add_interval,
+    "datesub": _macro_date_sub3,
+    "datetrunc": lambda args: f"date_trunc({', '.join(a.strip() for a in args)})" if len(args) == 2 else None,
     "list_sort": _macro_list_sort,
     "array_sort": _macro_array_sort_direction,
     "list_reverse_sort": _macro_list_reverse_sort,

@@ -114,3 +114,16 @@ def test_residual_9_ubigint_negation_stays_signed(engine):
     q = "SELECT (- list_unique([-1, 9, -1])) AS v"
     assert engine.sql(q).collect()[0][0] == -2
     assert duckdb.connect().execute(q).fetchone()[0] == 18446744073709551614
+
+
+def test_residual_10_hash_is_murmur3_not_duckdb(engine):
+    """#10: hash() is Spark Murmur3 (32-bit), DuckDB's is its own
+    64-bit mix — both opaque, values differ by design."""
+    got = engine.sql("SELECT hash('abc') AS v").collect()[0][0]
+    want = duckdb.connect().execute("SELECT hash('abc')").fetchone()[0]
+    assert got == 1322437556
+    assert want == 14846292297954449589
+    # strip_accents partial coverage: curated Latin-1 set folds, rare
+    # codepoints pass through (DuckDB folds them)
+    got2 = engine.sql("SELECT strip_accents('café') AS v").collect()[0][0]
+    assert got2 == "cafe"
