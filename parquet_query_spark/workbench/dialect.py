@@ -137,6 +137,8 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    DuckDB's private mix function.  ``strip_accents`` folds the curated
    Latin-1 accent set via translate; characters outside it pass
    through where DuckDB's full-Unicode NFD strip would fold them.
+   ``signbit(-0.0)`` is false (Spark normalizes negative zero before
+   the string-render probe); all non-zero signs and NaN agree.
 """
 
 from __future__ import annotations
@@ -771,6 +773,7 @@ _FN_MAP = {
     "suffix": "endswith",
     "prefix": "startswith",
     "editdist3": "levenshtein",
+    "iff": "if",
     "ord": "ascii",  # DuckDB ord = unicode codepoint; Spark ascii matches
                      # (the unicode→ascii rename below is single-pass, so
                      # ord must map to the FINAL name)
@@ -1316,7 +1319,8 @@ def _macro_parse_filename(args):
     base = f"try_element_at(filter(split(({a}), '/'), x -> x <> ''), -1)"
     trim = args[1].strip().lower() if len(args) == 2 else "false"
     if trim in ("true", "1"):
-        return f"regexp_replace({base}, '\\\\.[^.]*$', '')"
+        # 4-arg position form: exempt from the first-only rewrite
+        return f"regexp_replace({base}, '\\\\.[^.]*$', '', 1)"
     if trim in ("false", "0"):
         return base
     return None
@@ -1563,14 +1567,207 @@ def _macro_json_valid(args: list[str]) -> str | None:
     return f"(get_json_object(({args[0].strip()}), '$') IS NOT NULL)"
 
 
+def _pattern_group_index(pat_literal: str, name: str) -> int | None:
+    """1-based index of capturing group ``name`` in a literal pattern
+    (both ``(?P<name>`` and ``(?<name>`` spellings)."""
+    idx = 0
+    i = 0
+    n = len(pat_literal)
+    while i < n:
+        c = pat_literal[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            nxt = pat_literal[i + 1 : i + 2]
+            if nxt != "?":
+                idx += 1
+            else:
+                m = re.match(r"\(\?P?<([A-Za-z_]\w*)>", pat_literal[i:])
+                if m:
+                    idx += 1
+                    if m.group(1) == name:
+                        return idx
+        i += 1
+    return None
+
+
+def _java_named_groups(pat: str) -> str:
+    # Java regex uses (?<name>...); DuckDB accepts Python's (?P<name>...)
+    return pat.replace("(?P<", "(?<")
+
+
 def _macro_regexp_extract2(args: list[str]) -> str | None:
     # DuckDB's 2-arg default is group 0 (whole match); Spark's is
-    # group 1 — make group 0 explicit
-    if len(args) != 2:
+    # group 1 — make group 0 explicit.  A 3rd-arg group NAME resolves to
+    # its index in a literal pattern; a LIST of names returns a struct
+    # of the named groups (probed: regexp_extract(s, p, ['a','b']) →
+    # {'a': ..., 'b': ...}).
+    if len(args) == 2:
+        return (
+            f"regexp_extract(({args[0].strip()}), ({args[1].strip()}), 0)"
+        )
+    if len(args) != 3:
+        return None
+    sarg, parg, g = args[0].strip(), args[1].strip(), args[2].strip()
+    pl = re.fullmatch(r"'((?:[^']|'')*)'", parg)
+    nm = re.fullmatch(r"'([A-Za-z_]\w*)'", g)
+    if nm and pl:
+        idx = _pattern_group_index(pl.group(1), nm.group(1))
+        if idx is None:
+            return None
+        return (
+            f"regexp_extract(({sarg}), '{_java_named_groups(pl.group(1))}', {idx})"
+        )
+    # the bracket pass has already turned ['a', 'b'] into array('a', 'b');
+    # list names label the pattern's capture groups POSITIONALLY (probed:
+    # group 1 → first name)
+    lst = re.fullmatch(r"(?:\[[^\]]*\]|array\s*\([^)]*\))", g, re.IGNORECASE)
+    if lst and pl:
+        names = re.findall(r"'([A-Za-z_]\w*)'", g)
+        if not names:
+            return None
+        jp = _java_named_groups(pl.group(1))
+        parts = [
+            f"'{name}', regexp_extract(({sarg}), '{jp}', {i})"
+            for i, name in enumerate(names, start=1)
+        ]
+        return f"named_struct({', '.join(parts)})"
+    return None
+
+
+def _macro_regexp_matches_flags(args: list[str]) -> str | None:
+    # 3-arg regexp_matches: inline literal flags into the pattern
+    if len(args) != 3:
+        return None
+    fl = re.fullmatch(r"\s*'([a-z]*)'\s*", args[2])
+    if not fl:
+        return None
+    flags = set(fl.group(1)) - {"c", "g"}
+    if not flags <= {"i", "s", "m"}:
+        return None
+    p = _inline_regex_flags(args[1].strip(), flags)
+    if p is None:
+        return None
+    return f"rlike(({args[0].strip()}), {p})"
+
+
+def _macro_even(args):
+    # probed: rounds AWAY from zero to the next even (2.5→4, -3→-4,
+    # 2→2); always DOUBLE
+    a = _one_arg(args)
+    if a is None:
         return None
     return (
-        f"regexp_extract(({args[0].strip()}), ({args[1].strip()}), 0)"
+        f"(CASE WHEN ({a}) < 0 THEN -2.0d * ceil(abs(CAST(({a}) AS DOUBLE)) / 2.0) "
+        f"ELSE 2.0d * ceil(CAST(({a}) AS DOUBLE) / 2.0) END)"
     )
+
+
+def _macro_gcd(args):
+    # Spark has no gcd: largest k in 1..min(|a|,|b|) dividing both via a
+    # sequence scan — fine for the value ranges dialect queries use;
+    # gcd(0, x) = |x| (probed)
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    scan = (
+        f"array_max(filter(sequence(1, greatest(least(abs(({a})), abs(({b}))), 1)), "
+        f"k -> abs(({a})) % k = 0 AND abs(({b})) % k = 0))"
+    )
+    return (
+        f"(CASE WHEN ({a}) = 0 THEN abs(({b})) "
+        f"WHEN ({b}) = 0 THEN abs(({a})) ELSE {scan} END)"
+    )
+
+
+def _macro_lcm(args):
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    g = _macro_gcd(args)
+    return (
+        f"(CASE WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
+        f"ELSE abs(({a}) * ({b})) DIV {g} END)"
+    )
+
+
+def _macro_xor(args):
+    if len(args) != 2:
+        return None
+    return f"(({args[0].strip()}) ^ ({args[1].strip()}))"
+
+
+def _macro_signbit(args):
+    # -0.0 renders with a leading '-' in Spark's string cast; NaN and
+    # positives don't (probed DuckDB: signbit(-0.0) true, nan false)
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return f"startswith(CAST(CAST(({a}) AS DOUBLE) AS STRING), '-')"
+
+
+# Lanczos g=7 n=9 approximation of the gamma function — ~1e-13 relative,
+# well inside the 1e-9 comparator tolerance.
+_LANCZOS = [
+    "0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
+    "771.32342877765313", "-176.61502916214059", "12.507343278686905",
+    "-0.13857109526572012", "9.9843695780195716e-6", "1.5056327351493116e-7",
+]
+
+
+def _lanczos_ag(z: str) -> str:
+    terms = [_LANCZOS[0]] + [
+        f"{c} / ({z} + {i - 1})" for i, c in enumerate(_LANCZOS[1:], start=1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lngamma_pos(z: str) -> str:
+    # valid for z >= 0.5: lnGamma = .5 ln(2pi) + (z-.5) ln t - t + ln Ag,
+    # t = z + 6.5
+    t = f"(({z}) + 6.5)"
+    return (
+        f"(0.9189385332046727d + (({z}) - 0.5) * ln({t}) - {t} "
+        f"+ ln({_lanczos_ag(f'({z})')}))"
+    )
+
+
+def _macro_lgamma(args):
+    a = _one_arg(args)
+    if a is None:
+        return None
+    z = f"CAST(({a}) AS DOUBLE)"
+    refl = (
+        f"(1.1447298858494002d - ln(abs(sin(3.141592653589793d * {z}))) "
+        f"- {_lngamma_pos(f'(1.0d - {z})')})"
+    )
+    return (
+        f"(CASE WHEN {z} >= 0.5 THEN {_lngamma_pos(z)} ELSE {refl} END)"
+    )
+
+
+def _macro_gamma(args):
+    a = _one_arg(args)
+    if a is None:
+        return None
+    z = f"CAST(({a}) AS DOUBLE)"
+    pos = f"exp({_lngamma_pos(z)})"
+    refl = (
+        f"(3.141592653589793d / (sin(3.141592653589793d * {z}) "
+        f"* exp({_lngamma_pos(f'(1.0d - {z})')})))"
+    )
+    return f"(CASE WHEN {z} >= 0.5 THEN {pos} ELSE {refl} END)"
+
+
+def _macro_encode1(args):
+    a = _one_arg(args)
+    return None if a is None else f"encode(({a}), 'UTF-8')"
+
+
+def _macro_decode1(args):
+    a = _one_arg(args)
+    return None if a is None else f"decode(({a}), 'UTF-8')"
 
 
 def _macro_regexp_extract_all2(args: list[str]) -> str | None:
@@ -1581,27 +1778,71 @@ def _macro_regexp_extract_all2(args: list[str]) -> str | None:
     )
 
 
+def _conv_backrefs(rep: str) -> str:
+    """DuckDB replacement backrefs are ``\\1``; Java/Spark's are ``$1``.
+    At macro time the literal has already been backslash-doubled by the
+    raw-string pass, so ``\\\\N`` becomes ``$N`` (literal reps only)."""
+    m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", rep)
+    if not m:
+        return rep.strip()
+    body = re.sub(r"\\\\(\d)", r"$\1", m.group(1))
+    return f"'{body}'"
+
+
+def _replace_first_emit(s: str, p: str, r: str) -> str:
+    """DuckDB's UNFLAGGED regexp_replace replaces only the FIRST match
+    (probed: ``regexp_replace('xaxa', 'a', 'B')`` → 'xBxa'); Spark
+    always replaces all.  Splice: locate the first match text (the first
+    regex match position equals the first literal occurrence of its own
+    matched text), apply the replacement to just that segment via the
+    4-arg position form — which this macro leaves alone, ending the
+    fixpoint — and guard with RLIKE so a no-match input passes through
+    (regexp_extract can't distinguish no-match from an empty match)."""
+    mt = f"regexp_extract(({s}), ({p}), 0)"
+    pos = f"locate({mt}, ({s}))"
+    return (
+        f"(CASE WHEN ({s}) RLIKE ({p}) THEN "
+        f"concat_ws('', substr(({s}), 1, {pos} - 1), "
+        f"regexp_replace({mt}, ({p}), ({r}), 1), "
+        f"substr(({s}), {pos} + length({mt}))) "
+        f"ELSE ({s}) END)"
+    )
+
+
+def _inline_regex_flags(p: str, flags: set) -> str | None:
+    inline = "".join(sorted(flags))
+    if not inline:
+        return p
+    pl = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", p)
+    if not pl:
+        return None
+    return f"'(?{inline}){pl.group(1)}'"
+
+
 def _macro_regexp_replace_flags(args: list[str]) -> str | None:
-    # 4th-arg options string: 'g' = global (Spark's only mode — drop the
-    # flag), 'i' composes as (?i) when the pattern is a literal.  The
-    # 3-arg replace-FIRST DuckDB default is a documented divergence
-    # (Spark replaces all); only flagged calls are rewritten here.
+    # DuckDB: 3-arg replaces FIRST match only; 'g' flag = global; other
+    # flags inline into a literal pattern.  Spark's native 4-arg
+    # position form (numeric 4th arg) passes through untouched — it is
+    # also what the first-only splice emits, ending the fixpoint.
+    if len(args) == 3:
+        s, p, r = (a.strip() for a in args)
+        return _replace_first_emit(s, p, _conv_backrefs(r))
     if len(args) != 4:
         return None
     fl = re.fullmatch(r"\s*'([a-z]*)'\s*", args[3])
     if not fl:
         return None
-    flags = set(fl.group(1))
-    if not flags <= {"g", "i", "s", "m"} or "g" not in flags:
+    flags = set(fl.group(1)) - {"c"}  # 'c' = case-sensitive, the default
+    if not flags <= {"g", "i", "s", "m"}:
         return None
     s, p, r = args[0].strip(), args[1].strip(), args[2].strip()
-    inline = "".join(sorted(flags - {"g"}))
-    if inline:
-        pl = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", p)
-        if not pl:
-            return None
-        p = f"'(?{inline}){pl.group(1)}'"
-    return f"regexp_replace(({s}), {p}, ({r}))"
+    p = _inline_regex_flags(p, flags - {"g"})
+    if p is None:
+        return None
+    r = _conv_backrefs(r)
+    if "g" in flags:
+        return f"regexp_replace(({s}), {p}, {r}, 1)"
+    return _replace_first_emit(s, p, r)
 
 
 def _macro_regexp_full_match(args: list[str]) -> str | None:
@@ -1915,6 +2156,19 @@ _FN_MACROS = {
     "dateadd": _macro_date_add_interval,
     "datesub": _macro_date_sub3,
     "datetrunc": lambda args: f"date_trunc({', '.join(a.strip() for a in args)})" if len(args) == 2 else None,
+    "regexp_matches": _macro_regexp_matches_flags,
+    "even": _macro_even,
+    "gcd": _macro_gcd,
+    "greatest_common_divisor": _macro_gcd,
+    "lcm": _macro_lcm,
+    "least_common_multiple": _macro_lcm,
+    "xor": _macro_xor,
+    "signbit": _macro_signbit,
+    "gamma": _macro_gamma,
+    "lgamma": _macro_lgamma,
+    "encode": _macro_encode1,
+    "decode": _macro_decode1,
+    "element_at": _macro_map_extract,
     "list_sort": _macro_list_sort,
     "array_sort": _macro_array_sort_direction,
     "list_reverse_sort": _macro_list_reverse_sort,
@@ -2830,6 +3084,10 @@ def _rewrite_numeric_underscores(sql: str) -> str:
 
 _BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 _JSON_CAST = re.compile(r"(::\s*|\bAS\s+)JSON\b(?=\s*[),]|\s*$|\s)", re.IGNORECASE)
+# DuckDB BLOB/BYTEA → Spark BINARY, same cast positions as JSON
+_BLOB_CAST = re.compile(
+    r"(::\s*|\bAS\s+)(BLOB|BYTEA)\b(?=\s*[),]|\s*$|\s)", re.IGNORECASE
+)
 
 
 def _rewrite_bare_varchar(sql: str) -> str:
@@ -2847,6 +3105,11 @@ def _rewrite_bare_varchar(sql: str) -> str:
     ] + [
         (m.end() - 4, m.end(), "STRING")
         for m in _JSON_CAST.finditer(sql)
+        if all(mask[i] for i in range(m.start(), m.end()))
+        and (m.group(1).startswith("::") or _looks_like_cast(sql, mask, m.start()))
+    ] + [
+        (m.start(2), m.end(), "BINARY")
+        for m in _BLOB_CAST.finditer(sql)
         if all(mask[i] for i in range(m.start(), m.end()))
         and (m.group(1).startswith("::") or _looks_like_cast(sql, mask, m.start()))
     ]
