@@ -197,6 +197,16 @@ class Gen:
             nd = r.randrange(1, 3)
             return E(f"round({a.sql}, {nd})", "num", (a,))
         if choice == 6:
+            form = r.randrange(4)
+            if form == 0:
+                a = self.num(d - 1)
+                return E(f"even({a.sql})", "num", (a,))
+            if form == 1:
+                a, b = self.num(0), self.num(0)
+                fn = self.pick(["gcd", "lcm", "xor"])
+                return E(
+                    f"{fn}(CAST({a.sql} AS BIGINT), CAST({b.sql} AS BIGINT))",
+                    "num", (a, b))
             a, b = self.num(d - 1), self.num(d - 1)
             fn = self.pick(["greatest", "least", "nullif", "coalesce"])
             return E(f"{fn}({a.sql}, {b.sql})", "num", (a, b))
@@ -279,6 +289,12 @@ class Gen:
             return E(f"concat({a.sql}, {b.sql})", "str", (a, b))
         if choice == 4:
             a = self.s(d - 1)
+            if r.random() < 0.5:
+                pat = self.pick(["'a'", "'[aeo]'", "'l+'", "'.'", "'x*'"])
+                fl = self.pick(["", ", 'g'", ", 'i'"])
+                return E(
+                    f"regexp_replace({a.sql}, {pat}, '_'{fl})", "str", (a,)
+                )
             return E(f"replace({a.sql}, 'a', 'o')", "str", (a,))
         if choice == 5:
             a = self.s(d - 1)
