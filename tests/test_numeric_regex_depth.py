@@ -96,3 +96,23 @@ def test_regexp_extract_group_names(pair):
         "SELECT regexp_extract('abc123', '(?P<w>[a-z]+)', 'w') AS c0"
     ).collect()[0][0]
     assert got2 == "abc"
+
+
+def test_int_cast_boundary_sweep(pair):
+    """Dense .5-boundary sweep of the rounding integer casts: every
+    half-step in [-25, 25] as a DECIMAL literal (half-away expected) and
+    as a DOUBLE (half-even expected), engine vs DuckDB row-for-row."""
+    eng, con = pair
+    lits = [f"{k / 2.0:.1f}" for k in range(-50, 51)]
+    dec_sql = "SELECT " + ", ".join(
+        f"CAST({v} AS INT) AS d{i}" for i, v in enumerate(lits)
+    )
+    dbl_sql = "SELECT " + ", ".join(
+        f"CAST(({v})::DOUBLE AS INT) AS f{i}" for i, v in enumerate(lits)
+    )
+    for sql in (dec_sql, dbl_sql):
+        got = list(eng.sql(sql).collect()[0])
+        want = list(con.execute(sql).fetchone())
+        assert got == want, [
+            (lits[i], g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+        ]
