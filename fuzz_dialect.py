@@ -672,8 +672,10 @@ def gen_query(rng: random.Random):
             if use_exclude:
                 star = f"* EXCLUDE ({victim})"
             else:
+                # the replaced key column may no longer be unique —
+                # ORDER BY ALL keeps tied rows deterministic
                 star = f"* REPLACE (({repl_col} + {es[0].sql}) AS {repl_col})"
-            return f"SELECT {star} FROM {table}{w} ORDER BY {cols['key']}"
+            return f"SELECT {star} FROM {table}{w} ORDER BY ALL"
 
         return render, exprs
     if shape == 20:  # ORDER BY ALL
@@ -831,6 +833,9 @@ INTENTIONAL = [
     # #3: list_sum/list_avg expand to a DOUBLE-typed aggregate, so a
     # downstream // divides plainly where DuckDB truncates integrally
     re.compile(r"list_(sum|avg)\s*\(.*//|//.*list_(sum|avg)\s*\(", re.DOTALL),
+    # #11: zero-width pattern with 'g' — Java replaces the empty match
+    # adjacent to a previous match, RE2 skips it
+    re.compile(r"regexp_replace\s*\([^;]*'x\*'[^;]*'g'"),
 ]
 
 

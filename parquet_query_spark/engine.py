@@ -23,8 +23,19 @@ from parquet_query_spark.session import get_spark
 from parquet_query_spark.sources.registry import register_folder
 from parquet_query_spark.workbench.csv_sink import export_csv, write_csv_distributed
 from parquet_query_spark.workbench.dialect import (
+    _code_mask,
     rewrite_duckdb_dialect,
     rewrite_duckdb_dialect_fallbacks,
+)
+
+_ORDER_ALL_TAIL = re.compile(
+    r"\bORDER\s+BY\s+ALL"
+    r"(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 from parquet_query_spark.workbench.formatting import format_cell
 from parquet_query_spark.workbench.summarize import (
@@ -173,6 +184,46 @@ class Engine:
         return eng
 
     # A7 — materializing execute
+    def _order_by_all_tail(self, statement: str) -> DataFrame | None:
+        """Handle a TOP-LEVEL trailing ``ORDER BY ALL [ASC|DESC] [NULLS
+        FIRST|LAST] [LIMIT n] [OFFSET n]``: run the head, then sort every
+        output column through the DataFrame API with DuckDB's NULLS LAST
+        default.  Returns None when the statement has no such tail."""
+        m = _ORDER_ALL_TAIL.search(statement)
+        if m is None:
+            return None
+        mask = _code_mask(statement)
+        if not all(mask[m.start() : m.start() + 5]):
+            return None
+        depth = 0
+        for i in range(m.start()):
+            if mask[i] and statement[i] == "(":
+                depth += 1
+            elif mask[i] and statement[i] == ")":
+                depth -= 1
+        if depth != 0:
+            return None
+        head = statement[: m.start()].rstrip()
+        if not head:
+            return None
+        df = self.sql(head)
+        desc = (m.group("dir") or "").upper() == "DESC"
+        nulls_first = (m.group("nulls") or "LAST").upper() == "FIRST"
+        keys = []
+        for c in df.columns:
+            col = df[c]
+            if desc:
+                col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+            else:
+                col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+            keys.append(col)
+        df = df.orderBy(*keys)
+        if m.group("offset"):
+            df = df.offset(int(m.group("offset")))
+        if m.group("limit"):
+            df = df.limit(int(m.group("limit")))
+        return df
+
     def sql(self, statement: str) -> DataFrame:
         from parquet_query_spark.sources.registry import assign_view_names
 
@@ -208,6 +259,15 @@ class Engine:
             INSERT_BY_NAME,
         )
 
+        # DuckDB ORDER BY ALL sorts by every output column left-to-right
+        # with NULLS LAST in both directions (DuckDB's default null
+        # order).  Spark 4 parses ORDER BY ALL natively but keeps its own
+        # NULLS FIRST ascending default and rejects ``ALL NULLS LAST`` —
+        # so the tail is stripped here and applied through the DataFrame
+        # API over the resolved schema (closes former residual #1).
+        oba = self._order_by_all_tail(statement)
+        if oba is not None:
+            return oba
         if has_union_by_name(statement):
             return run_union_by_name(self, statement)
         # DuckDB INSERT INTO ... BY NAME — name-matched column list;

@@ -102,9 +102,10 @@ KNOWN INTENTIONAL DIFFERENCES (each pinned in
 ``tests/test_dialect_residuals.py`` so a change in behavior surfaces;
 this list is the triage ground truth for fuzz_dialect.py divergences):
 
-1. ``ORDER BY ALL`` keeps Spark's default null ordering (NULLS FIRST
-   asc) — Spark rejects ``ALL NULLS LAST`` and expanding ALL needs the
-   schema, which the text shim doesn't have.
+1. RESOLVED (r8): a top-level trailing ``ORDER BY ALL`` is handled
+   engine-side (``Engine._order_by_all_tail`` — the schema IS available
+   there) with DuckDB's NULLS LAST default in both directions; only an
+   ORDER BY ALL buried in a subquery still takes Spark's null order.
 2. Integer ``//`` results beyond 2^53 round through the double path
    (the zero-guard routes integer division via ``try_divide``).
 3. A ``//`` whose integral static type crosses a subquery/alias
@@ -139,6 +140,11 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    through where DuckDB's full-Unicode NFD strip would fold them.
    ``signbit(-0.0)`` is false (Spark normalizes negative zero before
    the string-render probe); all non-zero signs and NaN agree.
+11. Global-replace of a ZERO-WIDTH-capable pattern differs at empty
+   matches adjacent to a previous match: Java (Spark) replaces them,
+   RE2 (DuckDB) skips them — ``regexp_replace('xy', 'x*', '_', 'g')``
+   is '__y_' here, '_y_' there (fuzz r8 seed 12654).  Non-empty
+   matches and the unflagged first-only form agree.
 """
 
 from __future__ import annotations

@@ -19,14 +19,18 @@ def engine(sf_dir):
     return Engine.open(sf_dir)
 
 
-def test_residual_1_order_by_all_keeps_spark_null_order(engine):
-    """#1: ORDER BY ALL is not given NULLS LAST (Spark rejects ALL NULLS
-    LAST); ascending NULLs sort FIRST here, LAST in DuckDB."""
+def test_residual_1_order_by_all_resolved_nulls_last(engine):
+    """#1 RESOLVED (r8): a top-level trailing ORDER BY ALL is applied
+    engine-side over the resolved schema with DuckDB's NULLS LAST
+    default — both directions now match DuckDB."""
     q = "SELECT x FROM (VALUES (2), (NULL), (1)) t(x) ORDER BY ALL"
     got = [r[0] for r in engine.sql(q).collect()]
-    assert got == [None, 1, 2]  # Spark default
     want = [r[0] for r in duckdb.connect().execute(q).fetchall()]
-    assert want == [1, 2, None]  # DuckDB puts NULLs last — the difference
+    assert got == want == [1, 2, None]
+    q2 = "SELECT x FROM (VALUES (2), (NULL), (1)) t(x) ORDER BY ALL DESC"
+    got2 = [r[0] for r in engine.sql(q2).collect()]
+    want2 = [r[0] for r in duckdb.connect().execute(q2).fetchall()]
+    assert got2 == want2 == [2, 1, None]
 
 
 def test_residual_2_intdiv_beyond_2_53_rounds(engine):
@@ -127,3 +131,15 @@ def test_residual_10_hash_is_murmur3_not_duckdb(engine):
     # codepoints pass through (DuckDB folds them)
     got2 = engine.sql("SELECT strip_accents('café') AS v").collect()[0][0]
     assert got2 == "cafe"
+
+
+def test_residual_11_zero_width_global_replace(engine):
+    """#11: Java replaces the empty match adjacent to a previous match,
+    RE2 skips it (fuzz r8 seed 12654)."""
+    q = "SELECT regexp_replace('xy', 'x*', '_', 'g') AS v"
+    assert engine.sql(q).collect()[0][0] == "__y_"
+    assert duckdb.connect().execute(q).fetchone()[0] == "_y_"
+    # non-empty matches agree
+    q2 = "SELECT regexp_replace('xaxa', 'a', 'B', 'g') AS v"
+    assert engine.sql(q2).collect()[0][0] == "xBxB"
+    assert duckdb.connect().execute(q2).fetchone()[0] == "xBxB"
