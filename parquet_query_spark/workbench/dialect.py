@@ -780,6 +780,9 @@ _FN_MAP = {
     "prefix": "startswith",
     "editdist3": "levenshtein",
     "iff": "if",
+    "list_apply": "transform",
+    "array_apply": "transform",
+    "row": "struct",
     "ord": "ascii",  # DuckDB ord = unicode codepoint; Spark ascii matches
                      # (the unicode→ascii rename below is single-pass, so
                      # ord must map to the FINAL name)
@@ -1363,6 +1366,69 @@ def _macro_date_add_interval(args):
     if not re.search(r"\bINTERVAL\b", args[1], re.IGNORECASE):
         return None
     return f"(CAST(({args[0].strip()}) AS TIMESTAMP) + ({args[1].strip()}))"
+
+
+def _macro_struct_insert(args):
+    """``struct_insert({'a': 1}, b := 2)`` extends a struct — textual
+    splice when the base is a (brace-rewritten) named_struct literal;
+    column bases would need the schema and are left to error."""
+    if len(args) < 2:
+        return None
+    base = args[0].strip()
+    if not re.fullmatch(r"named_struct\s*\(.*\)", base, re.IGNORECASE | re.DOTALL):
+        return None
+    inner = base[base.index("(") + 1 : -1].strip()
+    parts = [inner] if inner else []
+    for kw in args[1:]:
+        m = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*:=\s*(.+)\s*", kw, re.DOTALL)
+        if m is None:
+            return None
+        parts.append(f"'{m.group(1)}', {m.group(2).strip()}")
+    return f"named_struct({', '.join(parts)})"
+
+
+def _macro_list_bool(fn_name):
+    # list_bool_or/list_bool_and skip NULL elements; empty/all-NULL → NULL
+    def macro(args):
+        a = _one_arg(args)
+        if a is None:
+            return None
+        agg = "array_max" if fn_name == "or" else "array_min"
+        return f"{agg}(filter(({a}), x -> x IS NOT NULL))"
+
+    return macro
+
+
+def _macro_list_grade_up(args):
+    # probed: list_grade_up([3,1,2]) = [2,3,1] — the sorting permutation;
+    # struct sort orders by value then original index (stable ties)
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return (
+        f"transform(array_sort(zip_with(({a}), sequence(1, size(({a}))), "
+        f"(v, i) -> named_struct('v', v, 'i', i))), s -> s.i)"
+    )
+
+
+def _macro_list_select(args):
+    # elements at the given 1-based indexes, in index order
+    if len(args) != 2:
+        return None
+    l, idx = args[0].strip(), args[1].strip()
+    return f"transform(({idx}), __k -> try_element_at(({l}), __k))"
+
+
+def _macro_list_where(args):
+    # elements whose mask entry is true (NULL mask drops the element)
+    if len(args) != 2:
+        return None
+    l, msk = args[0].strip(), args[1].strip()
+    return (
+        f"transform(filter(sequence(1, size(({l}))), "
+        f"__k -> try_element_at(({msk}), __k)), "
+        f"__k -> try_element_at(({l}), __k))"
+    )
 
 
 def _macro_list_sort(args: list[str]) -> str | None:
@@ -2175,6 +2241,15 @@ _FN_MACROS = {
     "encode": _macro_encode1,
     "decode": _macro_decode1,
     "element_at": _macro_map_extract,
+    "struct_insert": _macro_struct_insert,
+    "list_bool_or": _macro_list_bool("or"),
+    "list_bool_and": _macro_list_bool("and"),
+    "list_grade_up": _macro_list_grade_up,
+    "array_grade_up": _macro_list_grade_up,
+    "list_select": _macro_list_select,
+    "array_select": _macro_list_select,
+    "list_where": _macro_list_where,
+    "array_where": _macro_list_where,
     "list_sort": _macro_list_sort,
     "array_sort": _macro_array_sort_direction,
     "list_reverse_sort": _macro_list_reverse_sort,

@@ -116,3 +116,33 @@ def test_int_cast_boundary_sweep(pair):
         assert got == want, [
             (lits[i], g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
         ]
+
+
+STRUCT_LIST_BATTERY = [
+    ("struct_insert({'a': 1}, b := 2)", "struct"),
+    ("struct_insert({'a': 1, 'c': 'x'}, b := 2, d := 3)", "struct"),
+    ("list_apply([1,2], x -> x + 1)", "str"),
+    ("list_bool_or([true, false])", "str"),
+    ("list_bool_and([true, false])", "str"),
+    ("list_bool_or([false, NULL])", "str"),
+    ("list_bool_or([NULL])", "str"),
+    ("list_grade_up([3,1,2])", "str"),
+    ("list_grade_up([2,2,1])", "str"),
+    ("list_select([10,20,30], [2,3])", "str"),
+    ("list_select([10,20,30], [3,1])", "str"),
+    ("list_where([10,20,30], [true,false,true])", "str"),
+]
+
+
+@pytest.mark.parametrize("expr,kind", STRUCT_LIST_BATTERY)
+def test_struct_list_depth(pair, expr, kind):
+    """struct_insert / list_apply / list_bool_* / list_grade_up /
+    list_select / list_where parity (r8 struct/map sweep)."""
+    eng, con = pair
+    sql = f"SELECT ({expr}) AS c0"
+    got = eng.sql(sql).collect()[0][0]
+    want = con.execute(sql).fetchone()[0]
+    if kind == "struct":
+        assert got.asDict() == want, (expr, got, want)
+    else:
+        assert str(got) == str(want), (expr, got, want)
