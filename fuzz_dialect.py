@@ -474,7 +474,7 @@ class Gen:
 def gen_query(rng: random.Random):
     """Returns (render_fn, exprs) — render_fn(subset) rebuilds the query
     with only those select expressions, for shrinking."""
-    shape = rng.randrange(22)
+    shape = rng.randrange(24)
     if shape < 3:  # scalar, no FROM
         g = Gen(rng, {})
         exprs = [g.any_expr(rng.randrange(1, 4)) for _ in range(rng.randrange(2, 7))]
@@ -524,32 +524,56 @@ def gen_query(rng: random.Random):
             )
 
         return render, exprs
-    if shape == 10:  # window functions over a table
+    if shape == 10:  # window functions over a table (wave-13 widened grammar)
         exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
         part = rng.choice(cols["num"] + cols["str"])
-        wfn = rng.choice(
-            ["row_number()", "rank()", "dense_rank()", "count(*)",
-             f"sum({rng.choice(cols['num'])})",
-             f"lag({rng.choice(cols['num'])})",
-             f"lead({rng.choice(cols['num'])})"]
+        ncol = rng.choice(cols["num"])
+        # rank family takes no frame; value/agg functions may take one
+        wfn, frameable = rng.choice(
+            [("row_number()", False), ("rank()", False), ("dense_rank()", False),
+             (f"ntile({rng.randrange(1, 5)})", False),
+             ("percent_rank()", False), ("cume_dist()", False),
+             ("count(*)", True), (f"count({ncol})", True),
+             (f"sum({ncol})", True), (f"avg({ncol})", True),
+             (f"min({ncol})", True), (f"max({ncol})", True),
+             (f"first_value({ncol})", True), (f"last_value({ncol})", True),
+             (f"nth_value({ncol}, {rng.randrange(1, 4)})", True),
+             (f"lag({ncol})", False), (f"lead({ncol})", False),
+             (f"lag({ncol}, 2, {rng.choice(['0', '-1'])})", False),
+             (f"lead({ncol}, {rng.randrange(1, 3)}, 99)", False)]
         )
+        # every key column is unique + non-null, so any direction is total
+        # order and the window value is deterministic
+        direction = rng.choice(["", " DESC", " ASC", " DESC NULLS LAST",
+                                " NULLS FIRST"])
         frame = ""
-        if rng.random() < 0.4 and "(" not in wfn[:4]:  # no frame for rank family
-            frame = ""
-        elif rng.random() < 0.5 and wfn.startswith(("sum", "count")):
+        if frameable and rng.random() < 0.6:
+            # RANGE frames are legal here because the order key is numeric
             frame = rng.choice(
                 [" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
                  " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
-                 " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+                 " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                 " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+                 " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+                 f" RANGE BETWEEN {rng.randrange(1, 6)} PRECEDING AND CURRENT ROW",
+                 f" RANGE BETWEEN {rng.randrange(1, 4)} PRECEDING"
+                 f" AND {rng.randrange(1, 4)} FOLLOWING",
+                 " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
             )
+        named = rng.random() < 0.3  # WINDOW w AS (...) named-window form
         base_filter = cols.get("filter")
+        spec = f"PARTITION BY {part} ORDER BY {cols['key']}{direction}{frame}"
 
         def render(es):
             sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
             w = f" WHERE {base_filter}" if base_filter else ""
+            if named:
+                return (
+                    f"SELECT {sel}, {wfn} OVER w AS wv FROM {table}{w} "
+                    f"WINDOW w AS ({spec}) ORDER BY {cols['key']}"
+                )
             return (
-                f"SELECT {sel}, {wfn} OVER "
-                f"(PARTITION BY {part} ORDER BY {cols['key']}{frame}) AS wv "
+                f"SELECT {sel}, {wfn} OVER ({spec}) AS wv "
                 f"FROM {table}{w} ORDER BY {cols['key']}"
             )
 
@@ -699,6 +723,61 @@ def gen_query(rng: random.Random):
         def render(es):
             return (
                 f"SELECT unnest({es[0].sql}) AS u ORDER BY u NULLS FIRST"
+            )
+
+        return render, exprs
+    if shape == 22:  # ORDER BY (either direction) + LIMIT / OFFSET
+        exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
+        base_filter = cols.get("filter")
+        direction = rng.choice(["", " DESC"])
+        lim = rng.randrange(1, 12)
+        off = rng.choice([None, 0, 1, 3, 10])
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter}" if base_filter else ""
+            o = f" OFFSET {off}" if off is not None else ""
+            return (
+                f"SELECT {cols['key']} AS k, {sel} FROM {table}{w} "
+                f"ORDER BY {cols['key']}{direction} LIMIT {lim}{o}"
+            )
+
+        return render, exprs
+    if shape == 23:  # outer-join depth: FULL / RIGHT / self-join USING
+        variant = rng.choice(["full", "right", "using"])
+        if variant == "using":
+            jcols = {"num": ["a.n_nationkey", "b.n_nationkey", "a.n_regionkey"],
+                     "str": ["a.n_name", "b.n_name"]}
+            jg = Gen(rng, jcols)
+            exprs = [jg.any_expr(rng.randrange(1, 3))
+                     for _ in range(rng.randrange(1, 3))]
+
+            def render(es):
+                sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+                return (
+                    f"SELECT a.n_nationkey AS k1, b.n_nationkey AS k2, {sel} "
+                    f"FROM nation_parquet a JOIN nation_parquet b "
+                    f"USING (n_regionkey) ORDER BY k1, k2"
+                )
+
+            return render, exprs
+        # FULL / RIGHT with a join-side predicate so both sides have
+        # unmatched (NULL-extended) rows — (k1, k2) stays a total order
+        jtype = "FULL JOIN" if variant == "full" else "RIGHT JOIN"
+        lim = rng.randrange(1, 4)
+        jcols = {"num": ["n.n_nationkey", "n.n_regionkey", "r.r_regionkey"],
+                 "str": ["n.n_name", "r.r_name"]}
+        jg = Gen(rng, jcols)
+        exprs = [jg.any_expr(rng.randrange(1, 3))
+                 for _ in range(rng.randrange(1, 3))]
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            return (
+                f"SELECT n.n_nationkey AS k1, r.r_regionkey AS k2, {sel} "
+                f"FROM nation_parquet n {jtype} region_parquet r "
+                f"ON n.n_regionkey = r.r_regionkey AND r.r_regionkey < {lim} "
+                f"ORDER BY k1 NULLS FIRST, k2 NULLS FIRST"
             )
 
         return render, exprs

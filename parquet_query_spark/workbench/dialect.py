@@ -110,7 +110,10 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    (the zero-guard routes integer division via ``try_divide``).
 3. A ``//`` whose integral static type crosses a subquery/alias
    boundary is seen as DOUBLE by the outer ``//`` and divides plainly;
-   only same-expression chains dispatch atomically.  The list-aggregate
+   same-expression composition dispatches correctly — the integrality
+   condition recurses through CASE branches, the pass's own emitted
+   dispatch shape, and top-level ``+ - * div`` arithmetic (wave-13 fuzz
+   seed 20313), so only cross-query-block nesting retains the residual.  The list-aggregate
    macros (``list_sum``/``list_avg``) are in this class: their
    ``aggregate`` expansion is DOUBLE-typed, so DuckDB's integral
    ``list_sum(ints) // n`` truncation becomes plain division (fuzz r8
@@ -4275,11 +4278,196 @@ _DIVMOD_OP = re.compile(r"(?<![\w$])div(?![\w$])|/|%", re.IGNORECASE)
 _INTS_LIST = "('tinyint','smallint','int','bigint')"
 
 
+def _strip_outer_parens(text: str) -> str:
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        if _paren_close(t, _code_mask(t), 0) == len(t) - 1:
+            t = t[1:-1].strip()
+        else:
+            break
+    return t
+
+
+_CASE_KW = re.compile(r"(CASE|WHEN|THEN|ELSE|END)(?![\w$])", re.IGNORECASE)
+
+
+def _case_parts(text: str) -> tuple[list[str], list[str]] | None:
+    """Parse a single top-level searched ``CASE WHEN … END`` expression
+    into (when_conds, result_exprs); None when ``text`` isn't one.
+    Nested CASEs inside branches (parenthesized or not) stay opaque."""
+    t = _strip_outer_parens(text)
+    if not re.match(r"CASE\s+WHEN(?![\w$])", t, re.IGNORECASE):
+        return None
+    mask = _code_mask(t)
+    depth = 0
+    case_depth = 0
+    marks: list[tuple[str, int, int]] = []
+    i, n = 0, len(t)
+    while i < n:
+        if not mask[i]:
+            i += 1
+            continue
+        ch = t[i]
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        m = _CASE_KW.match(t, i)
+        if m and (i == 0 or not (t[i - 1].isalnum() or t[i - 1] in "_$")):
+            kw = m.group(1).upper()
+            if depth == 0:
+                if kw == "CASE":
+                    case_depth += 1
+                elif kw == "END":
+                    case_depth -= 1
+                    if case_depth == 0:
+                        marks.append((kw, i, m.end()))
+                        if t[m.end() :].strip():
+                            return None  # trailing text — not a lone CASE
+                        break
+                elif case_depth == 1:
+                    marks.append((kw, i, m.end()))
+            i = m.end()
+            continue
+        i += 1
+    if not marks or marks[-1][0] != "END":
+        return None
+    conds: list[str] = []
+    results: list[str] = []
+    for idx, (kw, _s, e) in enumerate(marks[:-1]):
+        nxt_start = marks[idx + 1][1]
+        seg = t[e:nxt_start].strip()
+        if kw == "WHEN":
+            conds.append(seg)
+        elif kw in ("THEN", "ELSE"):
+            results.append(seg)
+    return (conds, results) if results else None
+
+
+_COND_KEYWORDS = {
+    "and", "or", "not", "when", "then", "else", "case", "in", "like",
+    "ilike", "between", "is", "distinct", "from", "escape", "rlike",
+}
+
+
+def _split_top_arith(t: str) -> list[str]:
+    """Split on top-level binary ``+ - *`` (mask-, paren- and CASE-depth-
+    aware; unary signs, numeric-literal exponents, and keyword-adjacent
+    signs don't split).  Empty list = no confident split (caller falls
+    back to a whole-expression typeof)."""
+    mask = _code_mask(t)
+    parts: list[str] = []
+    depth = 0
+    case_depth = 0
+    last = 0
+    i, n = 0, len(t)
+    while i < n:
+        if not mask[i]:
+            i += 1
+            continue
+        ch = t[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            m = re.match(r"[A-Za-z_][\w$]*", t[i:])
+            tok = m.group(0).lower()
+            if tok == "case":
+                case_depth += 1
+            elif tok == "end" and case_depth:
+                case_depth -= 1
+            elif (
+                tok == "div"
+                and case_depth == 0
+                and (i == 0 or not (t[i - 1].isalnum() or t[i - 1] in "_$"))
+            ):
+                # the ``//`` pass's emitted operator: an outer leaf can
+                # still hold a raw inner ``div`` (outer-first text order)
+                # whose later rewrite surfaces DOUBLE — but DuckDB types
+                # ``a // b`` integral iff both operands are, so split
+                # here like ``*`` and test the operands instead
+                parts.append(t[last:i].strip())
+                last = i + m.end()
+                i += m.end()
+                continue
+            i += m.end()
+            continue
+        elif depth == 0 and case_depth == 0 and ch in "+-*":
+            j = i - 1
+            while j >= last and t[j].isspace():
+                j -= 1
+            if j < last:
+                i += 1
+                continue
+            pc = t[j]
+            if not (pc.isalnum() or pc in "_$)]" or not mask[j]):
+                i += 1
+                continue  # unary position
+            if ch in "+-" and pc in "eE" and j - 1 >= last and (
+                t[j - 1].isdigit() or t[j - 1] == "."
+            ):
+                k = j - 1
+                while k >= last and (t[k].isdigit() or t[k] == "."):
+                    k -= 1
+                if k < last or not (t[k].isalnum() or t[k] in "_$"):
+                    i += 1
+                    continue  # exponent sign of a numeric literal
+            if mask[j] and (pc.isalnum() or pc in "_$"):
+                k = j
+                while k >= last and (t[k].isalnum() or t[k] in "_$"):
+                    k -= 1
+                if t[k + 1 : j + 1].lower() in _COND_KEYWORDS:
+                    i += 1
+                    continue  # sign right after a keyword — unary
+            parts.append(t[last:i].strip())
+            last = i + 1
+        i += 1
+    if not parts or depth != 0 or case_depth != 0:
+        return []
+    parts.append(t[last:].strip())
+    return parts if all(parts) else []
+
+
 def _leaf_int_cond(text: str) -> str:
     """SQL condition for 'this // chain leaf is integral' — plain Spark
     typeof; the ducktype-numerics pass below has already aligned the
-    functions whose static type disagrees between engines."""
-    return f"typeof({text}) IN {_INTS_LIST}"
+    functions whose static type disagrees between engines.
+
+    A CASE leaf needs care: DuckDB types it as the UNION of its result
+    branches (integral iff every branch is), but by the time the outer
+    ``//`` is processed an inner ``//`` inside a branch has already been
+    rewritten into the DOUBLE-surfaced dispatch CASE, so a plain
+    ``typeof`` sees DOUBLE and divides plainly where DuckDB truncates
+    (fuzz r8 seed 20313).  So: our own emitted dispatch shape reports
+    the integrality condition it was built with (its WHEN clause), and a
+    general CASE recurses into its branches, AND-ing them like the
+    static union type does (bare NULL branches don't affect the union)."""
+    t = _strip_outer_parens(text)
+    arith = _split_top_arith(t)
+    if len(arith) > 1:
+        # DuckDB types a +|-|* chain integral iff every operand is
+        return "(" + " AND ".join(_leaf_int_cond(p) for p in arith) + ")"
+    parts = _case_parts(t)
+    if parts is not None:
+        conds, results = parts
+        if (
+            len(results) == 2
+            and results[0].startswith("CAST(CAST(try_divide(")
+            and results[1].startswith("try_divide(CAST(")
+        ):
+            return f"({conds[0]})"
+        sub = [
+            _leaf_int_cond(r) for r in results if r.upper() != "NULL"
+        ]
+        if not sub:  # all-NULL CASE: division yields NULL either way
+            return "(1=1)"
+        return "(" + " AND ".join(sub) + ")"
+    return f"typeof({t}) IN {_INTS_LIST}"
 
 
 # Functions whose DuckDB static type disagrees with Spark's (probed):
@@ -4646,6 +4834,164 @@ def _rewrite_divmod_null(sql: str) -> str:
     return sql
 
 
+_WINDOW_FILTER = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
+
+
+def _has_top_comma(text: str) -> bool:
+    mask = _code_mask(text)
+    depth = 0
+    for i, ch in enumerate(text):
+        if not mask[i]:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return True
+    return False
+
+
+def _rewrite_window_filter(sql: str) -> str:
+    """DuckDB allows ``agg(x) FILTER (WHERE p) OVER w``; Spark raises
+    "Window aggregate function with filter predicate is not supported"
+    (probed).  Rewrite the FILTER into the argument —
+    ``agg(CASE WHEN p THEN x END) OVER w`` (``count(*)`` counts a CASE
+    over 1) — which matches DuckDB because every rewritten aggregate
+    skips NULLs.  A ``DISTINCT`` argument keeps its keyword ahead of the
+    CASE so the count-distinct window pass below can pick it up.
+    GROUP-BY FILTER (no trailing OVER) is Spark-native and untouched."""
+    if not _WINDOW_FILTER.search(sql):
+        return sql
+    for _ in range(50):
+        mask = _code_mask(sql)
+        changed = False
+        for m in reversed(list(_WINDOW_FILTER.finditer(sql))):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            op = sql.index("(", m.start())
+            close = _paren_close(sql, mask, op)
+            if close is None:
+                continue
+            j = close + 1
+            while j < len(sql) and (not mask[j] or sql[j].isspace()):
+                j += 1
+            if not re.match(r"OVER\b", sql[j:], re.IGNORECASE):
+                continue
+            pred = re.sub(
+                r"^\s*WHERE\b", "", sql[op + 1 : close], flags=re.IGNORECASE
+            ).strip()
+            # the aggregate call directly before FILTER
+            k = m.start() - 1
+            while k >= 0 and (not mask[k] or sql[k].isspace()):
+                k -= 1
+            if k < 0 or sql[k] != ")":
+                continue
+            depth = 0
+            open_i = None
+            for t in range(k, -1, -1):
+                if not mask[t]:
+                    continue
+                if sql[t] == ")":
+                    depth += 1
+                elif sql[t] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_i = t
+                        break
+            if open_i is None:
+                continue
+            nm = re.search(r"([A-Za-z_][A-Za-z_0-9]*)\s*$", sql[:open_i])
+            if not nm:
+                continue
+            args = sql[open_i + 1 : k].strip()
+            if args == "*":
+                if nm.group(1).lower() != "count":
+                    continue
+                new_args = f"CASE WHEN {pred} THEN 1 END"
+            else:
+                dm = re.match(r"\s*DISTINCT\b", args, re.IGNORECASE)
+                rest = args[dm.end() :].strip() if dm else args
+                if not rest or _has_top_comma(rest):
+                    continue  # multi-arg aggregates don't rewrite soundly
+                new_args = f"CASE WHEN {pred} THEN {rest} END"
+                if dm:
+                    new_args = "DISTINCT " + new_args
+            sql = sql[: open_i + 1] + new_args + ") " + sql[j:]
+            changed = True
+            break
+        if not changed:
+            break
+    return sql
+
+
+_DISTINCT_WIN = re.compile(
+    r"\b(count|min|max)\s*\(\s*DISTINCT\b", re.IGNORECASE
+)
+
+
+def _rewrite_count_distinct_window(sql: str) -> str:
+    """DuckDB allows DISTINCT aggregates as window functions; Spark
+    raises DISTINCT_WINDOW_FUNCTION_UNSUPPORTED (probed).  Equivalences
+    that hold per-frame: ``count(DISTINCT x) OVER w`` →
+    ``coalesce(size(collect_set(x) OVER w), 0)`` (both skip NULLs; the
+    coalesce covers an empty frame where DuckDB counts 0), and
+    ``min/max(DISTINCT x)`` ≡ ``min/max(x)``.  ``sum/avg(DISTINCT)``
+    have no lossless window rewrite and keep Spark's error."""
+    if not _DISTINCT_WIN.search(sql):
+        return sql
+    for _ in range(50):
+        mask = _code_mask(sql)
+        changed = False
+        for m in reversed(list(_DISTINCT_WIN.finditer(sql))):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            fn = m.group(1).lower()
+            op = sql.index("(", m.end(1))
+            close = _paren_close(sql, mask, op)
+            if close is None:
+                continue
+            j = close + 1
+            while j < len(sql) and (not mask[j] or sql[j].isspace()):
+                j += 1
+            if not re.match(r"OVER\b", sql[j:], re.IGNORECASE):
+                continue
+            expr = re.sub(
+                r"^\s*DISTINCT\b", "", sql[op + 1 : close], flags=re.IGNORECASE
+            ).strip()
+            if not expr or _has_top_comma(expr):
+                continue
+            if fn in ("min", "max"):  # DISTINCT is a no-op for min/max
+                sql = sql[: op + 1] + expr + sql[close:]
+                changed = True
+                break
+            # locate the end of the OVER target: (spec) or a window name
+            t = j + 4
+            while t < len(sql) and (not mask[t] or sql[t].isspace()):
+                t += 1
+            if t < len(sql) and sql[t] == "(":
+                oc = _paren_close(sql, mask, t)
+                if oc is None:
+                    continue
+                over_end = oc + 1
+            else:
+                wm = re.match(r"[A-Za-z_][A-Za-z_0-9]*", sql[t:])
+                if not wm:
+                    continue
+                over_end = t + wm.end()
+            over_txt = sql[j:over_end]
+            sql = (
+                sql[: m.start()]
+                + f"coalesce(size(collect_set({expr}) {over_txt}), 0)"
+                + sql[over_end:]
+            )
+            changed = True
+            break
+        if not changed:
+            break
+    return sql
+
+
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_order_by_nulls(
         _rewrite_series_tvf(
@@ -4668,7 +5014,7 @@ def _rewrite_ops_pack(sql: str) -> str:
 
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    return _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_qualify(
+    return _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_count_distinct_window(_rewrite_window_filter(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
                 _rewrite_exclude(
@@ -4708,7 +5054,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                 )
             )
         )
-    )))))
+    )))))))
 
 
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
@@ -4755,6 +5101,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
             )
         )
     )
+    alt = _rewrite_count_distinct_window(_rewrite_window_filter(alt))
     alt = _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(alt))))
     primary = rewrite_duckdb_dialect(sql)
     out = [alt] if alt != primary else []

@@ -119,6 +119,56 @@ def test_qualify_in_subquery_untouched():
     assert rewrite_duckdb_dialect(sql) == sql
 
 
+def test_fuzz_pinned_r8_wave13_match_duckdb(engine):
+    """Minimized reproductions from the r8 wave-13 fuzz campaign
+    (widened window/join/limit grammar).  Seed 20313: an inner ``//``
+    rewritten inside a CASE branch surfaced as DOUBLE, so the outer
+    ``//``'s typeof dispatch divided plainly where DuckDB types the CASE
+    integral (union of branches) and truncates.  Fixed by making the
+    ``//`` integrality condition recurse through CASE branches, our own
+    emitted dispatch shape, and top-level ``+ - * div`` arithmetic."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # seed 20313 (VALUES-ized): CASE-of-// and coalesce leaves
+        "SELECT (CASE WHEN s ILIKE '_b%' THEN k // k ELSE coalesce(7, r) "
+        "END) // length(CASE WHEN r <= 2 THEN 'Hello World' ELSE 'abc' END) "
+        "AS c0 FROM (VALUES (11, 2, 'xy'), (3, 0, 'ab')) t(k, r, s) ORDER BY k",
+        # CASE branch integrality: all-integral → truncate
+        "SELECT (CASE WHEN false THEN 1 // 1 ELSE coalesce(7, 0) END) // 11 AS c0",
+        "SELECT (CASE WHEN true THEN 5 // 2 ELSE 5 END) // 3 AS c0",
+        # any non-integral branch → plain division
+        "SELECT (CASE WHEN true THEN 2.5 ELSE 5 END) // 3 AS c0",
+        "SELECT 7 // (CASE WHEN true THEN 11 // 3.0 ELSE 2 END + 1) AS c0",
+        # nested CASE, no-ELSE NULL branch, CASE + arithmetic as operand
+        "SELECT (CASE WHEN false THEN CASE WHEN true THEN 9 ELSE 3 END "
+        "ELSE 5 END) // 2 AS c0",
+        "SELECT (CASE WHEN false THEN 7 END) // 2 AS c0",
+        "SELECT 7 // (CASE WHEN true THEN 11 // 3 ELSE 2 END + 1) AS c0",
+        # arithmetic recursion: + - * over a rewritten inner //
+        "SELECT (11 // 2 + 1) // 2 AS c0",
+        "SELECT (11 // 2 + 1.5) // 2 AS c0",
+        "SELECT (11 // 2 * 3 - 1) // 2 AS c0",
+        "SELECT (1.5e-3 + 11) // 2 AS c0",
+        "SELECT (-11 + 40) // 3 AS c0",
+        "SELECT 100 // (11 // 3 + 1) // 2 AS c0",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert len(got) == len(want), q
+        for gr, wr in zip(got, want):
+            for gv, wv in zip(gr, wr):
+                if gv is None or wv is None:
+                    assert gv is None and wv is None, (q, gv, wv)
+                elif isinstance(gv, (int, float)) and isinstance(wv, (int, float)):
+                    assert float(gv) == float(wv), (q, gv, wv)
+                else:
+                    assert str(gv) == str(wv), (q, gv, wv)
+    con.close()
+
+
 def test_plain_sql_unchanged():
     sql = "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC"
     assert rewrite_duckdb_dialect(sql) == sql

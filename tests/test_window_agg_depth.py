@@ -52,6 +52,23 @@ BATTERY = [
     "SELECT corr(k, x) AS v, covar_samp(k, x) AS w, covar_pop(k, x) AS u FROM t",
     "SELECT regr_slope(x, k) AS v, regr_intercept(x, k) AS w, regr_r2(x, k) AS u FROM t",
     "SELECT g, arg_min(k, x) AS v, arg_max(k, x) AS w FROM t GROUP BY g ORDER BY g",
+    # window FILTER (Spark: unsupported natively; rewritten to CASE args)
+    "SELECT k, count(x) FILTER (WHERE k > 1) OVER (ORDER BY k) AS v FROM t ORDER BY k",
+    "SELECT k, count(*) FILTER (WHERE g = 'a') OVER (PARTITION BY g ORDER BY k) AS v FROM t ORDER BY k",
+    "SELECT k, sum(x) FILTER (WHERE k % 2 = 0) OVER w AS v FROM t WINDOW w AS (ORDER BY k) ORDER BY k",
+    "SELECT k, sum(x) FILTER (WHERE k > 1) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS v FROM t ORDER BY k",
+    # DISTINCT window aggregates (Spark: unsupported natively; rewritten)
+    "SELECT k, count(DISTINCT g) OVER (ORDER BY k) AS v FROM t ORDER BY k",
+    "SELECT k, count(DISTINCT x) OVER (PARTITION BY g ORDER BY k) AS v FROM t ORDER BY k",
+    "SELECT k, count(DISTINCT x) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS v FROM t ORDER BY k",
+    "SELECT k, count(DISTINCT g) FILTER (WHERE k <> 3) OVER (ORDER BY k) AS v FROM t ORDER BY k",
+    "SELECT k, min(DISTINCT x) OVER (ORDER BY k) AS v, max(DISTINCT x) OVER (ORDER BY k) AS w FROM t ORDER BY k",
+    # join-keyword and limit-form parity (native in both engines)
+    "SELECT k FROM t SEMI JOIN (SELECT 1 AS k UNION ALL SELECT 3) u USING (k) ORDER BY k",
+    "SELECT k FROM t ANTI JOIN (SELECT 1 AS k UNION ALL SELECT 3) u USING (k) ORDER BY k",
+    "SELECT k FROM t ORDER BY k OFFSET 3",
+    "SELECT k FROM t ORDER BY k LIMIT ALL",
+    "SELECT k FROM t ORDER BY k DESC LIMIT 2 OFFSET 1",
 ]
 
 
