@@ -148,6 +148,11 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    RE2 (DuckDB) skips them — ``regexp_replace('xy', 'x*', '_', 'g')``
    is '__y_' here, '_y_' there (fuzz r8 seed 12654).  Non-empty
    matches and the unflagged first-only form agree.
+12. A ``//`` embedded directly in a string context (``'x' || a // b``)
+   renders '7.0' where DuckDB prints '7' — the dispatch surfaces
+   DOUBLE in both branches; at the result boundary the cell formatter
+   renders whole doubles like DuckDB's INTEGER, so only mid-query
+   stringification shows the difference.
 """
 
 from __future__ import annotations

@@ -143,3 +143,14 @@ def test_residual_11_zero_width_global_replace(engine):
     q2 = "SELECT regexp_replace('xaxa', 'a', 'B', 'g') AS v"
     assert engine.sql(q2).collect()[0][0] == "xBxB"
     assert duckdb.connect().execute(q2).fetchone()[0] == "xBxB"
+
+
+def test_residual_12_intdiv_in_string_context_renders_double(engine):
+    """#12: the ``//`` dispatch surfaces DOUBLE in both branches (the
+    cell formatter renders whole doubles like DuckDB's INTEGER at the
+    result boundary), but a ``//`` embedded directly in a string
+    context — ``'x' || a // b`` — stringifies mid-query, so Spark
+    renders '7.0' where DuckDB prints '7'.  Numeric use is unaffected."""
+    q = "SELECT ('x' || 35 // 5) AS v"
+    assert engine.sql(q).collect()[0][0] == "x7.0"
+    assert duckdb.connect().execute(q).fetchone()[0] == "x7"
