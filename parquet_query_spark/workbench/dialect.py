@@ -1766,9 +1766,12 @@ def _macro_lcm(args):
         return None
     a, b = args[0].strip(), args[1].strip()
     g = _macro_gcd(args)
+    # token-free division (no DIV/'/'): the divmod pass would otherwise
+    # rewrite an emitted DIV into the DOUBLE-surfaced dispatch, where
+    # DuckDB types lcm BIGINT; the division is exact by construction
     return (
         f"(CASE WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
-        f"ELSE abs(({a}) * ({b})) DIV {g} END)"
+        f"ELSE CAST(try_divide(abs(({a}) * ({b})), {g}) AS BIGINT) END)"
     )
 
 
@@ -1837,7 +1840,22 @@ def _macro_gamma(args):
         f"(3.141592653589793d / (sin(3.141592653589793d * {z}) "
         f"* exp({_lngamma_pos(f'(1.0d - {z})')})))"
     )
-    return f"(CASE WHEN {z} >= 0.5 THEN {pos} ELSE {refl} END)"
+    # integer inputs: DuckDB's tgamma is exact ((n-1)!) while the
+    # Lanczos exp path drifts in the last ulps — factorial fits BIGINT
+    # through gamma(21) = 20!
+    exact = f"CAST(factorial(CAST({z} AS INT) - 1) AS DOUBLE)"
+    return (
+        f"(CASE WHEN {z} = floor({z}) AND {z} >= 1.0d AND {z} <= 21.0d "
+        f"THEN {exact} WHEN {z} >= 0.5 THEN {pos} ELSE {refl} END)"
+    )
+
+
+def _macro_epoch_ns(args):
+    # DuckDB epoch_ns → BIGINT nanoseconds (probed); Spark has only
+    # unix_micros — timestamps carry microsecond precision, so *1000
+    # is exact
+    a = _one_arg(args)
+    return None if a is None else f"(unix_micros(({a})) * CAST(1000 AS BIGINT))"
 
 
 def _macro_encode1(args):
@@ -2246,6 +2264,7 @@ _FN_MACROS = {
     "signbit": _macro_signbit,
     "gamma": _macro_gamma,
     "lgamma": _macro_lgamma,
+    "epoch_ns": _macro_epoch_ns,
     "encode": _macro_encode1,
     "decode": _macro_decode1,
     "element_at": _macro_map_extract,

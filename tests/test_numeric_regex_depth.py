@@ -23,6 +23,14 @@ BATTERY = [
     "gcd(12, 18)", "gcd(0, 5)", "gcd(-12, 18)", "lcm(4, 6)", "lcm(0, 5)",
     "xor(5, 3)", "signbit(-2.5)", "signbit(0.0)", "signbit(2.5)",
     "gamma(5)", "gamma(0.5)", "gamma(-0.5)", "gamma(10.25)",
+    # integer gamma is exact ((n-1)! — the Lanczos exp path drifted);
+    # lcm/gcd long names type BIGINT (the emitted DIV previously hit the
+    # divmod pass's DOUBLE dispatch); epoch_ns = micros * 1000
+    "gamma(1)", "gamma(21)", "gamma(22)",
+    "least_common_multiple(4, 6)", "greatest_common_divisor(12, 18)",
+    "(least_common_multiple(4, 6) // 5)", "lcm(-4, 6)",
+    "epoch_ns(TIMESTAMP '1970-01-01 00:00:01.5')",
+    "epoch_ns(TIMESTAMP '2024-06-01 12:34:56.789012')",
     "lgamma(5)", "lgamma(10.5)", "lgamma(0.3)", "lgamma(200)",
     "cbrt(27)", "log(2, 8)", "log2(8)", "atan2(1, 1)", "cot(1)",
     "degrees(3.141592653589793)", "radians(180)", "pi()",
