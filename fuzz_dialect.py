@@ -540,7 +540,13 @@ def gen_query(rng: random.Random):
              (f"nth_value({ncol}, {rng.randrange(1, 4)})", True),
              (f"lag({ncol})", False), (f"lead({ncol})", False),
              (f"lag({ncol}, 2, {rng.choice(['0', '-1'])})", False),
-             (f"lead({ncol}, {rng.randrange(1, 3)}, 99)", False)]
+             (f"lead({ncol}, {rng.randrange(1, 3)}, 99)", False),
+             (f"count(DISTINCT {rng.choice(cols['num'] + cols['str'])})",
+              True),
+             (f"min(DISTINCT {ncol})", True),
+             (f"count({ncol}) FILTER (WHERE {ncol} IS NOT NULL)", True),
+             (f"sum({ncol}) FILTER (WHERE {ncol} > 5)", True),
+             (f"count(*) FILTER (WHERE {ncol} % 2 = 0)", True)]
         )
         # every key column is unique + non-null, so any direction is total
         # order and the window value is deterministic

@@ -71,6 +71,11 @@ def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = No
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from parquet_query_spark.functions.similarity_udfs import (
+        register_similarity_udfs,
+    )
+
+    register_similarity_udfs(spark)
     return spark
 
 
@@ -86,3 +91,8 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep going
+    from parquet_query_spark.functions.similarity_udfs import (
+        register_similarity_udfs,
+    )
+
+    register_similarity_udfs(spark)

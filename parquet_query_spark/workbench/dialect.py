@@ -3303,6 +3303,64 @@ def _split_top_as(text: str) -> tuple[str, str] | None:
     return text[:best], text[best + 2 :]
 
 
+_DUCKTYPE_WRAP_FN = re.compile(r"(round|ceil|ceiling|floor)\s*\(", re.IGNORECASE)
+
+
+def _ducktype_wrap_arg(x: str) -> str | None:
+    """If ``x`` is exactly the ducktype pass's emitted wrap —
+    ``CAST(round|ceil|ceiling|floor(...) AS DOUBLE)``, possibly under
+    unary minus / extra parens — return the wrapped call's FIRST
+    argument.  The wrap exists to give the call DuckDB's DOUBLE static
+    type for ``//`` dispatch, but it erases the decimal-vs-double
+    distinction an integer CAST's rounding mode depends on; the
+    pre-wrap argument type recovers it (fuzz r8 seed 25259)."""
+    t = _strip_outer_parens(x.strip())
+    while t.startswith("-"):
+        t = _strip_outer_parens(t[1:].strip())
+    parts = _case_parts(t)
+    if parts is not None:
+        # _duckdb_round's emitted dispatch: THEN is the binary-rounding
+        # half formula (starts with the isnan guard), ELSE is the
+        # decimal-path wrap — recurse into the ELSE branch
+        conds, results = parts
+        if (
+            len(results) == 2
+            and results[0].lstrip("(").startswith("CASE WHEN isnan(")
+        ):
+            return _ducktype_wrap_arg(results[1])
+        return None
+    if not re.match(r"CAST\s*\(", t, re.IGNORECASE):
+        return None
+    mask = _code_mask(t)
+    cast_open = t.index("(")
+    if _paren_close(t, mask, cast_open) != len(t) - 1:
+        return None
+    split = _split_top_as(t[cast_open + 1 : -1])
+    if split is None or split[1].strip().upper() != "DOUBLE":
+        return None
+    inner = split[0].strip()
+    m = _DUCKTYPE_WRAP_FN.match(inner)
+    if not m:
+        return None
+    imask = _code_mask(inner)
+    iopen = inner.index("(", m.end() - 1)
+    if _paren_close(inner, imask, iopen) != len(inner) - 1:
+        return None
+    args = inner[iopen + 1 : -1]
+    amask = _code_mask(args)
+    depth = 0
+    for i, ch in enumerate(args):
+        if not amask[i]:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return args[:i].strip()
+    return args.strip()
+
+
 def _int_cast_emit(fn: str, x: str, T: str) -> str:
     # DECIMAL → int rounds HALF AWAY FROM ZERO (probed: CAST(0.5 AS INT)
     # = 1, CAST(-2.5 AS INT) = -3); DOUBLE/FLOAT → int rounds HALF TO
@@ -3313,6 +3371,16 @@ def _int_cast_emit(fn: str, x: str, T: str) -> str:
         f"(CASE WHEN {xd} < 0 THEN -floor(0.5 - {xd}) "
         f"ELSE floor({xd} + 0.5) END)"
     )
+    wrap_arg = _ducktype_wrap_arg(x)
+    if wrap_arg is not None:
+        # DuckDB round(decimal) stays DECIMAL (half-away on int cast);
+        # every other input rounds to DOUBLE (half-even).  ceil/floor
+        # yield integral values, so either mode is exact for them.
+        return (
+            f"(CASE WHEN typeof(({wrap_arg})) LIKE 'decimal%' "
+            f"THEN {fn}({away} AS {T}) "
+            f"ELSE {fn}(bround({xd}) AS {T}) END)"
+        )
     return (
         f"(CASE WHEN typeof(({x})) IN ('double', 'float') "
         f"THEN {fn}(bround({xd}) AS {T}) "

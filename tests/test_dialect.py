@@ -153,6 +153,17 @@ def test_fuzz_pinned_r8_wave13_match_duckdb(engine):
         "SELECT (1.5e-3 + 11) // 2 AS c0",
         "SELECT (-11 + 40) // 3 AS c0",
         "SELECT 100 // (11 // 3 + 1) // 2 AS c0",
+        # wave-15 seed 25259: the ducktype DOUBLE wrap around round()
+        # erased the decimal-vs-double distinction the integer CAST's
+        # rounding mode depends on — the cast now dispatches on the
+        # pre-wrap argument type (decimal → half-away, double → half-even)
+        "SELECT (((- round(2.5, 1)))::INT) AS c0",
+        "SELECT (round(2.5, 1))::INT AS c0",
+        "SELECT (round(-2.5, 1))::BIGINT AS c0",
+        "SELECT (round(2.5::DOUBLE, 1))::INT AS c0",
+        "SELECT (round(3.5::DOUBLE, 0))::INT AS c0",
+        "SELECT TRY_CAST(round(1.5, 1) AS INTEGER) AS c0",
+        "SELECT (- round(3, 1))::BIGINT AS c0",
     ]
     for q in battery:
         got = [tuple(r) for r in engine.sql(q).collect()]
