@@ -153,6 +153,12 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    DOUBLE in both branches; at the result boundary the cell formatter
    renders whole doubles like DuckDB's INTEGER, so only mid-query
    stringification shows the difference.
+13. ``levenshtein``/``jaccard``/``hamming`` count CODEPOINTS (Spark
+   builtins / set macros) where DuckDB counts UTF-8 BYTES —
+   ``levenshtein('café', 'cafe')`` is 1 here, 2 there; identical for
+   ASCII.  (``hamming`` errors in DuckDB on unequal byte lengths even
+   when codepoint lengths match.)  The separately registered
+   ``damerau_levenshtein`` / ``jaro*`` UDFs ARE byte-exact.
 """
 
 from __future__ import annotations

@@ -154,3 +154,20 @@ def test_residual_12_intdiv_in_string_context_renders_double(engine):
     q = "SELECT ('x' || 35 // 5) AS v"
     assert engine.sql(q).collect()[0][0] == "x7.0"
     assert duckdb.connect().execute(q).fetchone()[0] == "x7"
+
+
+def test_residual_13_distance_fns_count_codepoints(engine):
+    """#13: levenshtein/jaccard count codepoints (Spark builtins) where
+    DuckDB counts UTF-8 bytes — divergent only for non-ASCII input; the
+    registered damerau_levenshtein/jaro* UDFs are byte-exact."""
+    q = "SELECT levenshtein('café', 'cafe') AS v"
+    assert engine.sql(q).collect()[0][0] == 1
+    assert duckdb.connect().execute(q).fetchone()[0] == 2
+    # ASCII agrees
+    q2 = "SELECT levenshtein('kitten', 'sitting') AS v"
+    assert engine.sql(q2).collect()[0][0] == 3
+    assert duckdb.connect().execute(q2).fetchone()[0] == 3
+    # the byte-exact registered UDF matches DuckDB even on non-ASCII
+    q3 = "SELECT damerau_levenshtein('café', 'cafe') AS v"
+    assert engine.sql(q3).collect()[0][0] == 2
+    assert duckdb.connect().execute(q3).fetchone()[0] == 2
