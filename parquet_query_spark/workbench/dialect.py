@@ -1901,13 +1901,21 @@ def _replace_first_emit(s: str, p: str, r: str) -> str:
     matched text), apply the replacement to just that segment via the
     4-arg position form — which this macro leaves alone, ending the
     fixpoint — and guard with RLIKE so a no-match input passes through
-    (regexp_extract can't distinguish no-match from an empty match)."""
+    (regexp_extract can't distinguish no-match from an empty match).
+
+    The segment replacement anchors the pattern as ``\\A(?:p)\\z`` so it
+    fires EXACTLY once on the extracted match text: Spark's global
+    replace would otherwise also hit the trailing empty match of a
+    zero-width-capable pattern (``regexp_replace('xy', 'x*', '_')`` gave
+    '__y' where DuckDB says '_y' — fuzz r8 seed 27582).  The
+    non-capturing group keeps backref numbering intact."""
     mt = f"regexp_extract(({s}), ({p}), 0)"
     pos = f"locate({mt}, ({s}))"
+    anchored = f"concat('\\\\A(?:', ({p}), ')\\\\z')"
     return (
         f"(CASE WHEN ({s}) RLIKE ({p}) THEN "
         f"concat_ws('', substr(({s}), 1, {pos} - 1), "
-        f"regexp_replace({mt}, ({p}), ({r}), 1), "
+        f"regexp_replace({mt}, {anchored}, ({r}), 1), "
         f"substr(({s}), {pos} + length({mt}))) "
         f"ELSE ({s}) END)"
     )

@@ -164,6 +164,16 @@ def test_fuzz_pinned_r8_wave13_match_duckdb(engine):
         "SELECT (round(3.5::DOUBLE, 0))::INT AS c0",
         "SELECT TRY_CAST(round(1.5, 1) AS INTEGER) AS c0",
         "SELECT (- round(3, 1))::BIGINT AS c0",
+        # wave-16 seed 27582: first-only regexp_replace of a zero-width-
+        # capable pattern double-fired on the extracted segment (Spark's
+        # global replace also hit the trailing empty match); the segment
+        # replacement is now anchored \\A(?:p)\\z
+        "SELECT regexp_replace('xy', 'x*', '_') AS c0",
+        "SELECT regexp_replace('xxy', 'x*', '_') AS c0",
+        "SELECT regexp_replace('y', 'x*', '_') AS c0",
+        "SELECT regexp_replace('', 'x*', '_') AS c0",
+        "SELECT regexp_replace('ab12cd', '(\\d)(\\d)', '\\2\\1') AS c0",
+        "SELECT regexp_replace('aaa', 'a+', 'X') AS c0",
     ]
     for q in battery:
         got = [tuple(r) for r in engine.sql(q).collect()]
