@@ -921,6 +921,11 @@ INTENTIONAL = [
     # #11: zero-width pattern with 'g' — Java replaces the empty match
     # adjacent to a previous match, RE2 skips it
     re.compile(r"regexp_replace\s*\([^;]*'x\*'[^;]*'g'"),
+    # #12: a // result stringified mid-query (array_to_string over a
+    # lambda containing //, or || of a // result) renders '3.0' for
+    # DuckDB's INTEGER '3' — the dispatch surfaces DOUBLE in both
+    # branches; top-level cells render identically via the formatter
+    re.compile(r"array_to_string\s*\([^;]*//|\|\|[^;]*//|//[^;]*\|\|", re.DOTALL),
 ]
 
 

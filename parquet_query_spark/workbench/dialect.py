@@ -148,11 +148,12 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    RE2 (DuckDB) skips them — ``regexp_replace('xy', 'x*', '_', 'g')``
    is '__y_' here, '_y_' there (fuzz r8 seed 12654).  Non-empty
    matches and the unflagged first-only form agree.
-12. A ``//`` embedded directly in a string context (``'x' || a // b``)
-   renders '7.0' where DuckDB prints '7' — the dispatch surfaces
-   DOUBLE in both branches; at the result boundary the cell formatter
-   renders whole doubles like DuckDB's INTEGER, so only mid-query
-   stringification shows the difference.
+12. A ``//`` embedded directly in a string context (``'x' || a // b``,
+   or ``array_to_string`` over a lambda containing ``//`` — fuzz r8
+   seed 31255) renders '7.0' where DuckDB prints '7' — the dispatch
+   surfaces DOUBLE in both branches; at the result boundary the cell
+   formatter renders whole doubles like DuckDB's INTEGER, so only
+   mid-query stringification shows the difference.
 13. ``levenshtein``/``jaccard``/``hamming`` count CODEPOINTS (Spark
    builtins / set macros) where DuckDB counts UTF-8 BYTES —
    ``levenshtein('café', 'cafe')`` is 1 here, 2 there; identical for
@@ -779,10 +780,14 @@ _FN_MAP = {
     "list_has_any": "arrays_overlap",
     "array_has_any": "arrays_overlap",
     "list_pack": "array",
-    # aggregates (string_agg/listagg/median are Spark-native already)
-    "arg_min": "min_by",
-    "arg_max": "max_by",
+    # aggregates (string_agg/listagg/median are Spark-native already).
+    # arg_min/arg_max are macros below: DuckDB skips rows whose ARGUMENT
+    # is NULL, Spark min_by/max_by does not; the *_null variants map
+    # straight through.
+    "arg_min_null": "min_by",
+    "arg_max_null": "max_by",
     "quantile_cont": "percentile",
+    "str_split_regex": "split",
     # lists/strings
     "array_length": "size",
     "strlen": "octet_length",
@@ -1775,8 +1780,11 @@ def _macro_lcm(args):
     # token-free division (no DIV/'/'): the divmod pass would otherwise
     # rewrite an emitted DIV into the DOUBLE-surfaced dispatch, where
     # DuckDB types lcm BIGINT; the division is exact by construction
+    # NULL propagates BEFORE the zero rule (probed: lcm(0, NULL) is
+    # NULL, not 0 — fuzz r8 seed 31308)
     return (
-        f"(CASE WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
         f"ELSE CAST(try_divide(abs(({a}) * ({b})), {g}) AS BIGINT) END)"
     )
 
@@ -1853,6 +1861,193 @@ def _macro_gamma(args):
     return (
         f"(CASE WHEN {z} = floor({z}) AND {z} >= 1.0d AND {z} <= 21.0d "
         f"THEN {exact} WHEN {z} >= 0.5 THEN {pos} ELSE {refl} END)"
+    )
+
+
+def _macro_arg_minmax(which: str):
+    # DuckDB arg_min/arg_max SKIP rows whose ARGUMENT is NULL (probed:
+    # arg_min(x, y) over {(1,5), (NULL,1)} is 1); Spark min_by/max_by
+    # return the argument at the extremal key even when NULL.  The
+    # FILTER form restores DuckDB's reading — and composes with windows
+    # through the window-FILTER rewrite pass.
+    def m(args):
+        if len(args) != 2:
+            return None
+        a, v = args[0].strip(), args[1].strip()
+        return f"({which}(({a}), ({v})) FILTER (WHERE ({a}) IS NOT NULL))"
+
+    return m
+
+
+def _macro_fdiv(args):
+    # DuckDB fdiv = floor division, always DOUBLE, NULL on zero divisor
+    if len(args) != 2:
+        return None
+    x, y = args[0].strip(), args[1].strip()
+    return f"floor(try_divide(CAST(({x}) AS DOUBLE), ({y})))"
+
+
+def _macro_fmod(args):
+    # DuckDB fmod(x, y) = x - y*floor(x/y) (probed: fmod(-7.5, 2) = 0.5)
+    if len(args) != 2:
+        return None
+    x, y = args[0].strip(), args[1].strip()
+    return (
+        f"(CAST(({x}) AS DOUBLE) - ({y}) * "
+        f"floor(try_divide(CAST(({x}) AS DOUBLE), ({y}))))"
+    )
+
+
+def _macro_kahan_sum(args):
+    # DuckDB kahan_sum returns DOUBLE (compensated); Spark double sum
+    # is within the 1e-9 comparator everywhere the engine is used
+    a = _one_arg(args)
+    return None if a is None else f"sum(CAST(({a}) AS DOUBLE))"
+
+
+def _macro_current_schema(args):
+    return "'main'" if args in ([], [""]) or not any(a.strip() for a in args) else None
+
+
+def _macro_current_database(args):
+    return "'memory'" if not any(a.strip() for a in args) else None
+
+
+def _macro_list_resize(args):
+    # DuckDB list_resize(l, n[, fill]): truncate to n or right-pad with
+    # fill (default NULL).  try_element_at(l, size+1) manufactures a
+    # correctly-typed NULL without knowing the element type.
+    if len(args) not in (2, 3):
+        return None
+    l, n = args[0].strip(), args[1].strip()
+    fill = (
+        args[2].strip()
+        if len(args) == 3
+        else f"try_element_at(({l}), CAST(size(({l})) + 1 AS INT))"
+    )
+    # flatten(array(..)) not concat(..): the skip-NULLs concat pass
+    # would stringify the arrays (trap 31 / fixed bug #8)
+    return (
+        f"(CASE WHEN ({n}) <= size(({l})) "
+        f"THEN slice(({l}), 1, greatest(({n}), 0)) "
+        f"ELSE flatten(array(({l}), "
+        f"array_repeat({fill}, ({n}) - size(({l}))))) END)"
+    )
+
+
+def _format_bytes_scaled(v: str, k: int, unit: str, base: int = 1024) -> str:
+    # one decimal, TRUNCATED toward zero (probed: 1945 → '1.8 KiB').
+    # Token-free arithmetic: emitted ``div``/``/``/plain BIGINT casts
+    # would be re-rewritten by the divmod / int-cast passes (trap 31);
+    # CAST(try_divide(..) AS BIGINT) is the exempted truncating shape.
+    t = (
+        f"CAST(try_divide(CAST(({v}) AS DOUBLE) * 10.0d, "
+        f"{float(base ** k)!r}d) AS BIGINT)"
+    )
+    ip = f"CAST(try_divide({t}, 10) AS BIGINT)"
+    fr = f"try_mod(abs({t}), 10)"
+    return (
+        f"concat(CAST({ip} AS STRING), '.', "
+        f"CAST({fr} AS STRING), ' {unit}')"
+    )
+
+
+def _macro_format_bytes(args):
+    # DuckDB format_bytes: binary units, '1 byte' singular, one decimal
+    # truncated, capped at PiB (probed: 2^60 → '1024.0 PiB')
+    v = _one_arg(args)
+    if v is None:
+        return None
+    ladder = []
+    units = ["KiB", "MiB", "GiB", "TiB"]
+    for i, unit in enumerate(units, start=1):
+        ladder.append(
+            f"WHEN abs(({v})) < {1024 ** (i + 1)} "
+            f"THEN {_format_bytes_scaled(v, i, unit)}"
+        )
+    return (
+        f"(CASE WHEN ({v}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN ({v}) = 1 THEN '1 byte' "
+        f"WHEN abs(({v})) < 1024 THEN concat(CAST(({v}) AS STRING), ' bytes') "
+        + " ".join(ladder)
+        + f" ELSE {_format_bytes_scaled(v, 5, 'PiB')} END)"
+    )
+
+
+def _macro_format_decimal_bytes(args):
+    # formatReadableDecimalSize: same scheme at base 1000 with kB..PB
+    # (probed: 1990000 → '1.9 MB' — truncated, lowercase k)
+    v = _one_arg(args)
+    if v is None:
+        return None
+    ladder = []
+    for i, unit in enumerate(["kB", "MB", "GB", "TB"], start=1):
+        ladder.append(
+            f"WHEN abs(({v})) < {1000 ** (i + 1)} "
+            f"THEN {_format_bytes_scaled(v, i, unit, base=1000)}"
+        )
+    return (
+        f"(CASE WHEN ({v}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN ({v}) = 1 THEN '1 byte' "
+        f"WHEN abs(({v})) < 1000 THEN concat(CAST(({v}) AS STRING), ' bytes') "
+        + " ".join(ladder)
+        + f" ELSE {_format_bytes_scaled(v, 5, 'PB', base=1000)} END)"
+    )
+
+
+def _histogram_sql(x: str) -> str:
+    """RLE fold over the sorted value list → DuckDB's key-ordered MAP.
+    The accumulator's list fields are typed from the input itself
+    (``slice(L, 1, 0)``) so no element-type spelling is needed; fold
+    lambdas touch only the accumulator and element, keeping aggregates
+    out of lambda bodies (Spark rejects those)."""
+    L = f"array_sort(collect_list(({x})))"
+    acc0 = (
+        f"named_struct('ks', slice({L}, 1, 0), "
+        f"'cs', CAST(array() AS ARRAY<BIGINT>), "
+        f"'pv', try_element_at({L}, 1), 'ct', CAST(0 AS BIGINT))"
+    )
+    # flatten(array(..)), never concat(..): the skip-NULLs concat pass
+    # would stringify the arrays (trap 31 / fixed bug #8)
+    step = (
+        "(a, e) -> CASE "
+        "WHEN a.ct > 0 AND a.pv = e THEN "
+        "named_struct('ks', a.ks, 'cs', a.cs, 'pv', a.pv, 'ct', a.ct + 1) "
+        "WHEN a.ct > 0 THEN "
+        "named_struct('ks', flatten(array(a.ks, array(a.pv))), "
+        "'cs', flatten(array(a.cs, array(a.ct))), "
+        "'pv', e, 'ct', CAST(1 AS BIGINT)) "
+        "ELSE named_struct('ks', a.ks, 'cs', a.cs, 'pv', e, "
+        "'ct', CAST(1 AS BIGINT)) END"
+    )
+    fin = (
+        "a -> map_from_arrays(flatten(array(a.ks, array(a.pv))), "
+        "flatten(array(a.cs, array(a.ct))))"
+    )
+    return (
+        f"(CASE WHEN size({L}) = 0 THEN NULL "
+        f"ELSE aggregate({L}, {acc0}, {step}, {fin}) END)"
+    )
+
+
+def _macro_histogram(args):
+    a = _one_arg(args)
+    return None if a is None else _histogram_sql(a)
+
+
+def _macro_entropy(args):
+    # Shannon entropy (log2) over value frequencies, NULLs ignored,
+    # 0.0 when no non-NULL rows (probed)
+    a = _one_arg(args)
+    if a is None:
+        return None
+    hist = _histogram_sql(a)
+    n = f"size(collect_list(({a})))"
+    return (
+        f"(CASE WHEN {n} = 0 THEN 0.0d ELSE "
+        f"aggregate(map_values({hist}), CAST(0 AS DOUBLE), "
+        f"(acc, c) -> acc + try_divide(CAST(c AS DOUBLE), {n}) "
+        f"* log2(try_divide(CAST({n} AS DOUBLE), c))) END)"
     )
 
 
@@ -2279,6 +2474,22 @@ _FN_MACROS = {
     "gamma": _macro_gamma,
     "lgamma": _macro_lgamma,
     "epoch_ns": _macro_epoch_ns,
+    "arg_min": _macro_arg_minmax("min_by"),
+    "arg_max": _macro_arg_minmax("max_by"),
+    "fdiv": _macro_fdiv,
+    "fmod": _macro_fmod,
+    "kahan_sum": _macro_kahan_sum,
+    "fsum": _macro_kahan_sum,
+    "sumkahan": _macro_kahan_sum,
+    "current_schema": _macro_current_schema,
+    "current_database": _macro_current_database,
+    "list_resize": _macro_list_resize,
+    "array_resize": _macro_list_resize,
+    "format_bytes": _macro_format_bytes,
+    "formatreadablesize": _macro_format_bytes,
+    "formatreadabledecimalsize": _macro_format_decimal_bytes,
+    "histogram": _macro_histogram,
+    "entropy": _macro_entropy,
     "encode": _macro_encode1,
     "decode": _macro_decode1,
     "element_at": _macro_map_extract,
@@ -3210,6 +3421,21 @@ _JSON_CAST = re.compile(r"(::\s*|\bAS\s+)JSON\b(?=\s*[),]|\s*$|\s)", re.IGNORECA
 _BLOB_CAST = re.compile(
     r"(::\s*|\bAS\s+)(BLOB|BYTEA)\b(?=\s*[),]|\s*$|\s)", re.IGNORECASE
 )
+# DuckDB unsigned integer types → the next-wider signed Spark type (the
+# VALUES are always representable; only typeof's rendering differs).
+# UBIGINT/UHUGEINT need DECIMAL since Spark's widest integer is signed.
+_UNSIGNED_CAST = re.compile(
+    r"(::\s*|\bAS\s+)(UTINYINT|USMALLINT|UINTEGER|UBIGINT|UHUGEINT)"
+    r"\b(?=\s*[),]|\s*$|\s)",
+    re.IGNORECASE,
+)
+_UNSIGNED_MAP = {
+    "utinyint": "SMALLINT",
+    "usmallint": "INTEGER",
+    "uinteger": "BIGINT",
+    "ubigint": "DECIMAL(20,0)",
+    "uhugeint": "DECIMAL(38,0)",
+}
 
 
 def _rewrite_bare_varchar(sql: str) -> str:
@@ -3232,6 +3458,11 @@ def _rewrite_bare_varchar(sql: str) -> str:
     ] + [
         (m.start(2), m.end(), "BINARY")
         for m in _BLOB_CAST.finditer(sql)
+        if all(mask[i] for i in range(m.start(), m.end()))
+        and (m.group(1).startswith("::") or _looks_like_cast(sql, mask, m.start()))
+    ] + [
+        (m.start(2), m.end(), _UNSIGNED_MAP[m.group(2).lower()])
+        for m in _UNSIGNED_CAST.finditer(sql)
         if all(mask[i] for i in range(m.start(), m.end()))
         and (m.group(1).startswith("::") or _looks_like_cast(sql, mask, m.start()))
     ]

@@ -171,3 +171,18 @@ def test_residual_13_distance_fns_count_codepoints(engine):
     q3 = "SELECT damerau_levenshtein('café', 'cafe') AS v"
     assert engine.sql(q3).collect()[0][0] == 2
     assert duckdb.connect().execute(q3).fetchone()[0] == 2
+
+
+def test_residual_12b_intdiv_in_array_to_string(engine):
+    """#12 (lambda form, fuzz r8 seed 31255): a // inside a transform
+    lambda stringified by array_to_string renders via DOUBLE."""
+    q = "SELECT array_to_string(list_transform([7, 9], x -> x // 2), ',') AS v"
+    assert engine.sql(q).collect()[0][0] == "3.0,4.0"
+    assert duckdb.connect().execute(q).fetchone()[0] == "3,4"
+
+
+def test_lcm_null_propagates_before_zero_rule(engine):
+    """lcm(0, NULL) is NULL in DuckDB, not 0 (fuzz r8 seed 31308)."""
+    q = "SELECT lcm(0, CAST(NULL AS BIGINT)) AS a, lcm(5, CAST(NULL AS BIGINT)) AS b, lcm(0, 5) AS c"
+    assert [tuple(r) for r in engine.sql(q).collect()] == [(None, None, 0)]
+    assert duckdb.connect().execute(q).fetchall() == [(None, None, 0)]
