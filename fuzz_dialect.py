@@ -803,6 +803,85 @@ def gen_query(rng: random.Random):
     return render, exprs
 
 
+# ── mutation: comments / whitespace / keyword case ───────────────────────
+#
+# Comments and whitespace are semantically neutral in BOTH engines, and
+# unquoted identifiers/keywords are case-insensitive in both — so a
+# mutated query must return exactly the base query's result.  Any
+# divergence introduced by mutation is a lexer/mask bug in one of the
+# ~30 dialect rewrite passes (two real ones were found by hand before
+# this existed: ORDER BY trailing comments, keyword-adjacent unary minus).
+
+
+def _ws_runs_and_words(sql: str):
+    """(kind, start, end) spans outside string literals: kind 'ws' for
+    whitespace runs, 'word' for alphabetic identifier/keyword tokens."""
+    spans = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            i += 1
+            continue
+        if c.isspace():
+            j = i
+            while j < n and sql[j].isspace():
+                j += 1
+            spans.append(("ws", i, j))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            spans.append(("word", i, j))
+            i = j
+            continue
+        i += 1
+    return spans
+
+
+_WS_FILLERS = [
+    " /*c*/ ", " /* a 'b' -- not a line comment */ ", "\n", "\t", "   ",
+    " -- tail comment\n", " /*x*/\n/*y*/ ", "\n  -- note\n  ",
+]
+
+
+def mutate(sql: str, rng: random.Random) -> str:
+    """Inject comments/whitespace into existing gaps and flip the case of
+    unquoted word tokens.  Never touches string literals; never creates or
+    removes a token boundary (fillers only replace existing whitespace)."""
+    spans = _ws_runs_and_words(sql)
+    out = []
+    pos = 0
+    for kind, s, e in spans:
+        out.append(sql[pos:s])
+        seg = sql[s:e]
+        if kind == "ws":
+            if rng.random() < 0.35:
+                seg = rng.choice(_WS_FILLERS)
+        else:
+            r = rng.random()
+            if r < 0.15:
+                seg = seg.upper()
+            elif r < 0.30:
+                seg = seg.lower()
+        out.append(seg)
+        pos = e
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 # ── execution + comparison ───────────────────────────────────────────────
 
 
@@ -935,6 +1014,10 @@ def main() -> int:
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--one", type=int, default=None)
     ap.add_argument("--no-shrink", action="store_true")
+    ap.add_argument(
+        "--mutate", action="store_true",
+        help="inject comments/whitespace/keyword-case noise into each "
+        "generated query (semantically neutral in both engines)")
     args = ap.parse_args()
 
     import duckdb
@@ -958,6 +1041,12 @@ def main() -> int:
     for seed in seeds:
         rng = random.Random(seed)
         render, exprs = gen_query(rng)
+        if args.mutate:
+            base_render = render
+
+            def render(es, _base=base_render, _mseed=seed * 1000003 + 17):
+                return mutate(_base(es), random.Random(_mseed))
+
         sql = render(exprs)
         cls, a, b = differ.run(sql)
         counts[cls] += 1

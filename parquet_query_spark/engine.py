@@ -234,6 +234,14 @@ class Engine:
         # pass-through, src/duckdb.ts:46-49), then the path-literal
         # rewrite re-lexes the transformed text.
         registered = assign_view_names(self.registry)
+        # Comments out first: every routing check and rewrite pass below
+        # matches token adjacency with \s+, so a comment between tokens
+        # either defeats the match (silent wrong answer: ^ left as XOR) or
+        # corrupts the splice (r8 mutation-fuzz findings).  Stripping is
+        # safe — comments are semantically neutral in both engines.
+        from parquet_query_spark.workbench.dialect import strip_comments
+
+        statement = strip_comments(statement)
         # DuckDB CREATE/DROP MACRO — session objects on this Engine; every
         # later statement sees its calls expanded before any other pass.
         from parquet_query_spark.workbench.macros import (

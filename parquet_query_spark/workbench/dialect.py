@@ -282,6 +282,90 @@ def _comment_mask(sql: str) -> list[bool]:
     return cmask
 
 
+_DOLLAR_TAG = re.compile(r"\$([A-Za-z_][A-Za-z_0-9]*)?\$")
+
+
+def strip_comments(sql: str) -> str:
+    """Replace every SQL comment with a single space (string-aware,
+    including dollar-quoted strings, which `_comment_mask` predates).
+
+    Comments are semantically neutral in both DuckDB and Spark, but the
+    ~30 regex rewrite passes tolerate only whitespace between tokens —
+    the r8 mutation fuzzer showed a comment between ``^`` and its operand
+    (or inside ``ORDER BY``, ``* EXCLUDE``, ``->>``, ``%``, ``//``, QUALIFY
+    predicates, …) either mangles the rewrite into a parse error or, worse,
+    silently skips it (``^`` left as Spark XOR).  Stripping once at the
+    engine funnel fixes the entire class instead of hardening every pass."""
+    if "--" not in sql and "/*" not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    state: str | None = None  # None | sq | dq | bq | line | block
+    dollar_tag: str | None = None
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "line":
+            if ch == "\n":
+                state = None
+                out.append(ch)
+            i += 1
+            continue
+        if state == "block":
+            if ch == "*" and nxt == "/":
+                state = None
+                i += 2
+            else:
+                i += 1
+            continue
+        if state == "dollar":
+            out.append(ch)
+            if ch == "$" and sql.startswith(dollar_tag, i):
+                out.append(sql[i + 1 : i + len(dollar_tag)])
+                i += len(dollar_tag)
+                state, dollar_tag = None, None
+            else:
+                i += 1
+            continue
+        if state in ("sq", "dq", "bq"):
+            q = {"sq": "'", "dq": '"', "bq": "`"}[state]
+            out.append(ch)
+            if ch == q and nxt == q:
+                out.append(nxt)
+                i += 2
+                continue
+            if ch == q:
+                state = None
+            i += 1
+            continue
+        if ch == "-" and nxt == "-":
+            out.append(" ")
+            state = "line"
+            i += 2
+            continue
+        if ch == "/" and nxt == "*":
+            out.append(" ")
+            state = "block"
+            i += 2
+            continue
+        if ch == "$":
+            m = _DOLLAR_TAG.match(sql, i)
+            if m:
+                state, dollar_tag = "dollar", m.group(0)
+                out.append(m.group(0))
+                i = m.end()
+                continue
+        if ch == "'":
+            state = "sq"
+        elif ch == '"':
+            state = "dq"
+        elif ch == "`":
+            state = "bq"
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _depths(sql: str, mask: list[bool]) -> list[int]:
     """Paren depth at each position (code parens only)."""
     depths = []
@@ -307,6 +391,56 @@ def _keyword_matches(sql: str, mask: list[bool], pattern: str) -> list[re.Match]
 # ── SELECT * EXCLUDE → SELECT * EXCEPT ───────────────────────────────────
 
 _IDENT = r'(?:`(?:[^`]|``)+`|"(?:[^"]|"")+"|[A-Za-z_][\w$]*)'
+
+
+# ── named-window reference case (r8 mutation fuzz) ──────────────────────
+#
+# DuckDB resolves ``OVER w`` against ``WINDOW W AS (...)`` case-
+# insensitively (unquoted identifiers fold); Spark matches the reference
+# to the definition by EXACT text and raises MISSING_WINDOW_SPECIFICATION
+# on a case mismatch.  Canonicalize every unquoted ``OVER <name>``
+# reference to the defined spelling.
+
+_WINDOW_DEF = re.compile(
+    r"\bWINDOW\s+([A-Za-z_][\w$]*)\s+AS\s*\(", re.IGNORECASE
+)
+_WINDOW_DEF_CONT = re.compile(r"\s*,\s*([A-Za-z_][\w$]*)\s+AS\s*\(")
+_OVER_REF = re.compile(r"\bOVER\s+([A-Za-z_][\w$]*)", re.IGNORECASE)
+
+
+def _rewrite_named_window_case(sql: str) -> str:
+    if "window" not in sql.lower() or "over" not in sql.lower():
+        return sql
+    mask = _code_mask(sql)
+    depths = _depths(sql, mask)
+    defined: dict[str, str] = {}
+    for m in _keyword_matches(sql, mask, _WINDOW_DEF.pattern):
+        defined[m.group(1).lower()] = m.group(1)
+        # continuation definitions: WINDOW w1 AS (...), w2 AS (...)
+        close = m.end() - 1  # the '('
+        d0 = depths[close]  # _depths records the same value on the matching ')'
+        j = close + 1
+        while j < len(sql):
+            if mask[j] and sql[j] == ")" and depths[j] == d0:
+                c = _WINDOW_DEF_CONT.match(sql, j + 1)
+                if c is None:
+                    break
+                defined[c.group(1).lower()] = c.group(1)
+                j = sql.find("(", c.end() - 1)
+                if j < 0:
+                    break
+                j += 1
+                continue
+            j += 1
+    if not defined:
+        return sql
+    out = sql
+    for m in reversed(_keyword_matches(sql, mask, _OVER_REF.pattern)):
+        name = m.group(1)
+        want = defined.get(name.lower())
+        if want is not None and want != name:
+            out = out[: m.start(1)] + want + out[m.end(1) :]
+    return out
 
 
 def _rewrite_exclude(sql: str) -> str:
@@ -5351,7 +5485,8 @@ def _rewrite_ops_pack(sql: str) -> str:
 
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    return _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_count_distinct_window(_rewrite_window_filter(_rewrite_qualify(
+    sql = strip_comments(sql)
+    return _rewrite_named_window_case(_rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_count_distinct_window(_rewrite_window_filter(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
                 _rewrite_exclude(
@@ -5391,12 +5526,13 @@ def rewrite_duckdb_dialect(sql: str) -> str:
                 )
             )
         )
-    )))))))
+    ))))))))
 
 
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     """Alternate rewrites to retry when the primary form fails analysis
     (e.g. a QUALIFY window referencing a non-projected base column)."""
+    sql = strip_comments(sql)
     alt = _rewrite_qualify_inject(
         _rewrite_strptime(
             _rewrite_strftime(
@@ -5440,6 +5576,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     )
     alt = _rewrite_count_distinct_window(_rewrite_window_filter(alt))
     alt = _rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(alt))))
+    alt = _rewrite_named_window_case(alt)
     primary = rewrite_duckdb_dialect(sql)
     out = [alt] if alt != primary else []
     # DuckDB ``len`` is polymorphic (strings AND lists); Spark's ``len``

@@ -45,8 +45,12 @@ def test_exclude_inside_string_untouched():
 
 
 def test_exclude_inside_comment_untouched():
+    # comments are stripped up front (r8 mutation-fuzz fix), so EXCLUDE
+    # inside one must neither fire the rewrite nor survive into the output
     sql = "SELECT * FROM t -- * EXCLUDE (a)"
-    assert rewrite_duckdb_dialect(sql) == sql
+    out = rewrite_duckdb_dialect(sql)
+    assert "EXCLUDE" not in out
+    assert out.startswith("SELECT * FROM t")
 
 
 def test_strftime_rewrite():
@@ -193,6 +197,93 @@ def test_fuzz_pinned_r8_wave13_match_duckdb(engine):
 def test_plain_sql_unchanged():
     sql = "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY s DESC"
     assert rewrite_duckdb_dialect(sql) == sql
+
+
+def test_strip_comments_string_and_dollar_aware():
+    from parquet_query_spark.workbench.dialect import strip_comments
+
+    # comment markers inside string literals survive untouched
+    assert strip_comments("SELECT '--x' AS a, '/*y*/' AS b") == (
+        "SELECT '--x' AS a, '/*y*/' AS b"
+    )
+    assert strip_comments("SELECT 'it''s -- fine'") == "SELECT 'it''s -- fine'"
+    assert strip_comments('SELECT "a--b" FROM t') == 'SELECT "a--b" FROM t'
+    # dollar-quoted strings shield their contents
+    assert strip_comments("SELECT $$a -- b$$") == "SELECT $$a -- b$$"
+    assert strip_comments("SELECT $tag$/*x*/$tag$ AS s") == (
+        "SELECT $tag$/*x*/$tag$ AS s"
+    )
+    # real comments collapse to one space; line comments keep the newline
+    assert strip_comments("SELECT 1 /* c */ + 2") == "SELECT 1   + 2"
+    assert strip_comments("SELECT 1 -- tail\n+ 2") == "SELECT 1  \n+ 2"
+    # a comment containing a quote must not open string state
+    assert strip_comments("SELECT /* a 'b */ 1 -- it's\n") == "SELECT   1  \n"
+
+
+def test_fuzz_pinned_r8_mutation_match_duckdb(engine):
+    """Minimized reproductions from the r8 comment/whitespace/keyword-case
+    mutation fuzz (``fuzz_dialect.py --mutate``).  10/60 mutated seeds
+    failed before the fix: the regex rewrite passes tolerate only
+    whitespace between tokens, so an interleaved comment either mangled
+    the splice into a parse error (* EXCLUDE, QUALIFY's ORDER BY tail,
+    ->>/->, //, function args) or silently skipped the rewrite — seed 25
+    left ``^`` as Spark XOR (2 instead of 0.0).  Fixed by stripping
+    comments once at the Engine.sql funnel (strip_comments), not by
+    hardening each pass."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        # seed 25: ^ power with a comment before the exponent (silent XOR)
+        "SELECT ((abs(3) % 10) ^ /*c*/ 2) AS v",
+        # seed 5: comment between * and EXCLUDE
+        "SELECT\n*\n  -- note\n  EXCLUDE /*c*/ (b) -- tail\n"
+        "FROM (VALUES (1, 'x'), (2, 'y')) t(a, b) ORDER BY ALL",
+        # seeds 6/33: QUALIFY with ORDER /*c*/ BY in the outer tail
+        "SELECT k AS kk, row_number() OVER (PARTITION by g\n"
+        "ORDER BY /*x*/\n/*y*/ k) AS rn "
+        "FROM (VALUES (1, 1), (2, 1), (3, 2)) t(k, g)\n"
+        "QUALIFY rn <= 1 ORDER /* a 'b' -- not a line comment */ BY kk",
+        # seed 28: JSON arrows split across comments and newlines
+        "SELECT ('{\"a\": 1, \"b\": {\"c\": 5}}' -> 'b'\n->> -- tail\n"
+        "'c') AS c0",
+        # seeds 34/56: % with an interleaved comment must keep the
+        # NULL-on-zero rewrite (DuckDB: NULL, ANSI Spark: error)
+        "SELECT (a % /* a 'b' -- not a line comment */ b) AS c0 "
+        "FROM (VALUES (3, 0), (7, 2)) t(a, b) ORDER BY c0 NULLS FIRST",
+        # seed 52: // with comments between its operands
+        "SELECT count((a //\n  -- note\n  a)) AS n "
+        "FROM (VALUES (1), (2)) t(a)",
+        # seed 54: line comment inside a function argument list
+        "SELECT (left('abcdef', -- tail\n2)\n  -- note\n  LIKE '_b%') AS c0",
+        # keyword-case + comment soup end-to-end
+        "select /*c*/ a AS k, ((ABS((a % 7)) % /*c*/ 10) ^\t0) as v "
+        "from (VALUES (1), (2)) t(a) GROUP BY ALL   order BY k, v",
+        # seeds 173/242/949/1283: named-window reference case — Spark
+        # matches OVER w to WINDOW W AS by exact text, DuckDB folds case;
+        # _rewrite_named_window_case canonicalizes references
+        "SELECT k AS kk, lag(k) OVER w AS wv "
+        "FROM (VALUES (1, 1), (2, 1)) t(k, g) "
+        "WINDOW W AS (PARTITION BY g ORDER BY k) ORDER BY kk",
+        "SELECT k, row_number() OVER W1 AS r1, count(*) OVER w2 AS r2 "
+        "FROM (VALUES (1, 1), (2, 2)) t(k, g) "
+        "WINDOW w1 AS (PARTITION BY g ORDER BY k), "
+        "W2 AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "ORDER BY k",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert len(got) == len(want), q
+        for gr, wr in zip(got, want):
+            for gv, wv in zip(gr, wr):
+                if gv is None or wv is None:
+                    assert gv is None and wv is None, (q, gv, wv)
+                elif isinstance(gv, (int, float)) and isinstance(wv, (int, float)):
+                    assert float(gv) == float(wv), (q, gv, wv)
+                else:
+                    assert str(gv) == str(wv), (q, gv, wv)
+    con.close()
 
 
 # ── end-to-end through Engine.run ────────────────────────────────────────
