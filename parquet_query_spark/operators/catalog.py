@@ -92,6 +92,7 @@ def load_all() -> dict[str, QuerySpec]:
             udfs,
             graph,
             round7,
+            round8,
         )
         from parquet_query_spark.streaming import (  # noqa: F401
             stateful,

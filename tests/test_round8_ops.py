@@ -1,0 +1,136 @@
+"""Semantic checks for the round-8 operators — invariants the oracle
+hash-compare can't express (bounds, conservation, epoch-variance).
+Oracle value-parity itself is covered by test_oracle_parity.py's
+parametrized sweep."""
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from parquet_query_spark.operators.catalog import load_all
+
+    return load_all()
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from parquet_query_spark.session import get_spark
+
+    return get_spark("test-round8")
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_twonn_estimates_are_positive_finite(catalog, spark):
+    rows = catalog["embedding_intrinsic_dim_twonn"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_points"] > 0
+        # ln(d2/d1) >= 0 termwise (d2 >= d1 by rank), so the sum is too
+        assert r["sum_log_ratio"] >= 0
+        if r["intrinsic_dim"] is not None:
+            assert r["intrinsic_dim"] > 0
+            assert math.isfinite(r["intrinsic_dim"])
+
+
+def test_hubness_conserves_vectors_and_hits(catalog, spark):
+    from parquet_query_spark.operators.catalog import views
+
+    rows = catalog["embedding_hubness_kocc"].fn(spark, SF).collect()
+    n_vecs = views(spark, SF)["embeddings"].count()
+    assert sum(r["n_vectors"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["n_antihubs"] <= r["n_vectors"]
+        assert r["avg_kocc"] >= 0
+        assert r["max_kocc"] >= r["avg_kocc"]
+    # total k-occurrences = 5 slots per sampled query
+    total_hits = sum(round(r["avg_kocc"] * r["n_vectors"]) for r in rows)
+    n_queries = (
+        views(spark, SF)["embeddings"].where("vec_id % 10 = 0").count()
+    )
+    assert total_hits == 5 * n_queries
+
+
+def test_kl_drift_nonnegative_and_daily(catalog, spark):
+    rows = catalog["events_kl_drift_daily"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # KL divergence is non-negative (Gibbs); -0.0 can survive rounding
+        assert r["kl_nats"] >= -1e-12
+    days = [r["day"] for r in rows]
+    assert len(set(days)) == len(days)
+
+
+def test_length_bands_partition_each_source(catalog, spark):
+    from parquet_query_spark.operators.catalog import views
+
+    rows = catalog["docs_length_band_profile"].fn(spark, SF).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    docs = views(spark, SF)["documents"]
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for source, band_rows in per_source.items():
+        assert [r["band"] for r in sorted(band_rows, key=lambda r: r["band"])] == list(
+            range(1, len(band_rows) + 1)
+        )
+        assert sum(r["n_docs"] for r in band_rows) == counts[source]
+        # bands are ordered by length: min_chars non-decreasing
+        ordered = sorted(band_rows, key=lambda r: r["band"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["min_chars"] <= b["min_chars"]
+            assert a["max_chars"] <= b["max_chars"]
+
+
+def test_annealing_mix_spends_the_budget(catalog, spark):
+    rows = catalog["pipeline_annealing_mix"].fn(spark, SF).collect()
+    assert rows
+    p1 = sum(r["phase1_tokens"] for r in rows)
+    p2 = sum(r["phase2_tokens"] for r in rows)
+    # per-source rounding drifts at most half a token per source
+    assert abs(p1 - 900_000) <= len(rows)
+    assert abs(p2 - 100_000) <= len(rows)
+    for r in rows:
+        assert 0 <= r["frac_long"] <= 1
+        assert r["phase2_epochs"] > 0
+
+
+def test_epoch_shuffle_varies_by_epoch_and_conserves_docs(catalog, spark):
+    from parquet_query_spark.operators.catalog import views
+
+    rows = catalog["pipeline_epoch_shuffle_blocks"].fn(spark, SF).collect()
+    n_docs = views(spark, SF)["documents"].count()
+    per_epoch = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], []).append(r)
+    assert sorted(per_epoch) == [0, 1, 2]
+    checksums = {}
+    for epoch, shard_rows in per_epoch.items():
+        assert sum(r["n_docs"] for r in shard_rows) == n_docs
+        checksums[epoch] = tuple(
+            r["order_checksum"] for r in sorted(shard_rows, key=lambda r: r["shard"])
+        )
+    # the permutation must actually change between epochs
+    assert checksums[0] != checksums[1]
+    assert checksums[1] != checksums[2]
+
+
+def test_burstiness_bounds(catalog, spark):
+    rows = catalog["text_term_burstiness"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    cfs = [r["cf"] for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    for r in rows:
+        assert r["df"] <= r["cf"]
+        assert r["burstiness"] >= 1.0
+        # Poisson expectation never exceeds cf and never undershoots a
+        # uniform spread less than df can achieve... it CAN be below df
+        # (that's burstiness < expected); just bound it by the corpus
+        assert 0 < r["poisson_df"] <= r["cf"]
