@@ -872,7 +872,12 @@ def mutate(sql: str, rng: random.Random) -> str:
                 seg = rng.choice(_WS_FILLERS)
         else:
             r = rng.random()
-            if r < 0.15:
+            if "_" in seg and seg == seg.lower() and r < 0.10:
+                # column/table tokens (keywords never contain "_"):
+                # DuckDB double-quotes identifiers, case-sensitively —
+                # only quote the already-lowercase spelling
+                seg = f'"{seg}"'
+            elif r < 0.15:
                 seg = seg.upper()
             elif r < 0.30:
                 seg = seg.lower()
@@ -1057,7 +1062,12 @@ def main() -> int:
                 mini, verdict = sql, (cls, a, b)
             else:
                 mini, verdict = shrink(differ, render, exprs)
-            if any(p.search(mini) for p in INTENTIONAL):
+            # match against comment-stripped text: a mutated comment
+            # between the operator and its operand must not hide a
+            # documented intentional difference (wave-22 seed 6189)
+            from parquet_query_spark.workbench.dialect import strip_comments
+
+            if any(p.search(strip_comments(mini)) for p in INTENTIONAL):
                 counts[cls] -= 1
                 counts["intentional"] = counts.get("intentional", 0) + 1
                 continue

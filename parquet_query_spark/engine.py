@@ -239,9 +239,12 @@ class Engine:
         # either defeats the match (silent wrong answer: ^ left as XOR) or
         # corrupts the splice (r8 mutation-fuzz findings).  Stripping is
         # safe — comments are semantically neutral in both engines.
-        from parquet_query_spark.workbench.dialect import strip_comments
+        from parquet_query_spark.workbench.dialect import (
+            _unquote_function_names,
+            strip_comments,
+        )
 
-        statement = strip_comments(statement)
+        statement = _unquote_function_names(strip_comments(statement))
         # DuckDB CREATE/DROP MACRO — session objects on this Engine; every
         # later statement sees its calls expanded before any other pass.
         from parquet_query_spark.workbench.macros import (

@@ -52,6 +52,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep timestamps micros on write (matches DuckDB/Arrow interchange).
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # DuckDB (Postgres-style) double quotes are ALWAYS identifiers; Spark
+    # parses them as string literals by default, so SELECT "col" silently
+    # returned the literal 'col' per row (r8 finding).  ANSI double-quoted
+    # identifiers make Spark match DuckDB natively; string literals keep
+    # single quotes on both engines.
+    "spark.sql.ansi.doubleQuotedIdentifiers": "true",
 }
 
 

@@ -85,6 +85,19 @@ Every rewrite is lexer-aware (single/double/backtick quotes, ``--`` and
 identifiers, or comments are never touched, mirroring how
 ``statements.rewrite_path_tables`` treats path literals.
 
+- Text normalization pack (r8, mutation-fuzz driven): comments are
+  STRIPPED once at the ``Engine.sql`` funnel (``strip_comments`` —
+  string- and dollar-quote-aware), because the operand-matching passes
+  tolerate only whitespace between tokens (a comment after ``^`` left it
+  as Spark XOR: silent wrong answer); double-quoted identifiers are
+  DuckDB/Postgres identifiers, never strings —
+  ``spark.sql.ansi.doubleQuotedIdentifiers`` handles resolution, and
+  lowercase simple ones normalize to bare text
+  (``_unquote_function_names``) so every operand regex still fires;
+  named-window references case-fold to the defined spelling
+  (``_rewrite_named_window_case`` — Spark matches ``OVER w`` to
+  ``WINDOW W AS`` by exact text, DuckDB folds case).
+
 - Division/NULL pack (r8, probed): ``/`` → ``try_divide`` with the
   dividend cast to DOUBLE (DuckDB always divides as DOUBLE and returns
   NULL on zero), ``%`` → ``try_mod``, ``//`` chains → atomic per-stage
@@ -361,6 +374,101 @@ def strip_comments(sql: str) -> str:
             state = "dq"
         elif ch == "`":
             state = "bq"
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+# Words whose bare spelling changes the parse — quoted identifiers with
+# these contents must STAY quoted (Spark's ansi.doubleQuotedIdentifiers
+# resolves them; they're the rare corner the operand-regex passes may
+# miss, but unquoting them would be outright wrong).
+_RESERVED_BARE = frozenset(
+    """select from where group order by having union all distinct as on
+    using join inner left right full cross natural and or not in is null
+    true false case when then else end cast try_cast between like ilike
+    similar exists limit offset window qualify over partition rows range
+    filter lateral with values except intersect replace exclude unnest
+    interval asc desc nulls first last sample tablesample pivot unpivot
+    describe summarize copy insert update delete create drop table view
+    macro to for if any some escape glob collate asof positional anti
+    semi div mod xor struct map array row grouping sets cube rollup
+    current_date current_timestamp current_time localtime localtimestamp
+    """.split()
+)
+
+
+def _unquote_function_names(sql: str) -> str:
+    """Normalize double-quoted identifiers whose content is a simple
+    lowercase word (``"n_name"`` → ``n_name``, ``"list_filter"(...)`` →
+    ``list_filter(...)``).
+
+    DuckDB folds unquoted identifiers to lowercase, so the bare lowercase
+    spelling resolves identically to the quoted one in BOTH engines —
+    and bare text is what the ~30 operand-matching rewrite passes (//
+    typeof dispatch, ``~`` regex operators, * REPLACE's ``AS <column>``,
+    function renames/macros) are written against; r8 mutation fuzzing
+    showed each of them failing on a quoted operand.  Identifiers that
+    NEED their quotes (uppercase, spaces, reserved words) stay quoted and
+    resolve via spark.sql.ansi.doubleQuotedIdentifiers."""
+    if '"' not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    state: str | None = None  # None | sq | bq
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "sq":
+            out.append(ch)
+            if ch == "'" and nxt == "'":
+                out.append(nxt)
+                i += 2
+                continue
+            if ch == "'":
+                state = None
+            i += 1
+            continue
+        if state == "bq":
+            out.append(ch)
+            if ch == "`" and nxt == "`":
+                out.append(nxt)
+                i += 2
+                continue
+            if ch == "`":
+                state = None
+            i += 1
+            continue
+        if ch == "'":
+            state = "sq"
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "`":
+            state = "bq"
+            out.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            m = re.match(r'"([a-z_][a-z0-9_]*)"', sql[i:])
+            if m and m.group(1) not in _RESERVED_BARE:
+                out.append(m.group(1))
+                i = i + m.end()
+                continue
+            # a quoted identifier that needs its quotes (uppercase, spaces,
+            # "" escapes, reserved words): copy it verbatim
+            j = i + 1
+            while j < n:
+                if sql[j] == '"' and j + 1 < n and sql[j + 1] == '"':
+                    j += 2
+                    continue
+                if sql[j] == '"':
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
         out.append(ch)
         i += 1
     return "".join(out)
@@ -5485,7 +5593,7 @@ def _rewrite_ops_pack(sql: str) -> str:
 
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
-    sql = strip_comments(sql)
+    sql = _unquote_function_names(strip_comments(sql))
     return _rewrite_named_window_case(_rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_count_distinct_window(_rewrite_window_filter(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
@@ -5532,7 +5640,7 @@ def rewrite_duckdb_dialect(sql: str) -> str:
 def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     """Alternate rewrites to retry when the primary form fails analysis
     (e.g. a QUALIFY window referencing a non-projected base column)."""
-    sql = strip_comments(sql)
+    sql = _unquote_function_names(strip_comments(sql))
     alt = _rewrite_qualify_inject(
         _rewrite_strptime(
             _rewrite_strftime(

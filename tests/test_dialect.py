@@ -296,6 +296,76 @@ def engine(sf_dir):
     return Engine.open(sf_dir, table_name="alldata")
 
 
+def test_double_quoted_identifiers_match_duckdb(engine):
+    """DuckDB double quotes are ALWAYS identifiers (r8 finding: Spark's
+    default parsed them as string literals, so SELECT "col" silently
+    returned the literal 'col' per row).  Fixed via
+    spark.sql.ansi.doubleQuotedIdentifiers in the session defaults."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        'SELECT "k" AS "the key", upper("s") AS "UP" '
+        "FROM (VALUES (1, 'a'), (2, 'b')) t(k, s) ORDER BY \"k\"",
+        # mixed: double-quoted identifier + single-quoted string literal
+        "SELECT \"k\" || 'x' AS c0 FROM (VALUES ('a')) t(k)",
+        # escaped quote inside an identifier
+        'SELECT 1 AS "we""ird"',
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got, want)
+    # column names survive too
+    assert engine.sql('SELECT 1 AS "Column Name"').columns == ["Column Name"]
+    # quoted FUNCTION names in call position unquote (mutation seeds
+    # 4565/4604/4616/4623/4633) so rename/macro passes still match
+    q = 'SELECT "list_position"([7, 1], 1) AS c0, "upper"(\'a\') AS c1'
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    assert got == con.execute(q).fetchall(), got
+    # lowercase simple quoted identifiers normalize to bare so operand-
+    # matching passes still fire (mutation seeds 4809/4936/5159/5171):
+    # // NULL-on-zero + typeof dispatch, ~ full-match regex
+    battery2 = [
+        'SELECT (k // "k") AS a0 FROM (VALUES (0), (2)) t(k) '
+        "ORDER BY a0 NULLS FIRST",
+        "SELECT ((SELECT max(\"v\") FROM (VALUES (1.5)) s(v)) + (0 // \"v\")) "
+        "AS c0 FROM (VALUES (2.0)) t(v)",
+        'SELECT ("s" ~ \'[A-Z].*\') AS c0 FROM (VALUES (\'Abc\'), (\'x\')) t(s) '
+        "ORDER BY c0",
+    ]
+    for q in battery2:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert len(got) == len(want), (q, got, want)
+        for gr, wr in zip(got, want):
+            for gv, wv in zip(gr, wr):
+                if isinstance(gv, (int, float)) and isinstance(wv, (int, float)):
+                    assert float(gv) == float(wv), (q, gv, wv)
+                else:
+                    assert gv == wv, (q, gv, wv)
+    # * REPLACE with a quoted target column and quoted FROM table
+    # (seeds 4826/4993) goes through the engine routing layer, which
+    # sees the normalized text
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con.execute(
+        f"CREATE VIEW nation_parquet AS SELECT * FROM '{sf}/nation.parquet'"
+    )
+    q = (
+        'SELECT * REPLACE ((n_regionkey + 2) AS "n_regionkey") '
+        'FROM "nation_parquet" ORDER BY n_nationkey'
+    )
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    assert got == con.execute(q).fetchall(), q
+    # reserved-word content stays quoted and still resolves as a column
+    assert engine.sql(
+        'SELECT "select" FROM (VALUES (7)) t("select")'
+    ).collect()[0][0] == 7
+    con.close()
+
+
 def test_engine_group_by_all_native(engine):
     r = engine.run(
         "SELECT o_orderstatus, COUNT(*) AS n FROM 'orders.parquet' "
