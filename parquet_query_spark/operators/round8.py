@@ -652,3 +652,342 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cf"), F.asc("word"))
         .limit(20)
     )
+
+
+# ── customers_repeat_survival_km ─────────────────────────────────────────
+
+_KM_GRID_WEEKS = list(range(4, 53, 4))  # 4, 8, ..., 52
+
+
+@query(
+    "customers_repeat_survival_km",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_custkey,
+         o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+dur AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(floor(datediff('day', f.o_orderdate,
+                             coalesce(s.o_orderdate, mx.max_d)) / 7)
+              AS BIGINT) AS w,
+         CASE WHEN s.o_custkey IS NULL THEN 0 ELSE 1 END AS event
+  FROM (SELECT * FROM ranked WHERE rn = 1) f
+  LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) s
+         ON s.o_custkey = f.o_custkey
+  JOIN customer c ON c.c_custkey = f.o_custkey
+  CROSS JOIN mx
+),
+wk AS (
+  SELECT segment, w,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c_all
+  FROM dur GROUP BY segment, w
+),
+tot AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n FROM dur GROUP BY segment),
+curve0 AS (
+  SELECT wk.segment, wk.w, wk.d,
+         tot.n - SUM(wk.c_all) OVER (PARTITION BY wk.segment ORDER BY wk.w)
+           + wk.c_all AS at_risk
+  FROM wk JOIN tot ON tot.segment = wk.segment
+),
+curve AS (
+  SELECT segment, w,
+         SUM(CASE WHEN d > 0 THEN
+               ln(greatest(1.0 - CAST(d AS DOUBLE) / at_risk, 1e-12))
+             ELSE 0.0 END)
+           OVER (PARTITION BY segment ORDER BY w) AS cum_ln,
+         SUM(d) OVER (PARTITION BY segment ORDER BY w) AS cum_events
+  FROM curve0
+),
+grid AS (SELECT unnest([{', '.join(str(t) for t in _KM_GRID_WEEKS)}]) AS t_weeks),
+best AS (
+  SELECT g.t_weeks, c.segment, c.cum_ln, c.cum_events,
+         ROW_NUMBER() OVER (PARTITION BY c.segment, g.t_weeks
+                            ORDER BY c.w DESC) AS rn
+  FROM grid g JOIN curve c ON c.w <= g.t_weeks
+)
+SELECT segment, CAST(t_weeks AS BIGINT) AS t_weeks,
+       CAST(cum_events AS BIGINT) AS cum_events,
+       round(exp(cum_ln), 4) AS survival
+FROM best WHERE rn = 1
+ORDER BY segment, t_weeks
+""",
+    tags=("orders", "stats"),
+)
+def customers_repeat_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve of time-to-repeat-purchase per market segment:
+    customers enter at their first order, the event is the second order,
+    one-order customers are right-censored at the dataset end — the
+    churn-analysis staple done properly (naive repeat-rate ignores
+    censoring and biases every recent cohort down).  Survival at week t
+    is the product over event weeks u <= t of (1 - d_u / n_u), computed
+    as exp of a running ln-sum.
+
+    Determinism: d/n are ratios of exact BIGINT counts; the running sum
+    accumulates in week order on both engines (window ORDER BY w); one
+    round at 4dp absorbs ulps.  The 1e-12 clamp keeps ln finite when a
+    risk set collapses (Spark ln(0) is NULL, DuckDB -inf — the clamp
+    makes both produce survival 0.0).
+
+    Scale shape: the per-customer first/second order is one window over
+    the custkey shuffle; everything after runs on the (segment, week)
+    rollup — bounded by segments x horizon weeks, never order-sized.
+    The grid join broadcasts 13 rows."""
+    v = views(spark, sf_dir)
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = v["orders"].select(
+        "o_custkey", "o_orderdate", F.row_number().over(w_rank).alias("rn")
+    )
+    first = ranked.where("rn = 1").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d1")
+    )
+    second = ranked.where("rn = 2").select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("d2")
+    )
+    mx = v["orders"].agg(F.max("o_orderdate").alias("max_d"))
+    seg = v["customer"].select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    dur = (
+        first.join(second, first["ck"] == second["ck2"], "left")
+        .crossJoin(F.broadcast(mx))
+        .join(F.broadcast(seg), "ck")
+        .select(
+            "segment",
+            F.floor(
+                F.datediff(F.coalesce(F.col("d2"), F.col("max_d")), F.col("d1")) / 7
+            )
+            .cast("bigint")
+            .alias("w"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    wk = dur.groupBy("segment", "w").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c_all"),
+    )
+    tot = dur.groupBy("segment").agg(F.count("*").cast("bigint").alias("n"))
+    w_cum = Window.partitionBy("segment").orderBy("w")
+    curve0 = wk.join(F.broadcast(tot), "segment").select(
+        "segment",
+        "w",
+        "d",
+        (F.col("n") - F.sum("c_all").over(w_cum) + F.col("c_all")).alias("at_risk"),
+    )
+    ln_term = F.when(
+        F.col("d") > 0,
+        F.log(
+            F.greatest(
+                1.0 - F.col("d").cast("double") / F.col("at_risk"), F.lit(1e-12)
+            )
+        ),
+    ).otherwise(0.0)
+    curve = curve0.select(
+        "segment",
+        "w",
+        F.sum(ln_term).over(w_cum).alias("cum_ln"),
+        F.sum("d").over(w_cum).alias("cum_events"),
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _KM_GRID_WEEKS])).alias("t_weeks")
+    )
+    best = (
+        curve.join(F.broadcast(grid), F.col("w") <= F.col("t_weeks"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("segment", "t_weeks").orderBy(F.desc("w"))
+            ),
+        )
+        .where("rn = 1")
+    )
+    return best.select(
+        "segment",
+        F.col("t_weeks").cast("bigint").alias("t_weeks"),
+        F.col("cum_events").cast("bigint").alias("cum_events"),
+        F.round(F.exp("cum_ln"), 4).alias("survival"),
+    ).orderBy("segment", "t_weeks")
+
+
+# ── neardup_label_propagation ────────────────────────────────────────────
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    from parquet_query_spark.operators.dedup import _DUCKDB_LSH_PAIR_CTES
+
+    graph_ctes = f"""{_DUCKDB_LSH_PAIR_CTES},
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges)"""
+    rounds = ["l0 AS (SELECT doc_id, doc_id AS label FROM nodes)"]
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"v{i} AS (SELECT e.dst AS doc_id, l.label, "
+            f"CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM edges e JOIN l{i - 1} l ON l.doc_id = e.src "
+            f"GROUP BY e.dst, l.label), "
+            f"l{i} AS (SELECT doc_id, label FROM ("
+            f"SELECT doc_id, label, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            f"ORDER BY c DESC, label) AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    return f"""
+WITH {graph_ctes},
+{','.join(rounds)}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+FROM l{_LPA_ROUNDS}
+GROUP BY label ORDER BY size DESC, community LIMIT 20
+"""
+
+
+@query("neardup_label_propagation", oracle=_lpa_oracle(), tags=("graph", "dedup"))
+def neardup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds) over the verified near-dup
+    graph: every node starts as its own label; each round it adopts its
+    neighbors' most frequent label with a (count DESC, label ASC)
+    tie-break — fully deterministic, unlike classic randomized LPA.
+    Communities after 3 rounds are denser than connected components
+    (which merge through single weak links); sizes ranked top-20.
+
+    Scale shape: each round is one (edge join labels) shuffle + a
+    (node, label) count + a per-node arg-max window — the same
+    edge-bound per-iteration cost envelope as neardup_pagerank; the
+    oracle unrolls the rounds as CTEs exactly like the reference's
+    DuckDB delegation would.  Growth note: the 64x sweep measures 330 s
+    (slope 1.25) — superlinear in the INPUT because the 64-copy test
+    corpus squares every duplicate clique, so the verified-pair EDGE set
+    itself explodes by construction (same adjudication as the heavy
+    dedup tier in BASELINE.md; dedup_cluster_pipeline runs 148-230 s on
+    the same kernel at 64x).  Cost per edge-round is flat; real corpora
+    have bounded duplicate rates."""
+    from parquet_query_spark.operators.dedup import _lsh_verified_pairs
+
+    verified = _lsh_verified_pairs(spark, sf_dir, 0.2).select("doc_a", "doc_b")
+    edges = (
+        verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(F.col("node").alias("doc_id"), "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )
+
+
+# ── events_markov_entropy_rate ───────────────────────────────────────────
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rowtot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY prev_type
+),
+alltot AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM c),
+h AS (
+  SELECT c.prev_type, rowtot.nt,
+         SUM(- (CAST(c.n AS DOUBLE) / rowtot.nt)
+             * log2(CAST(c.n AS DOUBLE) / rowtot.nt)) AS hbits
+  FROM c JOIN rowtot ON rowtot.prev_type = c.prev_type
+  GROUP BY c.prev_type, rowtot.nt
+)
+SELECT h.prev_type,
+       h.nt AS n_from,
+       round(CAST(h.nt AS DOUBLE) / alltot.g, 4) AS stationary_share,
+       round(h.hbits, 4) AS cond_entropy_bits,
+       round((CAST(h.nt AS DOUBLE) / alltot.g) * h.hbits, 4)
+         AS rate_contrib_bits
+FROM h CROSS JOIN alltot
+ORDER BY h.prev_type
+""",
+    tags=("events", "stats"),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event stream under its own first-order
+    Markov model: conditional next-event entropy per source state plus
+    its stationary-weighted contribution (summing the last column gives
+    the chain's entropy rate in bits/event).  Low-entropy states =
+    predictable flows (funnels, bots); the per-state decomposition says
+    WHERE the predictability lives — the sequence-compressibility signal
+    behind behavioral anomaly scoring.
+
+    Determinism: every probability is a ratio of exact BIGINT transition
+    counts — identical doubles into log2 on both engines, one final
+    round per column (same contract as events_hourly_entropy).
+
+    Scale shape: one user_id window shuffle orders the streams; all the
+    entropy math runs on the |types|^2 transition matrix."""
+    v = views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = v["events"].select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rowtot = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("nt"))
+    alltot = c.agg(F.sum("n").cast("bigint").alias("g"))
+    p = F.col("n").cast("double") / F.col("nt")
+    h = (
+        c.join(F.broadcast(rowtot), "prev_type")
+        .groupBy("prev_type", "nt")
+        .agg(F.sum(-p * F.log2(p)).alias("hbits"))
+    )
+    share = F.col("nt").cast("double") / F.col("g")
+    return (
+        h.crossJoin(F.broadcast(alltot))
+        .select(
+            "prev_type",
+            F.col("nt").alias("n_from"),
+            F.round(share, 4).alias("stationary_share"),
+            F.round(F.col("hbits"), 4).alias("cond_entropy_bits"),
+            F.round(share * F.col("hbits"), 4).alias("rate_contrib_bits"),
+        )
+        .orderBy("prev_type")
+    )

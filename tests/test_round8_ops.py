@@ -134,3 +134,43 @@ def test_burstiness_bounds(catalog, spark):
         # uniform spread less than df can achieve... it CAN be below df
         # (that's burstiness < expected); just bound it by the corpus
         assert 0 < r["poisson_df"] <= r["cf"]
+
+
+def test_km_survival_monotone_and_bounded(catalog, spark):
+    rows = catalog["customers_repeat_survival_km"].fn(spark, SF).collect()
+    assert rows
+    per_seg = {}
+    for r in rows:
+        per_seg.setdefault(r["segment"], []).append(r)
+    for seg, seg_rows in per_seg.items():
+        seg_rows.sort(key=lambda r: r["t_weeks"])
+        assert [r["t_weeks"] for r in seg_rows] == list(range(4, 53, 4))
+        surv = [r["survival"] for r in seg_rows]
+        ev = [r["cum_events"] for r in seg_rows]
+        assert all(0.0 <= s <= 1.0 for s in surv)
+        # survival non-increasing, events non-decreasing in t
+        assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+        assert all(a <= b for a, b in zip(ev, ev[1:]))
+
+
+def test_lpa_communities_partition_nodes(catalog, spark):
+    rows = catalog["neardup_label_propagation"].fn(spark, SF).collect()
+    assert rows
+    sizes = [r["size"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(s >= 1 for s in sizes)
+    # labels are node ids, hence distinct communities
+    assert len({r["community"] for r in rows}) == len(rows)
+
+
+def test_markov_entropy_rate_bounds(catalog, spark):
+    import math
+
+    rows = catalog["events_markov_entropy_rate"].fn(spark, SF).collect()
+    assert rows
+    max_h = math.log2(len(rows))  # <= log2(#states) with a square matrix
+    total_share = sum(r["stationary_share"] for r in rows)
+    assert abs(total_share - 1.0) < 0.01
+    for r in rows:
+        assert 0.0 <= r["cond_entropy_bits"] <= max_h + 1e-9
+        assert r["rate_contrib_bits"] <= r["cond_entropy_bits"] + 1e-9
