@@ -871,6 +871,16 @@ def mutate(sql: str, rng: random.Random) -> str:
             if rng.random() < 0.35:
                 seg = rng.choice(_WS_FILLERS)
         else:
+            # a word followed by `:=` is a named macro argument / default
+            # parameter: DuckDB binds those by EXACT definition case
+            # (documented intentional difference #14) — don't mutate them
+            k = e
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if sql.startswith(":=", k):
+                out.append(seg)
+                pos = e
+                continue
             r = rng.random()
             if "_" in seg and seg == seg.lower() and r < 0.10:
                 # column/table tokens (keywords never contain "_"):
@@ -885,6 +895,134 @@ def mutate(sql: str, rng: random.Random) -> str:
         pos = e
     out.append(sql[pos:])
     return "".join(out)
+
+
+# ── statement-sequence shapes (--statements) ─────────────────────────────
+#
+# The grammar above exercises single SELECTs through the dialect pipeline;
+# these sequences exercise the ENGINE ROUTING layer (CREATE/DROP MACRO
+# registration + expansion, the PIVOT statement handler) that single-query
+# fuzzing never reaches.  Both engines execute the same statements in
+# order; every SELECT-ish statement's result must match.
+
+
+def gen_statement_seq(rng: random.Random):
+    """Returns a list of SQL statements; results compared for each one
+    that yields rows (CREATE/DROP MACRO yield none on DuckDB's side and a
+    dummy Count row on the engine's — skipped from comparison)."""
+    shape = rng.randrange(6)
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    key = cols["key"]
+    base_filter = cols.get("filter")
+    w = f" WHERE {base_filter}" if base_filter else ""
+    if shape < 3:  # scalar macro: define → use → redefine → use → drop
+        g = Gen(rng, {"num": ["a", "b"]})
+        body1 = g.num(rng.randrange(1, 3)).sql
+        body2 = g.num(rng.randrange(1, 3)).sql
+        c1, c2 = rng.sample(cols["num"], 2) if len(cols["num"]) >= 2 else (
+            cols["num"][0], cols["num"][0])
+        mname = f"fz_m{rng.randrange(1000)}"
+        return [
+            f"CREATE OR REPLACE MACRO {mname}(a, b) AS ({body1})",
+            f"SELECT {key} AS k, {mname}({c1}, {c2}) AS v "
+            f"FROM {table}{w} ORDER BY k",
+            f"CREATE OR REPLACE MACRO {mname}(a, b) AS ({body2})",
+            f"SELECT {key} AS k, {mname}({c2}, 7) AS v "
+            f"FROM {table}{w} ORDER BY k",
+            f"DROP MACRO {mname}",
+        ]
+    if shape == 3:  # macro with a default parameter
+        g = Gen(rng, {"num": ["a", "b"]})
+        body = g.num(rng.randrange(1, 3)).sql
+        c1 = rng.choice(cols["num"])
+        d = rng.choice(["1", "2", "10"])
+        mname = f"fz_d{rng.randrange(1000)}"
+        return [
+            f"CREATE OR REPLACE MACRO {mname}(a, b := {d}) AS ({body})",
+            f"SELECT {key} AS k, {mname}({c1}) AS v1, "
+            f"{mname}({c1}, b := 3) AS v2 FROM {table}{w} ORDER BY k",
+            f"DROP MACRO {mname}",
+        ]
+    if shape == 4:  # macro calling a macro
+        g = Gen(rng, {"num": ["x"]})
+        inner_body = g.num(rng.randrange(1, 3)).sql
+        c1 = rng.choice(cols["num"])
+        op = rng.choice(["+", "*", "-"])
+        return [
+            f"CREATE OR REPLACE MACRO fz_inner(x) AS ({inner_body})",
+            f"CREATE OR REPLACE MACRO fz_outer(x) AS (fz_inner(x) {op} 2)",
+            f"SELECT {key} AS k, fz_outer({c1}) AS v FROM {table}{w} ORDER BY k",
+            "DROP MACRO fz_outer",
+            "DROP MACRO fz_inner",
+        ]
+    # PIVOT statement over a deterministic rollup
+    pcol = rng.choice(cols["str"])
+    vcol = rng.choice(cols["num"])
+    agg = rng.choice(["sum", "min", "max", "count"])
+    return [
+        f"PIVOT (SELECT {pcol} AS p, {vcol} AS v FROM {table}{w}) "
+        f"ON p USING {agg}(v)",
+    ]
+
+
+def run_statement_seq(differ: "Differ", stmts: list[str]):
+    """Execute the sequence on both engines; compare each row-yielding
+    statement.  Returns ('ok'|cls, failing_stmt, detail)."""
+    differ.con.execute("BEGIN")  # isolate macro namespace per seed
+    try:
+        for s in stmts:
+            up = s.lstrip().upper()
+            is_ddl = up.startswith(("CREATE", "DROP"))
+            try:
+                s_rows = [tuple(r) for r in differ.engine.sql(s).collect()]
+                s_err = None
+            except Exception as ex:  # noqa: BLE001
+                s_rows, s_err = None, f"{type(ex).__name__}: {str(ex)[:200]}"
+            try:
+                d_rows = differ.con.execute(s).fetchall()
+                d_err = None
+            except Exception as ex:  # noqa: BLE001
+                d_rows, d_err = None, f"{type(ex).__name__}: {str(ex)[:200]}"
+            if s_err and d_err:
+                return ("both_error", s, s_err)
+            if s_err:
+                return ("spark_error_only", s, s_err)
+            if d_err:
+                return ("duckdb_error_only", s, d_err)
+            if is_ddl:
+                continue  # engine returns a dummy Count row; DuckDB none
+            if up.startswith("PIVOT"):
+                # dynamic column ORDER differs (DuckDB sorts pivot columns);
+                # compare as name->row-set maps
+                s_cols = differ.engine.sql(s).columns
+                d_cols = [c[0] for c in differ.con.execute(s).description]
+                if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
+                    return ("value_mismatch", s,
+                            f"pivot columns {s_cols} vs {d_cols}")
+                s_map = sorted(
+                    sorted(zip(map(str.lower, s_cols), r)) for r in s_rows
+                )
+                d_map = sorted(
+                    sorted(zip(map(str.lower, d_cols), r)) for r in d_rows
+                )
+                for sr, dr in zip(s_map, d_map):
+                    for (sc, sv), (dc, dv) in zip(sr, dr):
+                        if sc != dc or not cells_equal(sv, dv):
+                            return ("value_mismatch", s,
+                                    f"{sc}={sv!r} vs {dc}={dv!r}")
+                continue
+            if len(s_rows) != len(d_rows):
+                return ("value_mismatch", s,
+                        f"rowcount {len(s_rows)} vs {len(d_rows)}")
+            for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+                for j, (sv, dv) in enumerate(zip(sr, dr)):
+                    if not cells_equal(sv, dv):
+                        return ("value_mismatch", s,
+                                f"row {i} col {j}: spark={sv!r} duckdb={dv!r}")
+        return ("ok", None, None)
+    finally:
+        differ.con.execute("ROLLBACK")
 
 
 # ── execution + comparison ───────────────────────────────────────────────
@@ -1023,6 +1161,10 @@ def main() -> int:
         "--mutate", action="store_true",
         help="inject comments/whitespace/keyword-case noise into each "
         "generated query (semantically neutral in both engines)")
+    ap.add_argument(
+        "--statements", action="store_true",
+        help="fuzz statement SEQUENCES (CREATE/DROP MACRO, PIVOT) through "
+        "the engine routing layer instead of single SELECTs")
     args = ap.parse_args()
 
     import duckdb
@@ -1045,6 +1187,29 @@ def main() -> int:
     failures = []
     for seed in seeds:
         rng = random.Random(seed)
+        if args.statements:
+            stmts = gen_statement_seq(rng)
+            if args.mutate:
+                mrng = random.Random(seed * 1000003 + 17)
+                stmts = [mutate(s, mrng) for s in stmts]
+            cls, stmt, detail = run_statement_seq(differ, stmts)
+            if cls in ("value_mismatch", "spark_error_only"):
+                # intentional-difference triage over the comment-stripped
+                # sequence (macro bodies can host e.g. #9 UBIGINT negation)
+                from parquet_query_spark.workbench.dialect import strip_comments
+
+                joined = strip_comments("; ".join(stmts))
+                if any(p.search(joined) for p in INTENTIONAL):
+                    counts["intentional"] = counts.get("intentional", 0) + 1
+                    continue
+            counts[cls] += 1
+            if args.one is not None or cls in ("value_mismatch", "spark_error_only"):
+                print(f"[seed {seed}] {cls}: {stmt}\n    detail: {detail}")
+                if cls in ("value_mismatch", "spark_error_only"):
+                    failures.append((seed, cls, "; ".join(stmts), detail, None))
+            if args.one is None and (seed - args.start + 1) % 100 == 0:
+                print(f"... {seed - args.start + 1} seeds: {counts}")
+            continue
         render, exprs = gen_query(rng)
         if args.mutate:
             base_render = render

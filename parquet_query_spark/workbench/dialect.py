@@ -173,6 +173,13 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    ASCII.  (``hamming`` errors in DuckDB on unequal byte lengths even
    when codepoint lengths match.)  The separately registered
    ``damerau_levenshtein`` / ``jaro*`` UDFs ARE byte-exact.
+14. Named macro arguments bind case-INSENSITIVELY here; DuckDB binds
+   them by the exact definition spelling and SILENTLY IGNORES a
+   mismatched-case named argument, keeping the default (probed:
+   ``CREATE MACRO m(a, b := 1) ...; m(5, B := 3)`` uses b = 1 in DuckDB,
+   b = 3 here).  Honoring the user's argument beats replicating a
+   silent drop.  Macro NAMES and body identifier references fold case
+   in both engines.
 """
 
 from __future__ import annotations

@@ -137,6 +137,75 @@ def drop_macro(macros: dict[str, Macro], sql: str) -> None:
     macros.pop(key, None)
 
 
+_ARROW = re.compile(r"->")
+
+
+def _lambda_shadow_spans(body: str, mask: list[bool]) -> list[tuple[str, int, int]]:
+    """(lowercase var, start, end) scopes of lambda parameters in ``body``:
+    from the parameter declaration through the lambda expression (which
+    ends at the first ``,`` or ``)`` at the arrow's paren level).  Used to
+    keep macro-parameter substitution out of scopes where a lambda
+    variable shadows the parameter."""
+    spans: list[tuple[str, int, int]] = []
+    n = len(body)
+    for m in _ARROW.finditer(body):
+        a = m.start()
+        if not (mask[a] and (a + 1 < n and mask[a + 1])):
+            continue
+        # JSON `->` has a non-identifier-list left side; a lambda is
+        # preceded by `ident` or `(ident, ident, ...)`
+        j = a - 1
+        while j >= 0 and body[j].isspace():
+            j -= 1
+        names: list[str] = []
+        decl_start = None
+        if j >= 0 and body[j] == ")":
+            k = j - 1
+            depth = 0
+            while k >= 0:
+                if mask[k] and body[k] == ")":
+                    depth += 1
+                elif mask[k] and body[k] == "(":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                k -= 1
+            inner = body[k + 1 : j]
+            parts = [p.strip() for p in inner.split(",")]
+            if k >= 0 and parts and all(
+                re.fullmatch(r"[A-Za-z_]\w*", p) for p in parts
+            ):
+                names = [p.lower() for p in parts]
+                decl_start = k
+        elif j >= 0 and (body[j].isalnum() or body[j] == "_"):
+            k = j
+            while k >= 0 and (body[k].isalnum() or body[k] == "_"):
+                k -= 1
+            tok = body[k + 1 : j + 1]
+            if re.fullmatch(r"[A-Za-z_]\w*", tok):
+                names = [tok.lower()]
+                decl_start = k + 1
+        if not names or decl_start is None:
+            continue
+        # lambda expression extent: first `,` or `)` at the arrow's level
+        d = 0
+        e = m.end()
+        while e < n:
+            ch = body[e]
+            if mask[e] and ch == "(":
+                d += 1
+            elif mask[e] and ch == ")":
+                if d == 0:
+                    break
+                d -= 1
+            elif mask[e] and ch == "," and d == 0:
+                break
+            e += 1
+        for nm in names:
+            spans.append((nm, decl_start, e))
+    return spans
+
+
 def _substitute(mac: Macro, raw_args: list[str]) -> str:
     pos: list[str] = []
     named: dict[str, str] = {}
@@ -168,12 +237,18 @@ def _substitute(mac: Macro, raw_args: list[str]) -> str:
         )
     body = mac.body
     bmask = _code_mask(body)
+    shadows = _lambda_shadow_spans(body, bmask)
     repls: list[tuple[int, int, str]] = []
     for tok in _IDENT_TOKEN.finditer(body):
         key = tok.group(0).lower()
         if key not in binds:
             continue
         if not all(bmask[i] for i in range(tok.start(), tok.end())):
+            continue
+        # a lambda variable SHADOWS a same-named macro parameter inside
+        # its body (DuckDB scoping; r8 statement-fuzz seed 796 — textual
+        # substitution into `x -> greatest(x, 2)` produced `expr -> ...`)
+        if any(s <= tok.start() < e for nm, s, e in shadows if nm == key):
             continue
         # not a field access (x.param) and not a call name (param(...))
         j = tok.start() - 1

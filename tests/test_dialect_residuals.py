@@ -186,3 +186,44 @@ def test_lcm_null_propagates_before_zero_rule(engine):
     q = "SELECT lcm(0, CAST(NULL AS BIGINT)) AS a, lcm(5, CAST(NULL AS BIGINT)) AS b, lcm(0, 5) AS c"
     assert [tuple(r) for r in engine.sql(q).collect()] == [(None, None, 0)]
     assert duckdb.connect().execute(q).fetchall() == [(None, None, 0)]
+
+
+def test_residual_14_macro_named_arg_case(engine):
+    """#14: named macro args bind case-insensitively here; DuckDB binds
+    by the exact definition spelling and SILENTLY IGNORES a mismatched-
+    case named argument, keeping the default (probed; r8 statement-fuzz
+    seeds 668/776/969)."""
+    engine.sql("CREATE OR REPLACE MACRO res14(a, b := 1) AS (a * b)")
+    try:
+        assert engine.sql("SELECT res14(5, B := 3) AS v").collect()[0][0] == 15
+        con = duckdb.connect()
+        con.execute("CREATE MACRO res14(a, b := 1) AS (a * b)")
+        assert con.execute("SELECT res14(5, B := 3) AS v").fetchone()[0] == 5
+        # exact-case agrees on both engines
+        assert engine.sql("SELECT res14(5, b := 3) AS v").collect()[0][0] == 15
+        assert con.execute("SELECT res14(5, b := 3) AS v").fetchone()[0] == 15
+        con.close()
+    finally:
+        engine.sql("DROP MACRO res14")
+
+
+def test_macro_lambda_var_shadows_parameter(engine):
+    """A lambda variable with the same name as a macro parameter SHADOWS
+    it inside the lambda (DuckDB scoping) — textual substitution must not
+    fire there (r8 statement-fuzz seed 796 produced `expr -> ...`)."""
+    engine.sql(
+        "CREATE OR REPLACE MACRO shmac(x) AS "
+        "(len(list_transform([0, 0, 9], x -> greatest(x, 2))) + x)"
+    )
+    try:
+        q = "SELECT shmac(10) AS v"
+        got = engine.sql(q).collect()[0][0]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE MACRO shmac(x) AS "
+            "(len(list_transform([0, 0, 9], x -> greatest(x, 2))) + x)"
+        )
+        assert got == con.execute(q).fetchone()[0] == 13
+        con.close()
+    finally:
+        engine.sql("DROP MACRO shmac")
