@@ -956,6 +956,19 @@ def gen_statement_seq(rng: random.Random):
             "DROP MACRO fz_outer",
             "DROP MACRO fz_inner",
         ]
+    if shape == 5 and rng.random() < 0.5:  # TABLE macro in FROM position
+        g = Gen(rng, {"num": cols["num"]})
+        expr = g.num(rng.randrange(1, 3)).sql
+        lim = rng.choice(["5", "17", "100"])
+        tname = f"fz_t{rng.randrange(1000)}"
+        return [
+            f"CREATE OR REPLACE MACRO {tname}(lim) AS TABLE "
+            f"SELECT {key} AS k, ({expr}) AS v FROM {table}{w} "
+            f"ORDER BY k LIMIT lim",
+            f"SELECT k, v FROM {tname}({lim}) ORDER BY k",
+            f"SELECT count(*) AS n FROM {tname}({lim})",
+            f"DROP MACRO TABLE {tname}",
+        ]
     # PIVOT statement over a deterministic rollup
     pcol = rng.choice(cols["str"])
     vcol = rng.choice(cols["num"])

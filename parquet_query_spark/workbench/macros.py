@@ -34,8 +34,13 @@ _CREATE_MACRO = re.compile(
     r"([A-Za-z_]\w*)\s*(?=\()",
     re.IGNORECASE | re.DOTALL,
 )
+# DuckDB drops table macros via ``DROP MACRO TABLE name`` (separate
+# namespace from scalar macros); here both kinds live in one registry, so
+# the TABLE keyword is accepted and the drop applies to whichever kind the
+# name holds (r8 statement-fuzz finding: the old pattern read ``TABLE`` as
+# the macro NAME).
 _DROP_MACRO = re.compile(
-    r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    r"^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _AS_KW = re.compile(r"\s*AS\s+(TABLE\s+)?", re.IGNORECASE | re.DOTALL)

@@ -227,3 +227,19 @@ def test_macro_lambda_var_shadows_parameter(engine):
         con.close()
     finally:
         engine.sql("DROP MACRO shmac")
+
+
+def test_drop_macro_table_keyword(engine):
+    """DuckDB drops table macros via DROP MACRO TABLE name; the engine
+    accepts the keyword (unified namespace — r8 statement-fuzz finding:
+    the old pattern parsed TABLE as the macro name)."""
+    engine.sql(
+        "CREATE OR REPLACE MACRO tmac_r8(lim) AS TABLE "
+        "SELECT 1 AS k LIMIT lim"
+    )
+    assert engine.sql("SELECT * FROM tmac_r8(1)").collect()[0][0] == 1
+    engine.sql("DROP MACRO TABLE tmac_r8")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("SELECT * FROM tmac_r8(1)").collect()
