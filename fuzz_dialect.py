@@ -403,7 +403,15 @@ class Gen:
             items = [self.pick(["0", "1", "2", "3", "7", "-4", "-1", "9", "NULL"])
                      for _ in range(n)]
             return E(f"[{', '.join(items)}]", "lst")
-        choice = r.randrange(6)
+        choice = r.randrange(7)
+        if choice == 6:
+            # DuckDB list comprehension [expr FOR x IN list IF pred]
+            a = self.lst(d - 1)
+            body = self.pick(["x * 2", "x + 1", "abs(x)", "-x", "x % 3"])
+            cond = self.pick([None, "x > 1", "x % 2 = 0", "x IS NOT NULL"])
+            if cond:
+                return E(f"[{body} FOR x IN {a.sql} IF {cond}]", "lst", (a,))
+            return E(f"[{body} FOR x IN {a.sql}]", "lst", (a,))
         if choice == 0:
             a, b = self.lst(d - 1), self.lst(d - 1)
             if r.random() < 0.5:
@@ -474,7 +482,60 @@ class Gen:
 def gen_query(rng: random.Random):
     """Returns (render_fn, exprs) — render_fn(subset) rebuilds the query
     with only those select expressions, for shrinking."""
-    shape = rng.randrange(24)
+    shape = rng.randrange(27)
+    if shape >= 24:
+        table = rng.choice(list(TABLES))
+        cols = TABLES[table]
+        g = Gen(rng, cols)
+        base_filter = cols.get("filter")
+        w = f" WHERE {base_filter}" if base_filter else ""
+        if shape == 24:  # ROLLUP / CUBE / GROUPING SETS + grouping()
+            k1 = rng.choice(cols["num"])
+            k2 = rng.choice(cols["str"])
+            form = rng.choice(
+                [f"ROLLUP ({k1}, {k2})", f"CUBE ({k1}, {k2})",
+                 f"GROUPING SETS (({k1}), ({k2}), ())"]
+            )
+            exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
+
+            def render(es):
+                sel = ", ".join(f"{e.sql} AS a{i}" for i, e in enumerate(es))
+                order = ", ".join(
+                    ["g1", "g2", "k1 NULLS FIRST", "k2 NULLS FIRST"]
+                    + [f"a{i} NULLS FIRST" for i in range(len(es))]
+                )
+                return (
+                    f"SELECT {k1} AS k1, {k2} AS k2, "
+                    f"grouping({k1}) AS g1, grouping({k2}) AS g2, {sel} "
+                    f"FROM {table}{w} GROUP BY {form} ORDER BY {order}"
+                )
+
+            return render, exprs
+        if shape == 25:  # DISTINCT ON
+            dkey = rng.choice(cols["num"] + cols["str"])
+            exprs = [g.any_expr(rng.randrange(1, 3))
+                     for _ in range(rng.randrange(1, 3))]
+
+            def render(es):
+                sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+                return (
+                    f"SELECT DISTINCT ON ({dkey}) {dkey} AS dk, {sel} "
+                    f"FROM {table}{w} ORDER BY {dkey}, {cols['key']}"
+                )
+
+            return render, exprs
+        # FROM-first statement
+        exprs = [g.any_expr(rng.randrange(1, 3))
+                 for _ in range(rng.randrange(1, 3))]
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            return (
+                f"FROM {table} SELECT {cols['key']} AS k, {sel}{w} "
+                f"ORDER BY k"
+            )
+
+        return render, exprs
     if shape < 3:  # scalar, no FROM
         g = Gen(rng, {})
         exprs = [g.any_expr(rng.randrange(1, 4)) for _ in range(rng.randrange(2, 7))]
@@ -969,6 +1030,15 @@ def gen_statement_seq(rng: random.Random):
             f"SELECT count(*) AS n FROM {tname}({lim})",
             f"DROP MACRO TABLE {tname}",
         ]
+    if shape == 5 and rng.random() < 0.5:  # COLUMNS() expression template
+        agg = rng.choice(["max", "min", "count", "sum"])
+        if rng.random() < 0.5:
+            pat = rng.choice(["'.*key'", "'.*'", f"'{key[0]}_.*'"])
+            sel = f"{agg}(COLUMNS({pat}))"
+        else:
+            lam = rng.choice(["c -> c LIKE '%key'", "c -> c SIMILAR TO '.*key'"])
+            sel = f"{agg}(COLUMNS({lam}))"
+        return [f"SELECT {sel} FROM {table}{w}"]
     # PIVOT statement over a deterministic rollup
     pcol = rng.choice(cols["str"])
     vcol = rng.choice(cols["num"])

@@ -394,9 +394,18 @@ def expand_columns(engine, statement: str) -> str:
             vals = ", ".join(
                 "('" + c.replace("'", "''") + "')" for c in schema_cols
             )
+            # the predicate is DuckDB-dialect text (SIMILAR TO, ~, ^@,
+            # method chaining, ...) — run it through the shim before
+            # Spark parses it (r8 statement-fuzz seeds 2447/2484)
+            from parquet_query_spark.workbench.dialect import (
+                rewrite_duckdb_dialect,
+            )
+
             rows = engine.spark.sql(
-                f"SELECT {var} FROM (VALUES {vals}) AS __cols({var}) "
-                f"WHERE {body}"
+                rewrite_duckdb_dialect(
+                    f"SELECT {var} FROM (VALUES {vals}) AS __cols({var}) "
+                    f"WHERE {body}"
+                )
             ).collect()
             matched = [r[0] for r in rows]
         else:

@@ -243,3 +243,17 @@ def test_drop_macro_table_keyword(engine):
 
     with _pytest.raises(Exception):
         engine.sql("SELECT * FROM tmac_r8(1)").collect()
+
+
+def test_columns_lambda_predicate_goes_through_dialect(engine):
+    """The COLUMNS(c -> pred) predicate is DuckDB-dialect text (SIMILAR
+    TO, ~, ^@ ...) and must pass through the shim before Spark parses it
+    (r8 statement-fuzz seeds 2447/2484)."""
+    q = "SELECT max(COLUMNS(c -> c SIMILAR TO '.*key')) FROM (SELECT 1 AS akey, 2 AS bkey, 'x' AS name) t"
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    con = duckdb.connect()
+    want = con.execute(q).fetchall()
+    assert got == want == [(1, 2)]
+    q2 = "SELECT count(COLUMNS(c -> c ^@ 'a')) FROM (SELECT 1 AS akey, 2 AS bkey) t"
+    assert [tuple(r) for r in engine.sql(q2).collect()] == con.execute(q2).fetchall()
+    con.close()
