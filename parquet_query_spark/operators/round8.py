@@ -991,3 +991,199 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+# ── embedding_kmeans_silhouette ──────────────────────────────────────────
+
+
+def _silhouette_oracle() -> str:
+    from parquet_query_spark.operators.similarity import (
+        _KM_UPDATES,
+        _km_oracle_ctes,
+    )
+
+    u = _KM_UPDATES
+    return f"""
+WITH {_km_oracle_ctes()},
+two AS (
+  SELECT vec_id, cid, dist2, rnk FROM (
+    SELECT vec_id, cid, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rnk
+    FROM s{u}
+  ) WHERE rnk <= 2
+),
+pt AS (
+  SELECT t1.vec_id, t1.cid AS cluster,
+         round((sqrt(t2.dist2) - sqrt(t1.dist2))
+               / greatest(greatest(sqrt(t1.dist2), sqrt(t2.dist2)), 1e-12),
+               4) AS sil
+  FROM (SELECT * FROM two WHERE rnk = 1) t1
+  JOIN (SELECT * FROM two WHERE rnk = 2) t2 USING (vec_id)
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(AVG(sil), 4) AS mean_silhouette,
+       round(MIN(sil), 4) AS worst_silhouette
+FROM pt GROUP BY cluster ORDER BY cluster
+"""
+
+
+@query(
+    "embedding_kmeans_silhouette",
+    oracle=_silhouette_oracle(),
+    tags=("similarity", "clustering", "profile"),
+)
+def embedding_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified/medoid-free) silhouette per k-means
+    cluster: for each point a = distance to its own centroid, b =
+    distance to the nearest OTHER centroid, s = (b - a) / max(a, b) —
+    the clustering-QA score that says which IVF cells are well-separated
+    and which should be split/merged, without the O(n^2) pairwise
+    silhouette.
+
+    Reuses the exact deterministic Lloyd state of kmeans_embeddings
+    (similarity.py: same init, same update count), so the clusters
+    scored here are literally the catalog's clusters.
+
+    Scale shape: centroids are K x dim literals folded scan-side (no
+    join, no shuffle — same trick as _km_assign); the only aggregation
+    is the K-row rollup.  The one driver transfer is the K x dim
+    centroid collect per Lloyd round, identical to kmeans_embeddings."""
+    from parquet_query_spark.operators.similarity import (
+        _KM_K,
+        _KM_UPDATES,
+        _as_double,
+        _km_assign,
+        _km_cent_lit,
+        _km_update_rows,
+    )
+
+    v = views(spark, sf_dir)
+    emb = v["embeddings"].select("vec_id", _as_double("embedding").alias("ev"))
+    cents = sorted(
+        (r.cid, list(r.c))
+        for r in emb.where(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("ev").alias("c"))
+        .collect()
+    )
+    assign = _km_assign(emb, cents)
+    for _ in range(_KM_UPDATES):
+        cents = _km_update_rows(assign)
+        assign = _km_assign(emb, cents)
+    # per-point distances to the two nearest FINAL centroids, scan-side
+    best2 = F.expr(
+        """
+        slice(array_sort(transform(_cents, ct -> named_struct(
+          'dist2', round(aggregate(zip_with(ev, ct.c, (x, y) -> (x - y) * (x - y)),
+                                   CAST(0.0 AS DOUBLE), (a, v) -> a + v), 6),
+          'cid', ct.cid))), 1, 2)
+        """
+    )
+    pt = (
+        emb.withColumn("_cents", _km_cent_lit(cents))
+        .withColumn("_b2", best2)
+        .select(
+            F.col("_b2")[0]["cid"].alias("cluster"),
+            F.sqrt(F.col("_b2")[0]["dist2"]).alias("a"),
+            F.sqrt(F.col("_b2")[1]["dist2"]).alias("b"),
+        )
+        .select(
+            "cluster",
+            F.round(
+                (F.col("b") - F.col("a"))
+                / F.greatest(F.greatest(F.col("a"), F.col("b")), F.lit(1e-12)),
+                4,
+            ).alias("sil"),
+        )
+    )
+    return (
+        pt.groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.avg("sil"), 4).alias("mean_silhouette"),
+            F.round(F.min("sil"), 4).alias("worst_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ── orders_rfm_migration ─────────────────────────────────────────────────
+
+
+@query(
+    "orders_rfm_migration",
+    oracle="""
+WITH h1 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY o_custkey
+),
+h2 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY o_custkey
+),
+s1 AS (
+  SELECT o_custkey,
+         CAST(NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS INTEGER) AS m1
+  FROM h1
+),
+s2 AS (
+  SELECT o_custkey,
+         CAST(NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS INTEGER) AS m2
+  FROM h2
+)
+SELECT coalesce(s1.m1, 0) AS m_score_h1,
+       coalesce(s2.m2, 0) AS m_score_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+GROUP BY 1, 2
+ORDER BY m_score_h1, m_score_h2
+""",
+    tags=("analytics", "segmentation", "drift"),
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-quintile migration matrix between the two halves of the
+    order timeline (split at 1996-01-01): how customers move between
+    spend quintiles, with score 0 = absent from that half (churned /
+    newly acquired) — the segment-drift readout behind retention and
+    win-back targeting, complementing the static customers_rfm_segmentation.
+
+    Scale shape: each half reduces to one row per active customer before
+    its NTILE window (same discipline and tie-break as the RFM operator);
+    the migration matrix itself is at most 6 x 6 rows from one
+    customer-keyed full-outer join."""
+    from pyspark.sql import Window as W
+
+    v = views(spark, sf_dir)
+    o = v["orders"]
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+
+    def half(pred):
+        return o.where(pred).groupBy("o_custkey").agg(cents)
+
+    cut = F.lit("1996-01-01").cast("date")
+    s1 = half(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("ck1"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("m1"),
+    )
+    s2 = half(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("ck2"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("m2"),
+    )
+    return (
+        s1.join(s2, s1["ck1"] == s2["ck2"], "full_outer")
+        .select(
+            F.coalesce(F.col("m1"), F.lit(0)).alias("m_score_h1"),
+            F.coalesce(F.col("m2"), F.lit(0)).alias("m_score_h2"),
+        )
+        .groupBy("m_score_h1", "m_score_h2")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("m_score_h1", "m_score_h2")
+    )

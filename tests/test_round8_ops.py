@@ -174,3 +174,38 @@ def test_markov_entropy_rate_bounds(catalog, spark):
     for r in rows:
         assert 0.0 <= r["cond_entropy_bits"] <= max_h + 1e-9
         assert r["rate_contrib_bits"] <= r["cond_entropy_bits"] + 1e-9
+
+
+def test_silhouette_bounds_and_membership(catalog, spark):
+    from parquet_query_spark.operators.catalog import views
+
+    rows = catalog["embedding_kmeans_silhouette"].fn(spark, SF).collect()
+    assert rows
+    n_vecs = views(spark, SF)["embeddings"].count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 <= r["worst_silhouette"] <= r["mean_silhouette"] <= 1.0
+
+
+def test_silhouette_clusters_match_kmeans(catalog, spark):
+    km = catalog["kmeans_embeddings"].fn(spark, SF).collect()
+    sizes = {}
+    for r in km:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    sil = catalog["embedding_kmeans_silhouette"].fn(spark, SF).collect()
+    assert {r["cluster"]: r["n_members"] for r in sil} == sizes
+
+
+def test_rfm_migration_conserves_customers(catalog, spark):
+    from parquet_query_spark.operators.catalog import views
+
+    rows = catalog["orders_rfm_migration"].fn(spark, SF).collect()
+    active = (
+        views(spark, SF)["orders"].select("o_custkey").distinct().count()
+    )
+    # every active customer lands in exactly one matrix cell
+    assert sum(r["n_customers"] for r in rows) == active
+    for r in rows:
+        assert 0 <= r["m_score_h1"] <= 5 and 0 <= r["m_score_h2"] <= 5
+        # (0, 0) is impossible: a customer absent from both halves has no orders
+        assert (r["m_score_h1"], r["m_score_h2"]) != (0, 0)
