@@ -85,6 +85,16 @@ TABLES = {
         "str": ["r_name"],
         "key": "r_regionkey",
     },
+    # NULL-rich committed table (tests/data/fuzz_nulls.parquet): ~1/3 NULL
+    # ints, NULL/zero doubles, NULL/empty/unicode strings, NULL timestamps
+    # — three-valued logic over COLUMN data, which the TPC-H tables
+    # (NOT-NULL everywhere) never exercise
+    "nulls_parquet": {
+        "num": ["n1", "n2"],
+        "str": ["s1"],
+        "ts": ["t1"],
+        "key": "k",
+    },
 }
 
 # join shapes: (left table, right table, join condition, key for ORDER BY)
@@ -1257,11 +1267,14 @@ def main() -> int:
 
     engine = Engine.open(SF_DIR)
     con = duckdb.connect()
+    nulls_path = "/root/repo/tests/data/fuzz_nulls.parquet"
     for t in TABLES:
-        base = t.rsplit("_", 1)[0]
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{base}.parquet'"
-        )
+        if t == "nulls_parquet":
+            path = nulls_path
+        else:
+            path = f"{SF_DIR}/{t.rsplit('_', 1)[0]}.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    engine.spark.read.parquet(nulls_path).createOrReplaceTempView("nulls_parquet")
     differ = Differ(engine, con)
 
     seeds = [args.one] if args.one is not None else range(args.start, args.start + args.seeds)
