@@ -188,7 +188,15 @@ def run_pivot(engine, statement: str):
             if c.lower() != on_col.lower() and c.lower() not in used
         ]
 
-    out = base.groupBy(*groups).pivot(on_col).agg(*aggs)
+    # DuckDB PIVOT drops rows whose pivot key is NULL (no column for
+    # them); Spark's pivot would synthesize a `null` column (r8
+    # statement-fuzz over the NULL-rich table, seeds 2724/2809/...)
+    out = (
+        base.where(F.col(on_col).isNotNull())
+        .groupBy(*groups)
+        .pivot(on_col)
+        .agg(*aggs)
+    )
     if len(using) == 1 and using[0][1] is not None:
         # DuckDB appends an explicit USING alias even with one aggregate
         # (column "F" → "F_s"); Spark only does so with several.

@@ -257,3 +257,21 @@ def test_columns_lambda_predicate_goes_through_dialect(engine):
     q2 = "SELECT count(COLUMNS(c -> c ^@ 'a')) FROM (SELECT 1 AS akey, 2 AS bkey) t"
     assert [tuple(r) for r in engine.sql(q2).collect()] == con.execute(q2).fetchall()
     con.close()
+
+
+def test_pivot_drops_null_keys(engine):
+    """DuckDB PIVOT creates no column for NULL pivot keys; Spark's pivot
+    would synthesize a `null` column (r8 statement-fuzz over the
+    NULL-rich table)."""
+    q = ("PIVOT (SELECT p, v FROM (VALUES ('a', 1), (NULL, 2), ('b', 3), "
+         "('a', 5)) t(p, v)) ON p USING sum(v)")
+    df = engine.sql(q)
+    got_cols = [c.lower() for c in df.columns]
+    con = duckdb.connect()
+    want = con.execute(q)
+    want_cols = [c[0].lower() for c in want.description]
+    assert sorted(got_cols) == sorted(want_cols) == ["a", "b"]
+    got = dict(zip(got_cols, df.collect()[0]))
+    wantrow = dict(zip(want_cols, want.fetchall()[0]))
+    assert got == wantrow == {"a": 6, "b": 3}
+    con.close()
