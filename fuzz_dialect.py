@@ -1049,7 +1049,13 @@ def gen_statement_seq(rng: random.Random):
             lam = rng.choice(["c -> c LIKE '%key'", "c -> c SIMILAR TO '.*key'"])
             sel = f"{agg}(COLUMNS({lam}))"
         return [f"SELECT {sel} FROM {table}{w}"]
-    # PIVOT statement over a deterministic rollup
+    # PIVOT / UNPIVOT statements over a deterministic rollup
+    if rng.random() < 0.35 and len(cols["num"]) >= 2:
+        c1, c2 = rng.sample(cols["num"], 2)
+        return [
+            f"UNPIVOT (SELECT {key} AS k, {c1}, {c2} FROM {table}{w}) "
+            f"ON {c1}, {c2} INTO NAME m VALUE val ORDER BY k, m",
+        ]
     pcol = rng.choice(cols["str"])
     vcol = rng.choice(cols["num"])
     agg = rng.choice(["sum", "min", "max", "count"])
@@ -1229,18 +1235,20 @@ def shrink(differ: Differ, render, exprs):
 # list (each pinned in tests/test_dialect_residuals.py) — matched against
 # the minimized reproduction and tallied separately, not failed.
 INTENTIONAL = [
-    re.compile(r"-\s*\(?\s*list_unique\s*\("),  # #9 UBIGINT negation wrap
+    # IGNORECASE: the mutator case-flips tokens, and a flipped spelling
+    # must still classify (wave seed 3112: `- LIST_UNIQUE(...)`)
+    re.compile(r"-\s*\(?\s*list_unique\s*\(", re.IGNORECASE),  # #9 UBIGINT negation wrap
     # #3: list_sum/list_avg expand to a DOUBLE-typed aggregate, so a
     # downstream // divides plainly where DuckDB truncates integrally
-    re.compile(r"list_(sum|avg)\s*\(.*//|//.*list_(sum|avg)\s*\(", re.DOTALL),
+    re.compile(r"list_(sum|avg)\s*\(.*//|//.*list_(sum|avg)\s*\(", re.DOTALL | re.IGNORECASE),
     # #11: zero-width pattern with 'g' — Java replaces the empty match
     # adjacent to a previous match, RE2 skips it
-    re.compile(r"regexp_replace\s*\([^;]*'x\*'[^;]*'g'"),
+    re.compile(r"regexp_replace\s*\([^;]*'x\*'[^;]*'g'", re.IGNORECASE),
     # #12: a // result stringified mid-query (array_to_string over a
     # lambda containing //, or || of a // result) renders '3.0' for
     # DuckDB's INTEGER '3' — the dispatch surfaces DOUBLE in both
     # branches; top-level cells render identically via the formatter
-    re.compile(r"array_to_string\s*\([^;]*//|\|\|[^;]*//|//[^;]*\|\|", re.DOTALL),
+    re.compile(r"array_to_string\s*\([^;]*//|\|\|[^;]*//|//[^;]*\|\|", re.DOTALL | re.IGNORECASE),
 ]
 
 

@@ -2934,15 +2934,44 @@ _UNPIVOT_STMT = re.compile(
 )
 
 
+def _unpivot_label(entry: str) -> str:
+    """DuckDB's UNPIVOT NAME column holds the CATALOG spelling of each
+    source column, while Spark labels with the identifier text as
+    written — ``ON C_ACCTBAL`` must still produce 'c_acctbal' (r8
+    statement-fuzz seed 3400).  Bare identifiers get an explicit
+    lowercase label (every source in this ecosystem stores lowercase
+    columns); quoted ones keep their exact content; anything already
+    aliased or non-trivial passes through."""
+    e = entry.strip()
+    if re.fullmatch(r"[A-Za-z_]\w*", e):
+        return f"{e} AS `{e.lower()}`"
+    q = re.fullmatch(r'"((?:[^"]|"")+)"', e)
+    if q:
+        inner = q.group(1).replace('""', '"')
+        return f"{e} AS `{inner}`"
+    return e
+
+
 def _rewrite_unpivot(sql: str) -> str:
     m = _UNPIVOT_STMT.match(sql.strip().rstrip(";"))
     if not m:
         return sql
     src = m.group("src")
     tail = m.group("tail").strip()
+    cols_text = m.group("cols").strip()
+    cmask = _code_mask(cols_text)
+    depths = _depths(cols_text, cmask)
+    parts: list[str] = []
+    start = 0
+    for i, ch in enumerate(cols_text):
+        if cmask[i] and ch == "," and depths[i] == 0:
+            parts.append(cols_text[start:i])
+            start = i + 1
+    parts.append(cols_text[start:])
+    labeled = ", ".join(_unpivot_label(p) for p in parts)
     return (
         f"SELECT * FROM {src} UNPIVOT ({m.group('value')} "
-        f"FOR {m.group('name')} IN ({m.group('cols').strip()}))"
+        f"FOR {m.group('name')} IN ({labeled}))"
         + (f" {tail}" if tail else "")
     )
 

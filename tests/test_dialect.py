@@ -1173,14 +1173,18 @@ def test_unpivot_statement_rewrite():
     out = rewrite_duckdb_dialect(
         "UNPIVOT sales ON jan, feb, mar INTO NAME month VALUE amount"
     )
+    # bare identifiers get explicit lowercase labels so the NAME column
+    # matches DuckDB's catalog-case values regardless of query-text case
     assert out == (
-        "SELECT * FROM sales UNPIVOT (amount FOR month IN (jan, feb, mar))"
+        "SELECT * FROM sales UNPIVOT (amount FOR month IN "
+        "(jan AS `jan`, feb AS `feb`, mar AS `mar`))"
     )
     out = rewrite_duckdb_dialect(
         "UNPIVOT (SELECT * FROM t) ON a, b INTO NAME k VALUE v ORDER BY k LIMIT 3"
     )
     assert out == (
-        "SELECT * FROM (SELECT * FROM t) UNPIVOT (v FOR k IN (a, b)) ORDER BY k NULLS LAST LIMIT 3"
+        "SELECT * FROM (SELECT * FROM t) UNPIVOT (v FOR k IN "
+        "(a AS `a`, b AS `b`)) ORDER BY k NULLS LAST LIMIT 3"
     )
 
 

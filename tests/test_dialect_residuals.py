@@ -275,3 +275,17 @@ def test_pivot_drops_null_keys(engine):
     wantrow = dict(zip(want_cols, want.fetchall()[0]))
     assert got == wantrow == {"a": 6, "b": 3}
     con.close()
+
+
+def test_unpivot_name_labels_use_catalog_case(engine):
+    """DuckDB's UNPIVOT NAME column holds the catalog spelling of each
+    source column, not the case the query happened to write (r8
+    statement-fuzz seed 3400: ON C_ACCTBAL must still label
+    'c_acctbal')."""
+    q = ("UNPIVOT (SELECT 1 AS k, 2 AS aa, 3 AS bb) "
+         "ON AA, bb INTO NAME m VALUE v ORDER BY m")
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    con = duckdb.connect()
+    want = con.execute(q).fetchall()
+    assert got == want == [(1, "aa", 2), (1, "bb", 3)]
+    con.close()
