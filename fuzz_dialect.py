@@ -492,7 +492,21 @@ class Gen:
 def gen_query(rng: random.Random):
     """Returns (render_fn, exprs) — render_fn(subset) rebuilds the query
     with only those select expressions, for shrinking."""
-    shape = rng.randrange(27)
+    shape = rng.randrange(28)
+    if shape == 27:  # bounded recursive CTE
+        k = rng.randrange(3, 12)
+        g = Gen(rng, {"num": ["n"]})
+        expr = g.num(rng.randrange(1, 3))
+        exprs = [expr]
+
+        def render(es):
+            return (
+                f"WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL "
+                f"SELECT n + 1 FROM s WHERE n < {k}) "
+                f"SELECT n AS k, {es[0].sql} AS c0 FROM s ORDER BY n"
+            )
+
+        return render, exprs
     if shape >= 24:
         table = rng.choice(list(TABLES))
         cols = TABLES[table]
@@ -1039,6 +1053,21 @@ def gen_statement_seq(rng: random.Random):
             f"SELECT k, v FROM {tname}({lim}) ORDER BY k",
             f"SELECT count(*) AS n FROM {tname}({lim})",
             f"DROP MACRO TABLE {tname}",
+        ]
+    if shape == 4 and rng.random() < 0.4:  # CTAS / INSERT round-trip
+        g = Gen(rng, {"num": cols["num"]})
+        e1 = g.num(rng.randrange(1, 3)).sql
+        tname = f"fz_ct{rng.randrange(1000)}"
+        lim = rng.choice(["5", "20"])
+        return [
+            f"CREATE OR REPLACE TABLE {tname} AS "
+            f"SELECT {key} AS k, ({e1}) AS v FROM {table}{w} "
+            f"ORDER BY k LIMIT {lim}",
+            f"INSERT INTO {tname} SELECT {key} + 1000000 AS k, ({e1}) AS v "
+            f"FROM {table}{w} ORDER BY {key} LIMIT 3",
+            f"SELECT k, v FROM {tname} ORDER BY k",
+            f"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM {tname}",
+            f"DROP TABLE {tname}",
         ]
     if shape == 5 and rng.random() < 0.5:  # COLUMNS() expression template
         agg = rng.choice(["max", "min", "count", "sum"])

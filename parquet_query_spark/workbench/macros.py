@@ -208,6 +208,54 @@ def _lambda_shadow_spans(body: str, mask: list[bool]) -> list[tuple[str, int, in
             e += 1
         for nm in names:
             spans.append((nm, decl_start, e))
+    # list comprehensions: in ``[expr FOR v IN src IF pred]`` the variable
+    # binds in expr and pred (not in src, which evaluates in the outer
+    # scope) — exclude those spans too (r8 statement-fuzz seed 4223)
+    for m in re.finditer(r"\bFOR\s+([A-Za-z_]\w*)\s+IN\b", body, re.IGNORECASE):
+        if not all(mask[i] for i in range(m.start(), m.end())):
+            continue
+        nm = m.group(1).lower()
+        # enclosing '[' backward
+        depth = 0
+        o = m.start() - 1
+        while o >= 0:
+            if mask[o] and body[o] == "]":
+                depth += 1
+            elif mask[o] and body[o] == "[":
+                if depth == 0:
+                    break
+                depth -= 1
+            o -= 1
+        if o < 0:
+            continue
+        # matching ']' forward, tracking an IF at this bracket level
+        depth = 0
+        c = m.end()
+        if_pos = None
+        while c < n:
+            ch = body[c]
+            if mask[c] and ch in "([":
+                depth += 1
+            elif mask[c] and ch == ")":
+                depth -= 1
+            elif mask[c] and ch == "]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                mask[c]
+                and depth == 0
+                and if_pos is None
+                and body[c : c + 2].upper() == "IF"
+                and (c + 2 >= n or not (body[c + 2].isalnum() or body[c + 2] == "_"))
+                and not (body[c - 1].isalnum() or body[c - 1] == "_")
+            ):
+                if_pos = c
+            c += 1
+        spans.append((nm, o + 1, m.start()))  # expr before FOR
+        spans.append((nm, m.start(), m.end()))  # the declaration itself
+        if if_pos is not None:
+            spans.append((nm, if_pos, c))  # IF predicate
     return spans
 
 

@@ -289,3 +289,24 @@ def test_unpivot_name_labels_use_catalog_case(engine):
     want = con.execute(q).fetchall()
     assert got == want == [(1, "aa", 2), (1, "bb", 3)]
     con.close()
+
+
+def test_macro_comprehension_var_shadows_parameter(engine):
+    """A list-comprehension variable shadows a same-named macro parameter
+    in the expression and IF predicate, but NOT in the iterated source
+    list (outer scope) — r8 statement-fuzz seed 4223."""
+    engine.sql(
+        "CREATE OR REPLACE MACRO cmac(x) AS "
+        "(array_length([abs(x) FOR x IN [-4, 9, 9] IF x % 2 = 0]) + x)"
+    )
+    try:
+        got = engine.sql("SELECT cmac(100) AS v").collect()[0][0]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE MACRO cmac(x) AS "
+            "(array_length([abs(x) FOR x IN [-4, 9, 9] IF x % 2 = 0]) + x)"
+        )
+        assert got == con.execute("SELECT cmac(100) AS v").fetchone()[0] == 101
+        con.close()
+    finally:
+        engine.sql("DROP MACRO cmac")
