@@ -586,8 +586,9 @@ def gen_query(rng: random.Random):
             )
 
         return render, exprs
-    if shape < 10:  # agg-shape (+ optional HAVING)
+    if shape < 10:  # agg-shape (+ optional HAVING; 25% GROUP BY ordinal)
         gkey = rng.choice(cols["num"] + cols["str"])
+        by_ordinal = rng.random() < 0.25
         exprs = [g.agg(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 4))]
         having = None
         if rng.random() < 0.4:
@@ -603,9 +604,10 @@ def gen_query(rng: random.Random):
             sel = ", ".join(f"{e.sql} AS a{i}" for i, e in enumerate(es))
             w = f" WHERE {base_filter}" if base_filter else ""
             h = f" HAVING {having}" if having else ""
+            gb = "1" if by_ordinal else gkey
             return (
                 f"SELECT {gkey} AS k, {sel} FROM {table}{w} "
-                f"GROUP BY {gkey}{h} ORDER BY k"
+                f"GROUP BY {gb}{h} ORDER BY k"
             )
 
         return render, exprs
@@ -869,6 +871,31 @@ def gen_query(rng: random.Random):
                 f"FROM nation_parquet n {jtype} region_parquet r "
                 f"ON n.n_regionkey = r.r_regionkey AND r.r_regionkey < {lim} "
                 f"ORDER BY k1 NULLS FIRST, k2 NULLS FIRST"
+            )
+
+        return render, exprs
+    if shape == 16 and rng.random() < 0.5:  # LATERAL correlated subquery
+        # (the other half of shape 16 falls through to the join shape)
+        corr = rng.choice(cols["num"])
+        sub_agg = rng.choice(["max", "min", "count", "sum"])
+        exprs = [g.any_expr(rng.randrange(1, 3))
+                 for _ in range(rng.randrange(1, 3))]
+        base_filter2 = cols.get("filter")
+
+        def render(es):
+            sel = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(es))
+            w = f" WHERE {base_filter2}" if base_filter2 else ""
+            return (
+                f"SELECT t.{cols['key']} AS k, l.v, {sel} "
+                # abs() keeps the correlated input NON-empty (>= nation 0):
+                # an empty input hits documented intentional difference #15
+                # (DuckDB's decorrelation drops the outer row, the COUNT
+                # bug; we keep standard one-NULL-row semantics)
+                f"FROM {table} t, LATERAL (SELECT {sub_agg}(n_regionkey) AS v "
+                f"FROM nation_parquet nn "
+                f"WHERE nn.n_nationkey <= abs(coalesce(t.{corr}, 0)) % 25) l"
+                f"{w.replace(base_filter2, 't.' + base_filter2) if base_filter2 else ''} "
+                f"ORDER BY k"
             )
 
         return render, exprs

@@ -180,6 +180,15 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    b = 3 here).  Honoring the user's argument beats replicating a
    silent drop.  Macro NAMES and body identifier references fold case
    in both engines.
+15. A comma-join ``LATERAL (SELECT agg(..) FROM .. WHERE <correlated>)``
+   whose correlated input is EMPTY for some outer row: the ungrouped
+   aggregate yields one NULL row, so the outer row survives here (SQL
+   standard / Postgres semantics); DuckDB DROPS the outer row — its
+   decorrelation rewrites the aggregate into a grouped join, the
+   classic "COUNT bug" (probed: ``(VALUES (1),(20)) t(x), LATERAL
+   (SELECT max(y) FROM (VALUES (10)) s(y) WHERE y < t.x)`` returns one
+   row there, two here).  Keeping the standard behavior beats
+   replicating a decorrelation artifact.
 """
 
 from __future__ import annotations

@@ -310,3 +310,25 @@ def test_macro_comprehension_var_shadows_parameter(engine):
         con.close()
     finally:
         engine.sql("DROP MACRO cmac")
+
+
+def test_residual_15_lateral_empty_aggregate(engine):
+    """#15: a comma-LATERAL ungrouped aggregate over empty correlated
+    input keeps the outer row with a NULL aggregate here (SQL standard /
+    Postgres); DuckDB's decorrelation drops the outer row (the COUNT
+    bug).  Probed r8 (fuzz wave 31)."""
+    q = ("SELECT t.x, l.v FROM (VALUES (1), (20)) t(x), "
+         "LATERAL (SELECT max(y) AS v FROM (VALUES (10)) s(y) "
+         "WHERE y < t.x) l ORDER BY x")
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    assert got == [(1, None), (20, 10)]
+    con = duckdb.connect()
+    assert con.execute(q).fetchall() == [(20, 10)]  # DuckDB drops row 1
+    con.close()
+    # non-empty correlated input agrees on both engines
+    q2 = ("SELECT t.x, l.v FROM (VALUES (11), (20)) t(x), "
+          "LATERAL (SELECT max(y) AS v FROM (VALUES (10)) s(y) "
+          "WHERE y < t.x) l ORDER BY x")
+    con = duckdb.connect()
+    assert [tuple(r) for r in engine.sql(q2).collect()] == con.execute(q2).fetchall()
+    con.close()
