@@ -1305,6 +1305,10 @@ INTENTIONAL = [
     # DuckDB's INTEGER '3' — the dispatch surfaces DOUBLE in both
     # branches; top-level cells render identically via the formatter
     re.compile(r"array_to_string\s*\([^;]*//|\|\|[^;]*//|//[^;]*\|\|", re.DOTALL | re.IGNORECASE),
+    # #16: DuckDB 1.0.0 folds count(f(date_trunc(..))) to count(*) even
+    # when the nullable input yields NULL values (its optimizer bug —
+    # probed; we count correctly)
+    re.compile(r"count\s*\([^;()]*\(?[^;()]*date_trunc", re.IGNORECASE),
 ]
 
 

@@ -189,6 +189,13 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    (SELECT max(y) FROM (VALUES (10)) s(y) WHERE y < t.x)`` returns one
    row there, two here).  Keeping the standard behavior beats
    replicating a decorrelation artifact.
+16. ``count(date_trunc(part, nullable_ts))`` (and any count over a
+   function OF date_trunc) counts correctly here; the bundled DuckDB
+   1.0.0 counts EVERY row — its optimizer folds the count(expr) to
+   count(*) even though the per-row values render NULL (probed:
+   the values are NULL, count says 120/120 where 100 rows are
+   non-NULL).  A DuckDB-side bug we do not replicate; no catalog
+   oracle uses the pattern (grepped).
 """
 
 from __future__ import annotations

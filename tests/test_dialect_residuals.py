@@ -332,3 +332,24 @@ def test_residual_15_lateral_empty_aggregate(engine):
     con = duckdb.connect()
     assert [tuple(r) for r in engine.sql(q2).collect()] == con.execute(q2).fetchall()
     con.close()
+
+
+def test_residual_16_duckdb_count_date_trunc_bug(engine):
+    """#16: count over date_trunc of a NULLABLE timestamp — the engine
+    counts correctly; bundled DuckDB 1.0.0 folds the count to count(*)
+    (its optimizer bug; the per-row values ARE NULL there too).  Pinned
+    as a contrast so a DuckDB upgrade that fixes it surfaces here."""
+    # the fold only fires on a parquet-backed scan (stats-dependent) —
+    # an inline VALUES/range source counts correctly on both engines
+    path = "/root/repo/tests/data/fuzz_nulls.parquet"
+    q = ("SELECT count(date_trunc('month', t1)) AS a, count(t1) AS b, "
+         "count(*) AS c FROM nulls_src")
+    engine.spark.read.parquet(path).createOrReplaceTempView("nulls_src")
+    got = engine.sql(q).collect()[0]
+    assert (got[0], got[1], got[2]) == (100, 100, 120)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nulls_src AS SELECT * FROM '{path}'")
+    want = con.execute(q).fetchone()
+    # DuckDB's buggy fold: a == c instead of a == b
+    assert want == (120, 100, 120), want
+    con.close()
