@@ -391,8 +391,14 @@ class Gen:
         if choice == 0:
             t = self.ts(d - 1)
             op = self.pick(["+", "-"])
-            k = r.randrange(1, 30)
             unit = self.pick(TS_UNITS)
+            if r.random() < 0.3:
+                # DuckDB dynamic interval: INTERVAL (expr) UNIT
+                a = self.num(0)
+                return E(
+                    f"({t.sql} {op} INTERVAL ((abs({a.sql}) % 30)) {unit})",
+                    "ts", (t, a))
+            k = r.randrange(1, 30)
             return E(f"({t.sql} {op} INTERVAL {k} {unit})", "ts", (t,))
         if choice == 1:
             t = self.ts(d - 1)

@@ -519,6 +519,57 @@ def _keyword_matches(sql: str, mask: list[bool], pattern: str) -> list[re.Match]
     ]
 
 
+# ── DuckDB dynamic INTERVAL (expr) UNIT ─────────────────────────────────
+
+_DYN_INTERVAL = re.compile(r"\bINTERVAL\s*\(", re.IGNORECASE)
+_DYN_INTERVAL_UNIT = re.compile(
+    r"\s*(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND|"
+    r"MICROSECOND)S?\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_dynamic_interval(sql: str) -> str:
+    """DuckDB's column-valued interval ``INTERVAL (expr) DAY`` →
+    ``((expr) * INTERVAL '1' DAY)`` (Spark's INTERVAL quantity must be a
+    literal; multiplication takes the dynamic path).  Fixed-literal
+    ``INTERVAL 2 DAY`` needs no rewrite (valid in both engines)."""
+    if "interval" not in sql.lower():
+        return sql
+    while True:
+        mask = _code_mask(sql)
+        hit = None
+        for m in _DYN_INTERVAL.finditer(sql):
+            if all(mask[i] for i in range(m.start(), m.end())):
+                hit = m
+                break
+        if hit is None:
+            return sql
+        open_p = hit.end() - 1
+        depth = 0
+        close = None
+        for i in range(open_p, len(sql)):
+            if mask[i] and sql[i] == "(":
+                depth += 1
+            elif mask[i] and sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            return sql
+        um = _DYN_INTERVAL_UNIT.match(sql, close + 1)
+        if um is None:
+            return sql
+        expr = sql[open_p + 1 : close]
+        unit = um.group(1).upper()
+        sql = (
+            sql[: hit.start()]
+            + f"(({expr}) * INTERVAL '1' {unit})"
+            + sql[um.end() :]
+        )
+
+
 # ── SELECT * EXCLUDE → SELECT * EXCEPT ───────────────────────────────────
 
 _IDENT = r'(?:`(?:[^`]|``)+`|"(?:[^"]|"")+"|[A-Za-z_][\w$]*)'
@@ -5646,6 +5697,7 @@ def _rewrite_ops_pack(sql: str) -> str:
 def rewrite_duckdb_dialect(sql: str) -> str:
     """Apply every DuckDB-dialect rewrite (each pass re-lexes)."""
     sql = _unquote_function_names(strip_comments(sql))
+    sql = _rewrite_dynamic_interval(sql)
     return _rewrite_named_window_case(_rewrite_divmod_null(_rewrite_int_casts(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(_rewrite_count_distinct_window(_rewrite_window_filter(_rewrite_qualify(
         _rewrite_strptime(
             _rewrite_strftime(
@@ -5693,6 +5745,7 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     """Alternate rewrites to retry when the primary form fails analysis
     (e.g. a QUALIFY window referencing a non-projected base column)."""
     sql = _unquote_function_names(strip_comments(sql))
+    sql = _rewrite_dynamic_interval(sql)
     alt = _rewrite_qualify_inject(
         _rewrite_strptime(
             _rewrite_strftime(

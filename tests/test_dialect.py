@@ -1901,3 +1901,36 @@ def test_fuzz_pinned_r8_wave2_match_duckdb(engine):
                 else:
                     assert str(gv) == str(wv), (q, gv, wv)
     con.close()
+
+
+def test_dynamic_interval_rewrite(engine):
+    """DuckDB's column-valued INTERVAL (expr) UNIT (r8 probe): Spark's
+    INTERVAL quantity must be a literal, so the shim multiplies."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT TIMESTAMP '1995-01-01' + INTERVAL ((k)) DAY AS ts "
+        "FROM (VALUES (0), (3)) t(k) ORDER BY ts",
+        "SELECT TIMESTAMP '1995-01-01' + INTERVAL (k + 1) HOUR AS ts "
+        "FROM (VALUES (1), (2)) t(k) ORDER BY ts",
+        "SELECT CAST(DATE '1995-06-17' - INTERVAL ((2 + 1) * 2) MONTH "
+        "AS DATE) AS d",
+        # fixed-literal forms stay untouched (valid in both engines)
+        "SELECT TIMESTAMP '1995-01-01' + INTERVAL 2 DAY AS t",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        norm = lambda rows: [
+            tuple(
+                # date/datetime compare on full timestamp precision
+                (str(v) + " 00:00:00")[:19] if hasattr(v, "year") else v
+                for v in r
+            )
+            for r in rows
+        ]
+        assert len(got) == len(want), q
+        for gv, wv in zip(norm(got), norm(want)):
+            assert gv == wv, (q, gv, wv)
+    con.close()
