@@ -349,6 +349,10 @@ class Gen:
             return E(f"({a.sql} SIMILAR TO {self.pick(RE_PATS)})", "bool", (a,))
         if choice == 10:
             a = self.s(d - 1)
+            if r.random() < 0.4:
+                pat = self.pick(["'*a*'", "'?b*'", "'[A-Z]*'", "'*[0-9]'",
+                                 "'w*'", "'[!x]*'"])
+                return E(f"({a.sql} GLOB {pat})", "bool", (a,))
             return E(f"({a.sql} ILIKE {self.pick(LIKE_PATS)})", "bool", (a,))
         if choice == 11:
             l, v = self.lst(d - 1), self.num(0)

@@ -5674,9 +5674,84 @@ def _rewrite_count_distinct_window(sql: str) -> str:
     return sql
 
 
+_GLOB_OP = re.compile(r"\b(NOT\s+)?GLOB\b", re.IGNORECASE)
+
+
+def _glob_to_regex(pat: str) -> str:
+    """POSIX-glob pattern → regex source, emitted for a Spark string
+    literal (backslashes doubled — this text is produced AFTER the
+    literal-backslash pass, so Spark's C-unescape halves it back)."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            if j < n and pat[j] in "!^":
+                j += 1
+            if j < n and pat[j] == "]":
+                j += 1  # leading ] is literal inside a class
+            while j < n and pat[j] != "]":
+                j += 1
+            if j < n:
+                inner = pat[i + 1 : j]
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                out.append("[" + inner + "]")
+                i = j
+            else:
+                out.append("\\\\[")  # unclosed '[' is literal
+        elif c in r".^$+{}()|\\":
+            out.append("\\\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_glob(sql: str) -> str:
+    """``x [NOT] GLOB 'pat'`` → anchored case-sensitive RLIKE (DuckDB
+    GLOB is a full-match filename-style pattern: ``*`` any run, ``?``
+    one char, ``[...]``/``[!...]`` classes).  Only literal patterns are
+    rewritten; a dynamic pattern surfaces Spark's parse error rather
+    than risking wrong translation."""
+    while True:
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _GLOB_OP.finditer(sql)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls = _left_operand_start(sql, mask, m.start())
+        if ls is None:
+            return sql
+        lit = re.match(r"\s*'((?:[^']|'')*)'", sql[m.end() :])
+        if lit is None:
+            return sql
+        left = sql[ls : m.start()].strip()
+        # the pattern was backslash-doubled by the literal pass; undo for
+        # translation, the translator re-escapes for Spark's unescape
+        pat = lit.group(1).replace("''", "'").replace("\\\\", "\\")
+        rep = f"{left} RLIKE '^(?:{_glob_to_regex(pat)})$'"
+        if m.group(1):
+            rep = f"NOT ({rep})"
+        sql = sql[:ls] + "(" + rep + ")" + sql[m.end() + lit.end() :]
+    return sql
+
+
 def _rewrite_ops_pack(sql: str) -> str:
     return _rewrite_order_by_nulls(
         _rewrite_series_tvf(
+        _rewrite_glob(
         _rewrite_tilde_regex(
         _rewrite_similar_to(
             _rewrite_power(
@@ -5688,6 +5763,7 @@ def _rewrite_ops_pack(sql: str) -> str:
                     )
                 )
             )
+        )
         )
         )
         )

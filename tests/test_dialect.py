@@ -1934,3 +1934,26 @@ def test_dynamic_interval_rewrite(engine):
         for gv, wv in zip(norm(got), norm(want)):
             assert gv == wv, (q, gv, wv)
     con.close()
+
+
+def test_glob_operator_matches_duckdb(engine):
+    """DuckDB GLOB (full-match filename pattern: * ? [..] [!..]) →
+    anchored case-sensitive RLIKE (r8 probe)."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT 'main.c' GLOB '*.c' AS a, 'main.h' GLOB '*.c' AS b, "
+        "'a1' GLOB 'a[0-9]' AS c",
+        "SELECT 'x.z' GLOB 'x?z' AS a, 'xz' GLOB 'x?z' AS b",
+        "SELECT 'abc' GLOB 'a[!xy]c' AS a, 'axc' GLOB 'a[!xy]c' AS b",
+        "SELECT 'a*b' GLOB 'a[*]b' AS a, 'a.b' GLOB 'a.b' AS b, "
+        "'axb' GLOB 'a.b' AS c",
+        "SELECT s GLOB 'w*' AS g FROM (VALUES ('w12'), ('café'), (NULL)) "
+        "t(s) ORDER BY g NULLS FIRST",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got, want)
+    con.close()
