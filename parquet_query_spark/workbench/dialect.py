@@ -1829,7 +1829,9 @@ def _macro_scalar_series(fn: str):
 def _macro_string_agg_ordered(args: list[str]) -> str | None:
     # DuckDB string_agg(x, sep ORDER BY k) — Spark spells the ordered
     # form listagg(x, sep) WITHIN GROUP (ORDER BY k); the plain 2-arg
-    # string_agg is Spark-native and passes through (macro → None)
+    # string_agg is Spark-native and passes through (macro → None).
+    # A DISTINCT prefix carries over (Spark listagg accepts it — probed
+    # r8; parenthesizing '(DISTINCT x)' would break the parse).
     if len(args) != 2:
         return None
     m = re.search(r"\bORDER\s+BY\b", args[1], re.IGNORECASE)
@@ -1837,10 +1839,40 @@ def _macro_string_agg_ordered(args: list[str]) -> str | None:
         return None
     sep = args[1][: m.start()].strip()
     order = args[1][m.end() :].strip()
+    val = args[0].strip()
+    dm = re.match(r"DISTINCT\s+(.+)$", val, re.IGNORECASE | re.DOTALL)
+    val = f"DISTINCT ({dm.group(1)})" if dm else f"({val})"
     return (
-        f"listagg(({args[0].strip()}), ({sep})) "
+        f"listagg({val}, ({sep})) "
         f"WITHIN GROUP (ORDER BY {order})"
     )
+
+
+def _strip_agg_order(fn: str):
+    """DuckDB permits ``ORDER BY`` inside ANY aggregate call and ignores
+    it for order-insensitive aggregates (count/sum/min/max/...); Spark
+    rejects the clause — strip it (r8 probe:
+    ``count(DISTINCT s ORDER BY s)``)."""
+
+    def macro(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        a = args[0]
+        mask = _code_mask(a)
+        depths = _depths(a, mask)
+        for m in re.finditer(r"\bORDER\s+BY\b", a, re.IGNORECASE):
+            # only a TOP-LEVEL code ORDER BY is the in-aggregate clause —
+            # one inside a string literal or a nested subquery is not
+            if not all(mask[i] for i in range(m.start(), m.end())):
+                continue
+            if depths[m.start()] != 0:
+                continue
+            head = a[: m.start()].strip()
+            if head:
+                return f"{fn}({head})"
+        return None
+
+    return macro
 
 
 def _macro_avg_double(args: list[str]) -> str | None:
@@ -1853,6 +1885,10 @@ def _macro_avg_double(args: list[str]) -> str | None:
     if len(args) != 1:
         return None
     a = args[0].strip()
+    om = _AGG_ORDER_KEY.match(a)
+    if om and om.group(1).strip():
+        # in-aggregate ORDER BY is a no-op for avg (DuckDB ignores it)
+        a = om.group(1).strip()
     up = a.upper()
     if up.startswith("CAST(") and up.rstrip().endswith("AS DOUBLE)"):
         return None
@@ -2832,6 +2868,23 @@ _FN_MACROS = {
     "group_concat": _macro_string_agg_ordered,
     "avg": _macro_avg_double,
     "mean": _macro_avg_double,
+    "count": _strip_agg_order("count"),
+    "sum": _strip_agg_order("sum"),
+    "min": _strip_agg_order("min"),
+    "max": _strip_agg_order("max"),
+    "stddev": _strip_agg_order("stddev"),
+    "stddev_samp": _strip_agg_order("stddev_samp"),
+    "stddev_pop": _strip_agg_order("stddev_pop"),
+    "var_samp": _strip_agg_order("var_samp"),
+    "var_pop": _strip_agg_order("var_pop"),
+    "variance": _strip_agg_order("variance"),
+    "bool_and": _strip_agg_order("bool_and"),
+    "bool_or": _strip_agg_order("bool_or"),
+    "bit_and": _strip_agg_order("bit_and"),
+    "bit_or": _strip_agg_order("bit_or"),
+    "bit_xor": _strip_agg_order("bit_xor"),
+    "median": _strip_agg_order("median"),
+    "product": _strip_agg_order("product"),
     "quantile_disc": _macro_quantile_disc,
     "struct_extract": _macro_struct_extract,
     "json_extract": _macro_json_extract,

@@ -1957,3 +1957,28 @@ def test_glob_operator_matches_duckdb(engine):
         want = con.execute(q).fetchall()
         assert got == want, (q, got, want)
     con.close()
+
+
+def test_distinct_and_noop_in_aggregate_order_by(engine):
+    """DuckDB allows ORDER BY inside any aggregate (ignored when
+    order-insensitive) and DISTINCT + ORDER BY in string_agg (r8 probe);
+    the ORDER BY hazards (nested subquery, string literal containing
+    'ORDER BY') must stay untouched."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT string_agg(DISTINCT s, ',' ORDER BY s) AS a "
+        "FROM (VALUES ('b'), ('a'), ('b')) t(s)",
+        "SELECT count(DISTINCT s ORDER BY s) AS a, sum(v ORDER BY s) AS b "
+        "FROM (VALUES ('b', 1), ('a', 2)) t(s, v)",
+        "SELECT min((SELECT 3 ORDER BY 1)) AS a",
+        "SELECT max(concat(s, ' ORDER BY x')) AS a FROM (VALUES ('q')) t(s)",
+        "SELECT string_agg(s, ',' ORDER BY s DESC) AS a "
+        "FROM (VALUES ('b'), ('a')) t(s)",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got, want)
+    con.close()
