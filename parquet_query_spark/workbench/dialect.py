@@ -1536,10 +1536,14 @@ def _macro_product(args: list[str]) -> str | None:
     """DuckDB ``product(x)`` (DOUBLE aggregate).  Spark has no product
     aggregate; composed from sign/zero bookkeeping + exp(sum(ln)) —
     within the comparator's 1e-9 tolerance of DuckDB's sequential
-    multiply for non-extreme magnitudes."""
+    multiply for non-extreme magnitudes.  Also strips a DuckDB in-call
+    ``ORDER BY`` first (product is order-insensitive up to fp rounding;
+    r8 shipped this as a SECOND ``"product"`` dict key which silently
+    shadowed the expansion — r9 fix, pinned by the duplicate-key test)."""
     if len(args) != 1:
         return None
-    x = args[0].strip()
+    stripped = _strip_order_arg(args[0])
+    x = (args[0] if stripped is None else stripped).strip()
     return (
         f"(CASE WHEN count(({x})) = 0 THEN CAST(NULL AS DOUBLE) "
         f"WHEN min(abs(({x}))) = 0 THEN 0.0d "
@@ -1848,6 +1852,24 @@ def _macro_string_agg_ordered(args: list[str]) -> str | None:
     )
 
 
+def _strip_order_arg(arg: str) -> str | None:
+    """If ``arg`` carries a top-level in-aggregate ``ORDER BY`` clause,
+    return the argument with the clause removed; else None."""
+    mask = _code_mask(arg)
+    depths = _depths(arg, mask)
+    for m in re.finditer(r"\bORDER\s+BY\b", arg, re.IGNORECASE):
+        # only a TOP-LEVEL code ORDER BY is the in-aggregate clause —
+        # one inside a string literal or a nested subquery is not
+        if not all(mask[i] for i in range(m.start(), m.end())):
+            continue
+        if depths[m.start()] != 0:
+            continue
+        head = arg[: m.start()].strip()
+        if head:
+            return head
+    return None
+
+
 def _strip_agg_order(fn: str):
     """DuckDB permits ``ORDER BY`` inside ANY aggregate call and ignores
     it for order-insensitive aggregates (count/sum/min/max/...); Spark
@@ -1857,20 +1879,8 @@ def _strip_agg_order(fn: str):
     def macro(args: list[str]) -> str | None:
         if len(args) != 1:
             return None
-        a = args[0]
-        mask = _code_mask(a)
-        depths = _depths(a, mask)
-        for m in re.finditer(r"\bORDER\s+BY\b", a, re.IGNORECASE):
-            # only a TOP-LEVEL code ORDER BY is the in-aggregate clause —
-            # one inside a string literal or a nested subquery is not
-            if not all(mask[i] for i in range(m.start(), m.end())):
-                continue
-            if depths[m.start()] != 0:
-                continue
-            head = a[: m.start()].strip()
-            if head:
-                return f"{fn}({head})"
-        return None
+        head = _strip_order_arg(args[0])
+        return None if head is None else f"{fn}({head})"
 
     return macro
 
@@ -2795,7 +2805,6 @@ _FN_MACROS = {
     "century": _macro_century,
     "decade": _macro_decade,
     "era": _macro_era,
-    "yearweek": _macro_yearweek,
     "julian": _macro_julian,
     "to_days": _macro_to_interval(slot=0),
     "to_hours": _macro_to_interval(slot=1),
@@ -2884,7 +2893,6 @@ _FN_MACROS = {
     "bit_or": _strip_agg_order("bit_or"),
     "bit_xor": _strip_agg_order("bit_xor"),
     "median": _strip_agg_order("median"),
-    "product": _strip_agg_order("product"),
     "quantile_disc": _macro_quantile_disc,
     "struct_extract": _macro_struct_extract,
     "json_extract": _macro_json_extract,
