@@ -438,10 +438,22 @@ def _unquote_function_names(sql: str) -> str:
         return sql
     out: list[str] = []
     i, n = 0, len(sql)
-    state: str | None = None  # None | sq | bq
+    state: str | None = None  # None | sq | bq | dollar
+    dollar_tag: str | None = None
     while i < n:
         ch = sql[i]
         nxt = sql[i + 1] if i + 1 < n else ""
+        if state == "dollar":
+            # inside a $tag$...$tag$ string: copy verbatim (quotes in the
+            # body are DATA — unquoting them silently corrupts literals)
+            out.append(ch)
+            if ch == "$" and sql.startswith(dollar_tag, i):
+                out.append(sql[i + 1 : i + len(dollar_tag)])
+                i += len(dollar_tag)
+                state, dollar_tag = None, None
+            else:
+                i += 1
+            continue
         if state == "sq":
             out.append(ch)
             if ch == "'" and nxt == "'":
@@ -472,6 +484,13 @@ def _unquote_function_names(sql: str) -> str:
             out.append(ch)
             i += 1
             continue
+        if ch == "$":
+            m = _DOLLAR_TAG.match(sql, i)
+            if m:
+                state, dollar_tag = "dollar", m.group(0)
+                out.append(m.group(0))
+                i = m.end()
+                continue
         if ch == '"':
             m = re.match(r'"([a-z_][a-z0-9_]*)"', sql[i:])
             if m and m.group(1) not in _RESERVED_BARE:
@@ -2096,8 +2115,9 @@ def _macro_regexp_matches_flags(args: list[str]) -> str | None:
     fl = re.fullmatch(r"\s*'([a-z]*)'\s*", args[2])
     if not fl:
         return None
-    flags = set(fl.group(1)) - {"c", "g"}
-    if not flags <= {"i", "s", "m"}:
+    # m/n/p (newline-sensitive) are the RE2/Java default — no-ops (r9 probe)
+    flags = set(fl.group(1)) - {"c", "g", "m", "n", "p"}
+    if not flags <= {"i", "s"}:
         return None
     p = _inline_regex_flags(args[1].strip(), flags)
     if p is None:
@@ -2442,37 +2462,66 @@ def _macro_regexp_extract_all2(args: list[str]) -> str | None:
 def _conv_backrefs(rep: str) -> str:
     """DuckDB replacement backrefs are ``\\1``; Java/Spark's are ``$1``.
     At macro time the literal has already been backslash-doubled by the
-    raw-string pass, so ``\\\\N`` becomes ``$N`` (literal reps only)."""
+    raw-string pass, so ``\\\\N`` becomes ``$N`` (literal reps only).
+    A pre-existing ``$`` in the replacement is LITERAL in RE2 but a
+    group ref (or error) for Java — escape it first."""
     m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", rep)
     if not m:
         return rep.strip()
-    body = re.sub(r"\\\\(\d)", r"$\1", m.group(1))
+    body = m.group(1).replace("$", "\\\\$")
+    body = re.sub(r"\\\\(\d)", r"$\1", body)
     return f"'{body}'"
 
 
 def _replace_first_emit(s: str, p: str, r: str) -> str:
     """DuckDB's UNFLAGGED regexp_replace replaces only the FIRST match
     (probed: ``regexp_replace('xaxa', 'a', 'B')`` → 'xBxa'); Spark
-    always replaces all.  Splice: locate the first match text (the first
-    regex match position equals the first literal occurrence of its own
-    matched text), apply the replacement to just that segment via the
-    4-arg position form — which this macro leaves alone, ending the
-    fixpoint — and guard with RLIKE so a no-match input passes through
-    (regexp_extract can't distinguish no-match from an empty match).
+    always replaces all.  Splice around the first match:
 
-    The segment replacement anchors the pattern as ``\\A(?:p)\\z`` so it
-    fires EXACTLY once on the extracted match text: Spark's global
-    replace would otherwise also hit the trailing empty match of a
-    zero-width-capable pattern (``regexp_replace('xy', 'x*', '_')`` gave
-    '__y' where DuckDB says '_y' — fuzz r8 seed 27582).  The
-    non-capturing group keeps backref numbering intact."""
+    - the match POSITION comes from ``regexp_instr`` — r8 used
+      ``locate(match_text, s)``, i.e. the first LITERAL occurrence of
+      the matched text, which is provably the match position for
+      context-free patterns but WRONG for position-dependent ones
+      (``regexp_replace('banana','a$','X')`` gave 'bXnana' instead of
+      DuckDB's 'bananX' — r9 ADVICE, fixed);
+    - the replacement is REBUILT from the literal's segments with each
+      ``\\N`` backref as ``regexp_extract(s, p, N)`` (first-match group
+      N, exactly the groups of the match being spliced) instead of
+      re-running an ``\\A(?:p)\\z``-anchored replace on the isolated
+      match text — that re-match loses the match's context and fails
+      for boundary/anchor patterns (``\\b[.]`` never re-matches '.').
+      Spark's regexp_extract returns '' for a non-participating group,
+      same as RE2's rewrite rules.  A non-literal replacement value is
+      spliced as literal text (RE2 would honor ``\\N`` inside the VALUE;
+      Java would not either — unsupported corner on both paths);
+    - guarded with RLIKE so a no-match input passes through, and the
+      zero-width first match splices correctly
+      (``regexp_replace('xy','x*','_')`` → '_y' — fuzz r8 seed 27582,
+      still pinned).
+
+    DuckDB is RE2: lookarounds are invalid there (its regexp_replace
+    silently returns the input on an invalid pattern — probed), so the
+    position-dependent frontier this has to honor is anchors and ``\\b``
+    only, which regexp_instr + group-extract handle exactly."""
+    pos = f"regexp_instr(({s}), ({p}))"
     mt = f"regexp_extract(({s}), ({p}), 0)"
-    pos = f"locate({mt}, ({s}))"
-    anchored = f"concat('\\\\A(?:', ({p}), ')\\\\z')"
+    lit = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", r)
+    pieces: list[str] = []
+    if lit:
+        body, last = lit.group(1), 0
+        for m in re.finditer(r"\\\\(\d)", body):
+            if m.start() > last:
+                pieces.append(f"'{body[last:m.start()]}'")
+            pieces.append(f"regexp_extract(({s}), ({p}), {m.group(1)})")
+            last = m.end()
+        if last < len(body):
+            pieces.append(f"'{body[last:]}'")
+    else:
+        pieces.append(f"({r})")
+    rep = ", ".join(pieces) if pieces else "''"
     return (
         f"(CASE WHEN ({s}) RLIKE ({p}) THEN "
-        f"concat_ws('', substr(({s}), 1, {pos} - 1), "
-        f"regexp_replace({mt}, {anchored}, ({r}), 1), "
+        f"concat_ws('', substr(({s}), 1, {pos} - 1), {rep}, "
         f"substr(({s}), {pos} + length({mt}))) "
         f"ELSE ({s}) END)"
     )
@@ -2495,22 +2544,25 @@ def _macro_regexp_replace_flags(args: list[str]) -> str | None:
     # also what the first-only splice emits, ending the fixpoint.
     if len(args) == 3:
         s, p, r = (a.strip() for a in args)
-        return _replace_first_emit(s, p, _conv_backrefs(r))
+        return _replace_first_emit(s, p, r)
     if len(args) != 4:
         return None
     fl = re.fullmatch(r"\s*'([a-z]*)'\s*", args[3])
     if not fl:
         return None
-    flags = set(fl.group(1)) - {"c"}  # 'c' = case-sensitive, the default
-    if not flags <= {"g", "i", "s", "m"}:
+    # 'c' = case-sensitive (the default); 'm'/'n'/'p' = newline-sensitive
+    # matching, which for anchors and '.' IS the RE2/Java default (probed
+    # r9: '^c' with 'm' does NOT match after a newline in DuckDB — it is
+    # NOT Java's (?m) line-anchor mode, which r8 wrongly inlined)
+    flags = set(fl.group(1)) - {"c", "m", "n", "p"}
+    if not flags <= {"g", "i", "s"}:
         return None
     s, p, r = args[0].strip(), args[1].strip(), args[2].strip()
     p = _inline_regex_flags(p, flags - {"g"})
     if p is None:
         return None
-    r = _conv_backrefs(r)
     if "g" in flags:
-        return f"regexp_replace(({s}), {p}, {r}, 1)"
+        return f"regexp_replace(({s}), {p}, {_conv_backrefs(r)}, 1)"
     return _replace_first_emit(s, p, r)
 
 

@@ -1982,3 +1982,77 @@ def test_distinct_and_noop_in_aggregate_order_by(engine):
         want = con.execute(q).fetchall()
         assert got == want, (q, got, want)
     con.close()
+
+
+def test_r9_regexp_first_replace_position_match_duckdb(engine):
+    """r9 ADVICE fixes, pinned:
+
+    - first-match splice position comes from regexp_instr, not
+      locate(match_text, s) — position-dependent patterns ('a$', '\\b')
+      used to splice at the first LITERAL occurrence of the match text
+      ('banana','a$','X' gave 'bXnana' instead of 'bananX');
+    - the replacement is rebuilt from regexp_extract group refs instead
+      of an anchored re-match on the isolated match text ('\\b[.]' can
+      never re-match '.' out of context);
+    - literal '$' in a replacement is RE2-literal — escaped for Java in
+      both the first-only and global paths;
+    - DuckDB's 'm'/'n'/'p' flags are newline-sensitivity no-ops (RE2
+      default), NOT Java's (?m) line-anchor mode.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT regexp_replace('banana', 'a$', 'X') AS c0",
+        "SELECT regexp_replace('banana', '^b', 'X') AS c0",
+        "SELECT regexp_replace('ban.ana', '\\b[.]', 'X') AS c0",
+        "SELECT regexp_replace('banana', '\\Aban', 'X') AS c0",
+        "SELECT regexp_replace('banana', 'na\\z', 'X') AS c0",
+        "SELECT regexp_replace('ana banana', '\\bana\\b', 'X') AS c0",
+        "SELECT regexp_replace('xaxa', 'a', 'B') AS c0",
+        "SELECT regexp_replace('xy', 'x*', '_') AS c0",
+        "SELECT regexp_replace('yx', 'x*', '_') AS c0",
+        "SELECT regexp_replace('banana', '(a)(x?)n', '[\\2\\1]') AS c0",
+        "SELECT regexp_replace('banana', '(b)(\\w)', '<\\2\\1>') AS c0",
+        "SELECT regexp_replace('cost 5', '(\\d)', '$\\1') AS c0",
+        "SELECT regexp_replace('a$b', '\\$', 'X') AS c0",
+        "SELECT regexp_replace('cost 5', '(\\d)', '$\\1', 'g') AS c0",
+        "SELECT regexp_replace('ab'||chr(10)||'cd', '^c', 'X', 'm') AS c0",
+        "SELECT regexp_replace('ab'||chr(10)||'cd', 'b.c', 'X', 's') AS c0",
+        "SELECT regexp_replace('Banana', 'b.n', 'X', 'in') AS c0",
+        "SELECT regexp_matches('ab'||chr(10)||'cd', '^c', 'm') AS c0",
+        "SELECT regexp_replace(s, 'a$', '<END>') AS c0 "
+        "FROM (VALUES ('banana'), ('ab'), ('b')) t(s) ORDER BY s",
+        "SELECT regexp_replace(NULL, 'a', 'X') AS c0",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert len(got) == len(want), q
+        for gr, wr in zip(got, want):
+            for gv, wv in zip(gr, wr):
+                if gv is None or wv is None:
+                    assert gv is None and wv is None, (q, gv, wv)
+                else:
+                    assert str(gv) == str(wv), (q, gv, wv)
+    con.close()
+
+
+def test_r9_unquote_function_names_dollar_quote_aware(engine):
+    """r9 ADVICE: _unquote_function_names ran its double-quote unquoting
+    INSIDE dollar-quoted strings — $$he said "ok" loudly$$ silently lost
+    its quotes.  The lexer now carries a dollar-quote state like
+    strip_comments does."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        'SELECT $$he said "ok" loudly$$ AS c0',
+        'SELECT $tag$a "b" c$tag$ AS c0',
+        "SELECT $$it's \"x\"$$ AS c0, 'y' AS c1",
+    ]
+    for q in battery:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got, want)
+    con.close()
