@@ -11,6 +11,7 @@ nothing accumulates on the driver).
 
 from __future__ import annotations
 
+import bisect
 import tempfile
 import uuid
 
@@ -79,20 +80,9 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    import shutil
+    from parquet_query_spark.streaming.streaming_ops import _run_to_table
 
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    name = _run_to_table(totals, "stateful", mode="update")
     # last emission per user wins (update mode may emit once per micro-batch)
     from pyspark.sql import Window as W
 
@@ -145,6 +135,9 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    from parquet_query_spark.streaming.streaming_ops import _record_num_batches
+
+    _record_num_batches(q)
     q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     # read back the last epoch (idempotent overwrite semantics)
@@ -232,14 +225,27 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
                 seq += 1
                 out_rows.append((hours_us[j], ring[j], ewma_at(j), seq))
         else:
-            hours_us.append(h)
-            ring.append(per_hour[h])
+            # SORTED insert (r9 ADVICE fix): a late hour arriving after
+            # newer bars were ringed used to be appended at the tail,
+            # leaving hours_us unsorted so every later merge and EWMA
+            # window read positionally-misordered bars.  An hour older
+            # than the head of a FULL ring would already have been
+            # evicted — drop it (late data outside the retained window).
+            idx = bisect.bisect_left(hours_us, h)
+            if idx == 0 and len(ring) >= _EWMA_TAPS:
+                continue
+            hours_us.insert(idx, h)
+            ring.insert(idx, per_hour[h])
             if len(ring) > _EWMA_TAPS:
                 hours_us = hours_us[-_EWMA_TAPS:]
                 ring = ring[-_EWMA_TAPS:]
-            seq += 1
-            j = len(ring) - 1
-            out_rows.append((hours_us[j], ring[j], ewma_at(j), seq))
+                idx -= 1
+            # a mid-ring insert shifts the EWMA window of every bar at or
+            # after it — re-emit them all (tail append re-emits just the
+            # new bar, the pre-r9 behavior)
+            for j in range(idx, len(ring)):
+                seq += 1
+                out_rows.append((hours_us[j], ring[j], ewma_at(j), seq))
     state.update((hours_us, ring, seq))
     yield pd.DataFrame(
         {

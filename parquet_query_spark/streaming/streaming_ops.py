@@ -85,6 +85,18 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
         .start()
     )
     q.processAllAvailable()
+    _record_num_batches(q)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return name
+
+
+def _record_num_batches(q) -> None:
+    """Set LAST_NUM_BATCHES from a drained query's progress — every
+    streaming drive (including the custom-sink ops that don't go through
+    _run_to_table) records it, so the multi-batch tests' boundary
+    assertion never reads a stale value from a previous op."""
+
     def _rows(p):  # dict in some PySpark versions, object in others
         try:
             return p["numInputRows"]
@@ -93,9 +105,6 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
 
     global LAST_NUM_BATCHES
     LAST_NUM_BATCHES = sum(1 for p in q.recentProgress if _rows(p) > 0)
-    q.stop()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return name
 
 
 @query(

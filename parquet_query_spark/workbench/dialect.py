@@ -200,6 +200,7 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 # ── shared lexing ────────────────────────────────────────────────────────
@@ -3423,7 +3424,9 @@ def _rewrite_comprehension(inner: str) -> str | None:
 # (probed: 'abc'[0] = '', 'abc'[-5] = '', 'abcdef'[-3:-1] = 'def',
 # 'abcdef'[4:2] = '', bounds clamp — Spark substr alone matches none of
 # the 0/clamp cases).
-_STRING_SUBSCRIPTS = False
+_STRING_SUBSCRIPTS: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "_STRING_SUBSCRIPTS", default=False
+)
 
 # In string mode, a base that is textually a list literal / list-producing
 # call keeps the array reading — so one query can mix string and array
@@ -3472,7 +3475,7 @@ def _rewrite_brackets(sql: str) -> str:
         parts = _split_top_colon(inner)
         a = parts[0].strip() or "1"
         b = parts[1].strip()
-        if _STRING_SUBSCRIPTS and not _ARRAYISH_BASE.match(base.strip()):
+        if _STRING_SUBSCRIPTS.get() and not _ARRAYISH_BASE.match(base.strip()):
             return _str_slice(base, a, b or None)
         if not b:
             return (
@@ -3529,7 +3532,7 @@ def _rewrite_brackets(sql: str) -> str:
                 out = [stripped[:cut]]
                 if _split_top_colon(inner) is not None:
                     out.append(emit_slice(base, inner))
-                elif _STRING_SUBSCRIPTS and not _ARRAYISH_BASE.match(base.strip()):
+                elif _STRING_SUBSCRIPTS.get() and not _ARRAYISH_BASE.match(base.strip()):
                     out.append(
                         f"(CASE WHEN ({inner}) = 0 THEN '' "
                         f"ELSE substr(({base}), ({inner}), 1) END)"
@@ -5992,12 +5995,14 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     # string-typed subscripts: retry with every x[i] / x[i:j] rendered via
     # substr (DuckDB subscripts are polymorphic; element_at/slice are not)
     if "[" in sql:
-        global _STRING_SUBSCRIPTS
-        _STRING_SUBSCRIPTS = True
+        # contextvar, not a module global: a concurrent Engine.sql on
+        # another thread during this window must not see string-subscript
+        # mode (r9 ADVICE re-entrancy fix)
+        _tok = _STRING_SUBSCRIPTS.set(True)
         try:
             strsub = rewrite_duckdb_dialect(sql)
         finally:
-            _STRING_SUBSCRIPTS = False
+            _STRING_SUBSCRIPTS.reset(_tok)
         if strsub != primary and strsub not in out:
             out.append(strsub)
             # a query can need BOTH variants at once — string subscripts

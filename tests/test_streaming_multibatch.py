@@ -36,6 +36,16 @@ MULTIBATCH_OPS = [
     "streaming_corpus_ingest_dedup",
     "streaming_stateful_user_totals",
     "streaming_tumbling_counts",
+    # r9 (VERDICT #4): the remaining 6 — incl. the two most state-complex
+    # shapes not yet exercised across a batch boundary (the stream-stream
+    # interval join's watermark crosses the file split; session windows
+    # must MERGE a session whose events span the boundary)
+    "streaming_dedup_by_key",
+    "streaming_session_windows",
+    "streaming_static_join_enrich",
+    "streaming_stream_stream_join",
+    "streaming_ingest_decontaminate",
+    "streaming_foreach_batch_sink",
 ]
 
 
@@ -117,4 +127,52 @@ def test_multibatch_matches_batch_oracle(spark, split_sf, name):
         f"{name} drained in {streaming_ops.LAST_NUM_BATCHES} batch(es) — "
         "state never crossed a micro-batch boundary"
     )
+    assert report["match"], report
+
+
+def test_ewma_late_old_hour_sorted_insert(spark, tmp_path):
+    """r9 ADVICE: an hour arriving in a LATER batch that is older than
+    already-ringed bars (and not itself in the ring) used to be appended
+    at the tail, leaving hours_us unsorted — subsequent merges and EWMA
+    windows read positionally-misordered bars.  The ring now does a
+    sorted (bisect) insert and re-emits every bar at or after the
+    insertion point.
+
+    Shape: events restricted to the first 16 distinct hours, split
+    even-indexed hours → part-00000, odd-indexed → part-00001.  Batch 2
+    then delivers, for every event type, hours strictly older than bars
+    already in its ring (all 5 types hit the insert path; max 10 bars
+    per type, so the 16-slot ring never evicts and the drained result
+    must equal the batch oracle bit-for-bit)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    root = str(tmp_path / "sf_late")
+    os.makedirs(root, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f != "events.parquet":
+            shutil.copy(os.path.join(SF_SRC, f), os.path.join(root, f))
+    t = pq.read_table(os.path.join(SF_SRC, "events.parquet"))
+    df = t.to_pandas()
+    hours = pd.to_datetime(df["ts"]).dt.floor("h")
+    first16 = sorted(hours.unique())[:16]
+    hidx = {h: i for i, h in enumerate(first16)}
+    keep = hours.isin(first16)
+    df = df[keep].copy()
+    parity = hours[keep].map(hidx) % 2
+    dst = os.path.join(root, "events.parquet")
+    os.makedirs(dst, exist_ok=True)
+    for i, part in enumerate([df[parity == 0], df[parity == 1]]):
+        path = os.path.join(dst, f"part-0000{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part.reset_index(drop=True), schema=t.schema),
+            path,
+            version="2.6",
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    spec = CATALOG["streaming_ewma_hourly"]
+    out = spec.fn(spark, root)
+    report = compare(spark, root, out, spec.oracle)
+    assert streaming_ops.LAST_NUM_BATCHES >= 2
     assert report["match"], report
