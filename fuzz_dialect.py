@@ -95,6 +95,39 @@ TABLES = {
         "ts": ["t1"],
         "key": "k",
     },
+    # Nested/unicode committed table (tests/data/fuzz_nested.parquet, r9):
+    # list<bigint> with NULL lists/elements, struct-of-list, struct, map,
+    # unicode-heavy strings (combining marks, ß/İ, CJK, emoji, RTL).  The
+    # generic grammar reaches the nested types through these derived
+    # expressions as "columns" — subscripts, struct fields, map lookups
+    # and list HOFs then flow through every shape (GROUP BY, windows,
+    # DISTINCT, CASE operands) for free.
+    "nested_parquet": {
+        "num": [
+            "k",
+            "len(ls)",
+            "ls[1]",
+            "ls[-1]",
+            "st.a",
+            "sl.xs[1]",
+            "list_sum(sl.xs)",
+            "cardinality(mp)",
+            "element_at(mp, 'x')",
+            "length(us)",
+            "len(ls || [99])",
+            "list_sum(list_filter(ls, x -> x > 2))",
+        ],
+        "str": [
+            "us",
+            "st.b",
+            "sl.name",
+            "struct_extract(st, 'b')",
+            "us[2:5]",
+            "array_to_string(ls, ',')",
+            "array_to_string(list_sort(map_values(mp)), '|')",
+        ],
+        "key": "k",
+    },
 }
 
 # join shapes: (left table, right table, join condition, key for ORDER BY)
@@ -1200,6 +1233,27 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return _dt.datetime(v.year, v.month, v.day).isoformat()
+    # struct values: Spark yields Row, DuckDB a dict — compare as sorted
+    # (key, normalized value) tuples (r9 nested fixture)
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        # DuckDB's client renders a MAP as {'key': [...], 'value': [...]};
+        # Spark renders it as a plain dict — unify to sorted pairs.  (A
+        # genuine struct with exactly fields key/value of equal-length
+        # lists would collide; the fixtures have none.)
+        if (
+            set(v.keys()) == {"key", "value"}
+            and isinstance(v["key"], list)
+            and isinstance(v["value"], list)
+            and len(v["key"]) == len(v["value"])
+        ):
+            v = dict(zip(v["key"], v["value"]))
+        return tuple(
+            sorted(((k, _norm(x)) for k, x in v.items()), key=lambda p: str(p[0]))
+        )
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -1319,6 +1373,20 @@ INTENTIONAL = [
     # when the nullable input yields NULL values (its optimizer bug —
     # probed; we count correctly)
     re.compile(r"count\s*\([^;()]*\(?[^;()]*date_trunc", re.IGNORECASE),
+    # #17/#18: JVM full Unicode case mappings vs DuckDB simple mappings —
+    # only the unicode-heavy column exercises them
+    re.compile(r"\b(upper|ucase|lower|lcase|initcap)\s*\([^;]*\bus\b", re.IGNORECASE),
+    # #18: codepoint vs grapheme reverse on combining sequences
+    re.compile(r"\breverse\s*\([^;]*\bus\b", re.IGNORECASE),
+    # #19: map subscript returns the VALUE here, a one-element LIST there
+    re.compile(r"\bmp\s*\[", re.IGNORECASE),
+    # #20: DuckDB 1.0.0 ranking windows over a LIST-typed partition key
+    # degrade to per-row partitions (its bug; we partition correctly)
+    re.compile(
+        r"partition\s+by\s*\(?[^;)]*(element_at\s*\(|\bls\b|\bmp\b|\bsl\b"
+        r"|list_\w+\s*\(|map_keys|map_values|\[)",
+        re.IGNORECASE,
+    ),
 ]
 
 
@@ -1346,13 +1414,17 @@ def main() -> int:
     engine = Engine.open(SF_DIR)
     con = duckdb.connect()
     nulls_path = "/root/repo/tests/data/fuzz_nulls.parquet"
+    nested_path = "/root/repo/tests/data/fuzz_nested.parquet"
     for t in TABLES:
         if t == "nulls_parquet":
             path = nulls_path
+        elif t == "nested_parquet":
+            path = nested_path
         else:
             path = f"{SF_DIR}/{t.rsplit('_', 1)[0]}.parquet"
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     engine.spark.read.parquet(nulls_path).createOrReplaceTempView("nulls_parquet")
+    engine.spark.read.parquet(nested_path).createOrReplaceTempView("nested_parquet")
     differ = Differ(engine, con)
 
     seeds = [args.one] if args.one is not None else range(args.start, args.start + args.seeds)

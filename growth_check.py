@@ -81,7 +81,19 @@ def main() -> None:
         "5-10 min queries at 64x only, no warm pass, min of 2 runs",
     )
     ap.add_argument("--out", default="growth_log.jsonl")
+    ap.add_argument(
+        "--dirs",
+        help="override factor dirs, e.g. 8=/tmp/bounded_x8,64=/tmp/bounded_x64",
+    )
+    ap.add_argument(
+        "--tag",
+        help="corpus tag recorded on every log row (e.g. bounded-dup)",
+    )
     args = ap.parse_args()
+    if args.dirs:
+        for pair in args.dirs.split(","):
+            f, d = pair.split("=", 1)
+            FACTOR_DIRS[int(f)] = d
     if args.heavy:
         args.ops = args.ops or [
             "dedup_simhash_buckets",
@@ -149,6 +161,8 @@ def main() -> None:
                 "slope": round(slope, 2) if len(points) > 1 else None,
                 "class": adjudicate(slope) if len(points) > 1 else "single-point",
             }
+            if args.tag:
+                rec["corpus"] = args.tag
             log.write(json.dumps(rec) + "\n")
             log.flush()
             print(json.dumps(rec), flush=True)

@@ -209,15 +209,26 @@ class Engine:
         df = self.sql(head)
         desc = (m.group("dir") or "").upper() == "DESC"
         nulls_first = (m.group("nulls") or "LAST").upper() == "FIRST"
+        # MAP columns are unorderable in Spark (INVALID_ORDERING_TYPE);
+        # DuckDB sorts them last-resort.  Skip them: the remaining columns
+        # disambiguate unless rows tie on EVERY sortable column (fuzz r9
+        # seed 1874 — ``SELECT * EXCLUDE (us) ... ORDER BY ALL`` over the
+        # map-bearing fixture).
+        from pyspark.sql.types import MapType
+
+        sortable = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        ]
         keys = []
-        for c in df.columns:
+        for c in sortable:
             col = df[c]
             if desc:
                 col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
             else:
                 col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
             keys.append(col)
-        df = df.orderBy(*keys)
+        if keys:
+            df = df.orderBy(*keys)
         if m.group("offset"):
             df = df.offset(int(m.group("offset")))
         if m.group("limit"):

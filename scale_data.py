@@ -46,6 +46,17 @@ def main() -> None:
         default=0,
         help="inject N near-identical documents (one hot LSH band bucket)",
     )
+    ap.add_argument(
+        "--bounded-dup",
+        action="store_true",
+        help="documents copies carry FRESH content (every word prefixed "
+        "with a per-copy salt token, so no 3-gram shingle survives across "
+        "copies): the corpus grows N x while the near-duplicate RATE stays "
+        "the base corpus's — the realistic regime, vs the default N-sized "
+        "duplicate cliques whose edges grow N^2 by construction (r9 "
+        "VERDICT #5: separates plan cost from corpus artifact for the "
+        "edge-bound dedup/graph family)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
@@ -57,11 +68,29 @@ def main() -> None:
         )
         print(t, "copied")
     for t, (key, off) in FACTS.items():
-        union = " UNION ALL ".join(
-            f"SELECT * REPLACE ({key} + {i * off} AS {key}) "
-            f"FROM '{args.src}/{t}.parquet'"
-            for i in range(args.factor)
-        )
+        if t == "documents" and args.bounded_dup:
+            # copy 0 is the base corpus verbatim; copy i>0 prefixes every
+            # word with a per-copy salt, preserving each copy's INTERNAL
+            # duplicate structure (the same transform applies to both
+            # members of a near-dup pair) while guaranteeing zero shared
+            # shingles across copies — duplicate rate constant in N.
+            parts = [f"SELECT * FROM '{args.src}/{t}.parquet'"]
+            for i in range(1, args.factor):
+                parts.append(
+                    f"SELECT doc_id + {i * off} AS doc_id, "
+                    f"regexp_replace(text, '(\\S+)', 'c{i}q\\1', 'g') AS text, "
+                    f"lang, source, "
+                    f"strlen(regexp_replace(text, '(\\S+)', 'c{i}q\\1', 'g')) "
+                    f"AS n_chars "
+                    f"FROM '{args.src}/{t}.parquet'"
+                )
+            union = " UNION ALL ".join(parts)
+        else:
+            union = " UNION ALL ".join(
+                f"SELECT * REPLACE ({key} + {i * off} AS {key}) "
+                f"FROM '{args.src}/{t}.parquet'"
+                for i in range(args.factor)
+            )
         if t == "documents" and args.hot_cluster:
             # N copies of one document, each with a distinct trailing token:
             # shingle sets still overlap ~fully, so all N land in the same

@@ -353,3 +353,137 @@ def test_residual_16_duckdb_count_date_trunc_bug(engine):
     # DuckDB's buggy fold: a == c instead of a == b
     assert want == (120, 100, 120), want
     con.close()
+
+
+NESTED_PATH = "/root/repo/tests/data/fuzz_nested.parquet"
+
+
+def test_residual_17_18_unicode_case_and_reverse(engine):
+    """#17/#18 (r9): JVM full Unicode case mappings vs DuckDB simple
+    mappings, and codepoint vs grapheme reverse.  Pinned on both engines
+    so a change in either surfaces here."""
+    import duckdb
+
+    got = engine.sql(
+        "SELECT upper('STRASSE ß') AS a, lower('İstanbul') AS b, "
+        "upper('café') AS c"
+    ).collect()[0]
+    assert (got[0], got[1], got[2]) == ("STRASSE SS", "i̇stanbul", "CAFÉ")
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT upper('STRASSE ß') AS a, lower('İstanbul') AS b, "
+        "upper('café') AS c"
+    ).fetchone()
+    assert want == ("STRASSE ẞ", "istanbul", "CAFÉ"), want
+    # decomposed é (e + U+0301): JVM reverses codepoints, DuckDB graphemes
+    dec = "éclair"
+    got = engine.sql(f"SELECT reverse('{dec}') AS r").collect()[0][0]
+    assert got == "rialće"  # accent detaches onto the 'c'
+    want = con.execute(f"SELECT reverse('{dec}') AS r").fetchone()[0]
+    assert want == "rialcé", repr(want)  # grapheme stays intact
+    con.close()
+
+
+def test_residual_19_map_subscript_scalar(engine):
+    """#19 (r9): string-keyed map subscript returns the VALUE here,
+    a one-element LIST in DuckDB ([] when the key is missing)."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    got = [
+        tuple(r)
+        for r in engine.sql(
+            "SELECT k, mp['x'] AS v FROM nested_src WHERE k <= 3 ORDER BY k"
+        ).collect()
+    ]
+    assert got == [(1, 1), (2, 3), (3, None)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested_src AS SELECT * FROM '{NESTED_PATH}'")
+    want = con.execute(
+        "SELECT k, mp['x'] AS v FROM nested_src WHERE k <= 3 ORDER BY k"
+    ).fetchall()
+    assert want == [(1, [1]), (2, [3]), (3, [])], want
+    # element_at agrees with our scalar reading on both engines
+    q = "SELECT k, element_at(mp, 'x') AS v FROM nested_src WHERE k <= 3 ORDER BY k"
+    assert [tuple(r) for r in engine.sql(q).collect()] == con.execute(q).fetchall()
+    con.close()
+
+
+def test_r9_arrayish_pipe_concat_skips_nulls(engine):
+    """DuckDB ``||`` on lists is list_concat (skips NULL operands; NULL
+    only when ALL operands are NULL); Spark's array ``||`` NULL-
+    propagates.  The arrayish-chain rewrite matches DuckDB whenever any
+    operand is textually list-producing."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested_src AS SELECT * FROM '{NESTED_PATH}'")
+    for q in [
+        "SELECT k, ls || [99] AS v FROM nested_src ORDER BY k",
+        "SELECT k, [0] || ls || [99] || ls AS v FROM nested_src ORDER BY k",
+        "SELECT k, list_sort(ls) || [99] AS v FROM nested_src ORDER BY k",
+        "SELECT k, us || 'x' AS v FROM nested_src ORDER BY k",  # strings untouched
+    ]:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got[:3], want[:3])
+    con.close()
+
+
+def test_residual_20_duckdb_list_partition_ranking_bug(engine):
+    """#20 (r9): ranking window functions over a LIST-typed partition key
+    — we partition correctly; bundled DuckDB 1.0.0 gives every row its
+    own partition (its count(*) OVER the same partition counts 7, and a
+    VARCHAR cast of the key fixes its ntile — probed).  Pinned as a
+    contrast so a DuckDB upgrade that fixes it surfaces here."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    q = ("SELECT k, row_number() OVER (PARTITION BY element_at(mp, 'x') "
+         "ORDER BY k) AS rn FROM nested_src ORDER BY k")
+    got = {r[0]: r[1] for r in engine.sql(q).collect()}
+    # empty-list partition = rows {3,4,5,7,9,11,12} in k order
+    assert [got[k] for k in (3, 4, 5, 7, 9, 11, 12)] == [1, 2, 3, 4, 5, 6, 7]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested_src AS SELECT * FROM '{NESTED_PATH}'")
+    want = con.execute(q).fetchall()
+    assert all(r[1] == 1 for r in want), want  # DuckDB's per-row bug
+    # count(*) over the SAME partition is correct on both engines
+    q2 = ("SELECT k, count(*) OVER (PARTITION BY element_at(mp, 'x')) AS n "
+          "FROM nested_src ORDER BY k")
+    got2 = [tuple(r) for r in engine.sql(q2).collect()]
+    assert got2 == con.execute(q2).fetchall()
+    con.close()
+
+
+def test_r9_order_by_all_skips_map_columns(engine):
+    """ORDER BY ALL over a projection containing a MAP column: Spark
+    cannot sort maps (INVALID_ORDERING_TYPE) — the engine-side expansion
+    skips them; the remaining columns disambiguate (fuzz r9 seed 1874)."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    q = "SELECT k, mp FROM nested_src ORDER BY ALL"
+    got = [r[0] for r in engine.sql(q).collect()]
+    assert got == list(range(1, 13))
+
+
+def test_r9_mixed_string_list_subscripts(engine):
+    """One query subscripting a STRING column and a LIST column (and
+    len() over a list): neither the all-array nor the all-string variant
+    analyzes — the fallback enumerates per-base string-mode subsets
+    (fuzz r9 seeds 171 and 1681)."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested_src AS SELECT * FROM '{NESTED_PATH}'")
+    for q in [
+        "SELECT k, ls[1] AS a, us[2:5] AS b FROM nested_src ORDER BY k",
+        "SELECT len(ls) AS a, us[2:5] AS b, ls[1] AS c FROM nested_src ORDER BY k",
+    ]:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got[:3], want[:3])
+    con.close()
