@@ -112,7 +112,10 @@ TABLES = {
             "sl.xs[1]",
             "list_sum(sl.xs)",
             "cardinality(mp)",
-            "element_at(mp, 'x')",
+            # NOT bare element_at(mp,'x'): that is a one-element LIST in
+            # DuckDB (intentional difference #19), so numeric composition
+            # over it diverges structurally — [1] makes it scalar in both
+            "element_at(mp, 'x')[1]",
             "length(us)",
             "len(ls || [99])",
             "list_sum(list_filter(ls, x -> x > 2))",
@@ -1357,7 +1360,10 @@ def shrink(differ: Differ, render, exprs):
 INTENTIONAL = [
     # IGNORECASE: the mutator case-flips tokens, and a flipped spelling
     # must still classify (wave seed 3112: `- LIST_UNIQUE(...)`)
-    re.compile(r"-\s*\(?\s*list_unique\s*\(", re.IGNORECASE),  # #9 UBIGINT negation wrap
+    # #9 UBIGINT negation wrap — any UBIGINT-returning function (DuckDB
+    # cardinality/list_unique are UBIGINT; seed 3072: -cardinality(mp)
+    # is 18446744073709551614 there)
+    re.compile(r"-\s*\(?\s*(list_unique|cardinality)\s*\(", re.IGNORECASE),
     # #3: list_sum/list_avg expand to a DOUBLE-typed aggregate, so a
     # downstream // divides plainly where DuckDB truncates integrally
     re.compile(r"list_(sum|avg)\s*\(.*//|//.*list_(sum|avg)\s*\(", re.DOTALL | re.IGNORECASE),
@@ -1386,6 +1392,13 @@ INTENTIONAL = [
         r"partition\s+by\s*\(?[^;)]*(element_at\s*\(|\bls\b|\bmp\b|\bsl\b"
         r"|list_\w+\s*\(|map_keys|map_values|\[)",
         re.IGNORECASE,
+    ),
+    # #21: NULL elements inside ARRAY values sort smallest here, largest
+    # there — only reachable when an ORDER BY key IS a list column (or
+    # ALL ties into one) on the nested fixture (mutation seed 417)
+    re.compile(
+        r"(?is)\bnested_parquet\b.*\border\s+by\s+(all|ls)\b"
+        r"|\border\s+by\s+(all|ls)\b.*\bnested_parquet\b"
     ),
 ]
 

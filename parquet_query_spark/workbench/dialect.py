@@ -222,6 +222,13 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    ORDER BY k)`` is all 1s there while ``count(*) OVER`` the same
    partition counts 7 — and a VARCHAR cast of the same key fixes it).
    A DuckDB-side bug we do not replicate (fuzz r9 seed 1854).
+21. Ordering ARRAY values that contain NULL elements: Spark compares a
+   NULL element as SMALLEST, DuckDB as LARGEST (probed r9:
+   ``ORDER BY ls`` puts [NULL, 7] first here, last there).  Arrays
+   without NULL elements — and any ordering where an earlier key
+   disambiguates — agree; element-level null order inside array
+   comparison is not controllable from the query (mutation-fuzz r9
+   seed 417).
 """
 
 from __future__ import annotations
@@ -292,6 +299,7 @@ from parquet_query_spark.workbench.dialect_core import (  # noqa: F401
     _top_level_split,
     _rewrite_distinct_on,
     _BRACKET_NONLITERAL_KEYWORDS,
+    _subscript_base_heads,
     _BRACKET_NEVER_CALL_KEYWORDS,
     _IDX_CHAIN_END,
     _bracket_close,
@@ -668,12 +676,11 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
         # subsets over the distinct bare subscript bases (≤4 bases; the
         # all-bases case is the True variant above).
         bases = sorted(
-            {
-                m.group(1).lower()
-                for m in re.finditer(r"([A-Za-z_][\w$.]*)\s*\[", sql)
-                if m.group(1).lower() not in _BRACKET_NONLITERAL_KEYWORDS
-                and not _ARRAYISH_BASE.match(m.group(1))
-            }
+            h
+            for h in _subscript_base_heads(sql)
+            if h not in _BRACKET_NONLITERAL_KEYWORDS
+            and not _ARRAYISH_BASE.match(h)
+            and not _ARRAYISH_BASE.match(h + "(")
         )
         if 2 <= len(bases) <= 4:
             import itertools

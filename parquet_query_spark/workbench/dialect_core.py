@@ -1305,7 +1305,10 @@ _STRING_SUBSCRIPTS: contextvars.ContextVar[bool | frozenset] = contextvars.Conte
 
 def _string_subscript_base(base: str) -> bool:
     """Does this subscript base take the string (substr) reading under
-    the current _STRING_SUBSCRIPTS mode?"""
+    the current _STRING_SUBSCRIPTS mode?  Set-mode membership is by the
+    base's HEAD identifier (``us`` for ``us``, ``nullif`` for
+    ``(nullif('abc', st.b))`` — fuzz r9 seed 4154 needed a string
+    reading for a call base alongside an array reading for a column)."""
     mode = _STRING_SUBSCRIPTS.get()
     if not mode:
         return False
@@ -1314,7 +1317,56 @@ def _string_subscript_base(base: str) -> bool:
         return False
     if mode is True:
         return True
-    return b.lower() in mode
+    m = re.match(r"\(*\s*([A-Za-z_][\w$.]*)", b)
+    return bool(m) and m.group(1).lower() in mode
+
+
+def _subscript_base_heads(sql: str) -> set[str]:
+    """Head identifiers of every subscripted base in ``sql`` — bare
+    columns (``us[``), call bases at any nesting depth
+    (``rpad(f(g(x)), 4)[`` → 'rpad'; fuzz r9 seed 4523), and
+    parenthesized chains (``(nullif(..))[`` → 'nullif').  Used by the
+    fallback pipeline to enumerate per-base string-subscript subsets;
+    over-approximation only adds retry variants."""
+    mask = _code_mask(sql)
+    heads: set[str] = set()
+    for i, ch in enumerate(sql):
+        if ch != "[" or not mask[i]:
+            continue
+        j = i - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0:
+            continue
+        if sql[j] == ")":
+            depth = 0
+            k = j
+            while k >= 0:
+                if mask[k] and sql[k] == ")":
+                    depth += 1
+                elif mask[k] and sql[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if depth != 0:
+                continue
+            m = re.search(r"([A-Za-z_][\w$.]*)\s*\Z", sql[:k])
+            if m and m.group(1).lower() not in _BRACKET_NONLITERAL_KEYWORDS:
+                heads.add(m.group(1).lower())
+            else:
+                # pure paren group ``(expr)[`` — the head is the inner
+                # expression's leading call name ((nullif(..))[1:3] →
+                # 'nullif'), matching _string_subscript_base's view of
+                # the base text the bracket pass extracts
+                inner = re.match(r"\s*\(*\s*([A-Za-z_][\w$.]*)", sql[k + 1 : j])
+                if inner:
+                    heads.add(inner.group(1).lower())
+        elif sql[j].isalnum() or sql[j] in "_$":
+            m = re.search(r"([A-Za-z_][\w$.]*)\Z", sql[: j + 1])
+            if m:
+                heads.add(m.group(1).lower())
+    return heads
 
 # In string mode, a base that is textually a list literal / list-producing
 # call keeps the array reading — so one query can mix string and array

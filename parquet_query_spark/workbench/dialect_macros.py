@@ -1079,9 +1079,13 @@ def _macro_gcd(args):
     if len(args) != 2:
         return None
     a, b = args[0].strip(), args[1].strip()
+    # the lambda variable must be collision-proof: a plain ``k`` SHADOWS
+    # any column k referenced inside the macro's own arguments (fuzz r9
+    # seed 2686: lcm(CAST(k AS BIGINT), ...) silently computed with the
+    # loop variable instead of the column)
     scan = (
         f"array_max(filter(sequence(1, greatest(least(abs(({a})), abs(({b}))), 1)), "
-        f"k -> abs(({a})) % k = 0 AND abs(({b})) % k = 0))"
+        f"__gcd_i -> abs(({a})) % __gcd_i = 0 AND abs(({b})) % __gcd_i = 0))"
     )
     return (
         f"(CASE WHEN ({a}) = 0 THEN abs(({b})) "

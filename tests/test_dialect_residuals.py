@@ -487,3 +487,38 @@ def test_r9_mixed_string_list_subscripts(engine):
         want = con.execute(q).fetchall()
         assert got == want, (q, got[:3], want[:3])
     con.close()
+
+
+def test_r9_gcd_lambda_no_column_capture(engine):
+    """fuzz r9 seed 2686: the gcd/lcm macro's filter lambda used the
+    variable ``k``, shadowing a column k referenced in the macro's own
+    arguments — lcm(k, x) silently computed with the loop variable.
+    The lambda variable is now collision-proof (__gcd_i)."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested_src AS SELECT * FROM '{NESTED_PATH}'")
+    q = ("SELECT k, lcm(CAST(k AS BIGINT), CAST(ls[-1] AS BIGINT)) AS v, "
+         "gcd(CAST(k AS BIGINT), 6) AS g FROM nested_src ORDER BY k")
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    want = con.execute(q).fetchall()
+    assert got == want, (got, want)
+    con.close()
+
+
+def test_residual_21_array_null_element_ordering(engine):
+    """#21 (r9): NULL elements inside ARRAY sort keys — Spark compares a
+    NULL element smallest, DuckDB largest.  Pinned on both engines."""
+    import duckdb
+
+    q = ("SELECT ls FROM (VALUES (array(1, 2)), (array(-1, -2)), "
+         "(array(CAST(NULL AS INT), 7)), (array(5))) t(ls) ORDER BY ls")
+    got = [list(r[0]) for r in engine.sql(q).collect()]
+    assert got == [[None, 7], [-1, -2], [1, 2], [5]]
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(
+        "SELECT ls FROM (VALUES ([1,2]), ([-1,-2]), ([NULL, 7]), ([5])) "
+        "t(ls) ORDER BY ls").fetchall()]
+    assert want == [[-1, -2], [1, 2], [5], [None, 7]], want
+    con.close()
