@@ -111,7 +111,11 @@ TABLES = {
             "st.a",
             "sl.xs[1]",
             "list_sum(sl.xs)",
-            "cardinality(mp)",
+            # CAST: DuckDB cardinality is UBIGINT — negating it anywhere
+            # downstream (incl. through a macro parameter, seed 676)
+            # wraps to 2^64-x there (intentional #9); the signed cast
+            # removes the unsigned propagation at the source
+            "CAST(cardinality(mp) AS BIGINT)",
             # NOT bare element_at(mp,'x'): that is a one-element LIST in
             # DuckDB (intentional difference #19), so numeric composition
             # over it diverges structurally — [1] makes it scalar in both
@@ -1068,12 +1072,52 @@ def gen_statement_seq(rng: random.Random):
     """Returns a list of SQL statements; results compared for each one
     that yields rows (CREATE/DROP MACRO yield none on DuckDB's side and a
     dummy Count row on the engine's — skipped from comparison)."""
-    shape = rng.randrange(6)
+    shape = rng.randrange(8)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     key = cols["key"]
     base_filter = cols.get("filter")
     w = f" WHERE {base_filter}" if base_filter else ""
+    if shape == 6:  # r9: PREPARE → EXECUTE → re-PREPARE → EXECUTE → DEALLOCATE
+        g = Gen(rng, {"num": cols["num"]})
+        e1 = g.num(rng.randrange(1, 3)).sql
+        e2 = g.num(rng.randrange(1, 3)).sql
+        pname = f"fz_p{rng.randrange(1000)}"
+        style = rng.randrange(3)
+        if style == 0:  # $1 positional (reused)
+            body = f"SELECT {key} AS k, ({e1}) + $1 + $1 AS v FROM {table}{w} ORDER BY k"
+            call = f"EXECUTE {pname}({rng.choice(NUM_LITS[:8])})"
+        elif style == 1:  # named
+            body = f"SELECT {key} AS k, ({e1}) * $m AS v FROM {table}{w} ORDER BY k"
+            call = f"EXECUTE {pname}(m := {rng.choice(['2', '3', '1+1'])})"
+        else:  # ? positional pair
+            body = f"SELECT {key} AS k, ({e1}) + ? - ? AS v FROM {table}{w} ORDER BY k"
+            call = (
+                f"EXECUTE {pname}({rng.choice(NUM_LITS[:8])}, "
+                f"{rng.choice(NUM_LITS[:8])})"
+            )
+        # no BEGIN/COMMIT here: run_statement_seq already wraps each
+        # sequence in a transaction on the shared DuckDB connection, and
+        # DuckDB errors on nested BEGIN (marker parity is unit-tested in
+        # tests/test_prepared_statements.py)
+        return [
+            f"PREPARE {pname} AS {body}",
+            call,
+            f"PREPARE {pname} AS SELECT {key} AS k, ({e2}) AS v "
+            f"FROM {table}{w} ORDER BY k",
+            f"EXECUTE {pname}",
+            f"DEALLOCATE {pname}",
+        ]
+    if shape == 7:  # r9: prepared LIMIT / WHERE parameter over a table
+        pname = f"fz_q{rng.randrange(1000)}"
+        c1 = rng.choice(cols["num"])
+        lim = rng.choice(["1", "3", "7"])
+        return [
+            f"PREPARE {pname} AS SELECT {key} AS k, {c1} AS v FROM {table}{w} "
+            f"{'AND' if w else 'WHERE'} {c1} >= $1 ORDER BY k LIMIT $2",
+            f"EXECUTE {pname}(0, {lim})",
+            f"DEALLOCATE PREPARE {pname}",
+        ]
     if shape < 3:  # scalar macro: define → use → redefine → use → drop
         g = Gen(rng, {"num": ["a", "b"]})
         body1 = g.num(rng.randrange(1, 3)).sql

@@ -170,6 +170,7 @@ class Engine:
         self.table_name: str | None = None
         # CREATE MACRO session objects (workbench/macros.py)
         self.macros: dict = {}
+        self.prepared: dict = {}
 
     @classmethod
     def open(
@@ -272,6 +273,29 @@ class Engine:
         if is_drop_macro(statement):
             drop_macro(self.macros, statement)
             return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        # DuckDB PREPARE/EXECUTE/DEALLOCATE + transaction markers (r9) —
+        # session objects like macros; EXECUTE re-enters sql() so the
+        # expanded body gets the full routing (PIVOT, COPY, macros, ...).
+        from parquet_query_spark.workbench.prepared import (
+            deallocate,
+            expand_execute,
+            is_deallocate,
+            is_execute,
+            is_prepare,
+            is_transaction_stmt,
+            register_prepared,
+        )
+
+        if is_transaction_stmt(statement):
+            return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        if is_prepare(statement):
+            register_prepared(self.prepared, statement)
+            return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        if is_deallocate(statement):
+            deallocate(self.prepared, statement)
+            return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        if is_execute(statement):
+            return self.sql(expand_execute(self.prepared, statement))
         statement = expand_macros(statement, self.macros)
         # DuckDB UNION [ALL] BY NAME — engine-side unionByName fold.
         from parquet_query_spark.workbench.set_ops import (

@@ -1,0 +1,97 @@
+"""DuckDB PREPARE / EXECUTE / DEALLOCATE + transaction statements (r9).
+
+Every behavior probed on the bundled DuckDB 1.0.0 and compared
+differentially where results are produced; see
+parquet_query_spark/workbench/prepared.py for the probe notes.
+"""
+
+import duckdb
+import pytest
+
+from parquet_query_spark.engine import Engine
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine.open(SF_DIR)
+
+
+def _both(engine, con, stmts):
+    """Run the statement sequence through both engines; compare the last
+    statement's rows."""
+    got = want = None
+    for s in stmts:
+        got = [tuple(r) for r in engine.sql(s).collect()]
+        want = con.execute(s).fetchall()
+    assert got == want, (stmts[-1], got, want)
+
+
+def test_prepare_execute_parity(engine):
+    con = duckdb.connect()
+    _both(engine, con, ["PREPARE q1 AS SELECT $1 + 1 AS v", "EXECUTE q1(41)"])
+    _both(engine, con, ["PREPARE q2 AS SELECT $a * $b AS v",
+                        "EXECUTE q2(a := 6, b := 7)"])
+    _both(engine, con, ["PREPARE q3 AS SELECT ? + ? AS v", "EXECUTE q3(1, 2)"])
+    # parameter reuse, zero-arg EXECUTE, expression args bind by value
+    _both(engine, con, ["PREPARE q4 AS SELECT $1 + $1 AS v", "EXECUTE q4(5)"])
+    _both(engine, con, ["PREPARE q5 AS SELECT 7 AS v", "EXECUTE q5"])
+    _both(engine, con, ["PREPARE q6 AS SELECT $1 * 2 AS v", "EXECUTE q6(1+1)"])
+    # string arg with embedded quote
+    _both(engine, con, ["PREPARE q7 AS SELECT upper($1) AS v",
+                        "EXECUTE q7('a''b')"])
+    # LIMIT parameter takes the bare literal
+    _both(engine, con, [
+        "PREPARE q8 AS SELECT * FROM (VALUES (1),(2),(3)) t(x) ORDER BY x LIMIT $1",
+        "EXECUTE q8(2)",
+    ])
+    con.close()
+
+
+def test_prepare_replaces_and_deallocate(engine):
+    con = duckdb.connect()
+    _both(engine, con, ["PREPARE p AS SELECT $1 + 1 AS v", "EXECUTE p(1)"])
+    _both(engine, con, ["PREPARE p AS SELECT $1 * 10 AS v", "EXECUTE p(1)"])
+    # DEALLOCATE (both spellings), missing-name no-op, error after drop
+    engine.sql("DEALLOCATE PREPARE p")
+    con.execute("DEALLOCATE PREPARE p")
+    engine.sql("DEALLOCATE nosuch")  # silently ok (probed)
+    with pytest.raises(ValueError, match='"p" does not exist'):
+        engine.sql("EXECUTE p(1)")
+    con.close()
+
+
+def test_execute_missing_params(engine):
+    engine.sql("PREPARE pm AS SELECT $1 + $2 AS v")
+    with pytest.raises(ValueError, match=r"\$2 not supplied"):
+        engine.sql("EXECUTE pm(1)")
+
+
+def test_dollar_param_in_string_is_data(engine):
+    engine.sql("PREPARE ps AS SELECT '$1' AS s, $1 AS v")
+    got = engine.sql("EXECUTE ps(9)").collect()[0]
+    assert (got[0], got[1]) == ("$1", 9)
+
+
+def test_prepared_over_table(engine):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem_parquet AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    _both(engine, con, [
+        "PREPARE pt AS SELECT l_returnflag, count(*) AS n FROM lineitem_parquet "
+        "WHERE l_quantity < $1 GROUP BY l_returnflag ORDER BY l_returnflag",
+        "EXECUTE pt(10)",
+    ])
+    con.close()
+
+
+def test_transaction_markers(engine):
+    for s in ["BEGIN", "BEGIN TRANSACTION", "START TRANSACTION",
+              "COMMIT", "ROLLBACK", "ABORT"]:
+        assert engine.sql(s).collect() == []
+    # a statement between markers still runs
+    engine.sql("BEGIN")
+    assert engine.sql("SELECT 1 AS v").collect()[0][0] == 1
+    engine.sql("COMMIT")
