@@ -1303,16 +1303,25 @@ _STRING_SUBSCRIPTS: contextvars.ContextVar[bool | frozenset] = contextvars.Conte
 )
 
 
+_STRING_LITERAL_BASE = re.compile(r"^\(*\s*'(?:[^']|'')*'\s*\)*$")
+
+
 def _string_subscript_base(base: str) -> bool:
     """Does this subscript base take the string (substr) reading under
-    the current _STRING_SUBSCRIPTS mode?  Set-mode membership is by the
-    base's HEAD identifier (``us`` for ``us``, ``nullif`` for
-    ``(nullif('abc', st.b))`` — fuzz r9 seed 4154 needed a string
-    reading for a call base alongside an array reading for a column)."""
+    the current _STRING_SUBSCRIPTS mode?  A (possibly parenthesized)
+    string LITERAL base is statically known — it takes the string
+    reading in EVERY mode (fuzz r9 seed 7115: ``('Hello World')[1:2]``
+    next to ``ls[1]`` — no single mode could satisfy both otherwise).
+    Set-mode membership is by the base's HEAD identifier (``us`` for
+    ``us``, ``nullif`` for ``(nullif('abc', st.b))`` — fuzz r9 seed
+    4154 needed a string reading for a call base alongside an array
+    reading for a column)."""
+    b = base.strip()
+    if _STRING_LITERAL_BASE.match(b):
+        return True
     mode = _STRING_SUBSCRIPTS.get()
     if not mode:
         return False
-    b = base.strip()
     if _ARRAYISH_BASE.match(b):
         return False
     if mode is True:

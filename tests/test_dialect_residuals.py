@@ -522,3 +522,23 @@ def test_residual_21_array_null_element_ordering(engine):
         "t(ls) ORDER BY ls").fetchall()]
     assert want == [[-1, -2], [1, 2], [5], [None, 7]], want
     con.close()
+
+
+def test_r9_string_literal_base_subscript(engine):
+    """A (possibly parenthesized) string-LITERAL subscript base is
+    statically known — it takes the string reading in every subscript
+    mode, so it can coexist with list-column subscripts (fuzz r9 seeds
+    7115/7169)."""
+    import duckdb
+
+    engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested_src AS SELECT * FROM '{NESTED_PATH}'")
+    for q in [
+        "SELECT ('Hello World')[1:2] AS a, ls[1] AS b FROM nested_src ORDER BY k",
+        "SELECT 'abcdef'[2:4] AS a, length(('xy')[1:1]) AS b",
+    ]:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got[:3], want[:3])
+    con.close()
