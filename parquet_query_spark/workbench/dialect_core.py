@@ -1477,6 +1477,15 @@ def _rewrite_brackets(sql: str) -> str:
                     else:
                         cut = k
                     base = stripped[cut:]
+            elif prev == "'":
+                # bare string-literal base: 'abcdef'[2:4] — DuckDB's
+                # 1-based char slice/index on the literal itself (r9
+                # seed 7115 family; the literal is statically a string,
+                # so _string_subscript_base always string-reads it)
+                lm = re.search(r"'(?:[^']|'')*'\s*\Z", stripped)
+                if lm:
+                    cut = lm.start()
+                    base = stripped[cut:]
             if base is not None:
                 out = [stripped[:cut]]
                 if _split_top_colon(inner) is not None:
