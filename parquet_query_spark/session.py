@@ -82,6 +82,9 @@ def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = No
     )
 
     register_similarity_udfs(spark)
+    from parquet_query_spark.functions.unicode_udfs import register_unicode_udfs
+
+    register_unicode_udfs(spark)
     return spark
 
 
@@ -102,3 +105,6 @@ def ensure_session_confs(spark: SparkSession) -> None:
     )
 
     register_similarity_udfs(spark)
+    from parquet_query_spark.functions.unicode_udfs import register_unicode_udfs
+
+    register_unicode_udfs(spark)

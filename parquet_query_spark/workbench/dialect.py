@@ -151,9 +151,9 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    (fuzz r8 seed 259).
 10. ``hash(x)`` returns Spark's 32-bit Murmur3, not DuckDB's 64-bit
    internal hash — both are opaque; matching would require porting
-   DuckDB's private mix function.  ``strip_accents`` folds the curated
-   Latin-1 accent set via translate; characters outside it pass
-   through where DuckDB's full-Unicode NFD strip would fold them.
+   DuckDB's private mix function.  ``strip_accents`` is exact as of r9
+   (full-Unicode NFD-drop-combining-marks pandas UDF, replacing the
+   curated Latin-1 translate that let non-Latin marks pass through).
    ``signbit(-0.0)`` is false (Spark normalizes negative zero before
    the string-render probe); all non-zero signs and NaN agree.
 11. Global-replace of a ZERO-WIDTH-capable pattern differs at empty
@@ -229,6 +229,13 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    disambiguates — agree; element-level null order inside array
    comparison is not controllable from the query (mutation-fuzz r9
    seed 417).
+22. ``list_intersect``/``array_intersect`` element ORDER: DuckDB
+   returns the same value set in an input-dependent internal hash
+   order ([1,2,3] ∩ [2,3,99] is [3,2] there but [3,2] ∩ [2,3] is
+   [2,3] — probed r9); this engine keeps the second list's order.
+   VALUES agree (incl. DuckDB's NULL-element drop and its asymmetric
+   NULL-argument rule, both replicated); wrap in list_sort for an
+   order-stable comparison.
 """
 
 from __future__ import annotations
@@ -308,6 +315,7 @@ from parquet_query_spark.workbench.dialect_core import (  # noqa: F401
     _STRING_SUBSCRIPTS,
     _ARRAYISH_BASE,
     _str_slice,
+    _rewrite_array_type_suffix,
     _rewrite_brackets,
     _USING_SAMPLE,
     _table_ref_before,
@@ -372,9 +380,6 @@ from parquet_query_spark.workbench.dialect_macros import (  # noqa: F401
     _macro_parse_path,
     _macro_parse_dirname,
     _macro_parse_filename,
-    _ACCENTS_FROM,
-    _ACCENTS_TO,
-    _macro_strip_accents,
     _macro_date_add_interval,
     _macro_struct_insert,
     _macro_list_bool,
@@ -564,6 +569,7 @@ _PASSES = (
     _rewrite_asof_join,
     _rewrite_brace_literals,
     _rewrite_dot_chain,
+    _rewrite_array_type_suffix,
     _rewrite_brackets,
     _rewrite_ops_pack,
     _rewrite_fn_macros,
@@ -598,50 +604,12 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
     (e.g. a QUALIFY window referencing a non-projected base column)."""
     sql = _unquote_function_names(strip_comments(sql))
     sql = _rewrite_dynamic_interval(sql)
-    alt = _rewrite_qualify_inject(
-        _rewrite_strptime(
-            _rewrite_strftime(
-                _rewrite_exclude(
-                    _rewrite_using_sample(
-                        _rewrite_function_names(
-                            _rewrite_fn_macros(
-                                _rewrite_ops_pack(
-                                    _rewrite_brackets(
-                                        _rewrite_dot_chain(
-                                        _rewrite_brace_literals(
-                                        _rewrite_asof_join(
-                                            _rewrite_distinct_on(
-                                                _rewrite_from_first(
-                                                    _rewrite_describe(
-                                                        _rewrite_unpivot(
-                                                            _rewrite_read_functions(
-                                                                _rewrite_pragma(
-                                                                    _rewrite_numeric_underscores(
-                                                                        _rewrite_literal_backslashes(
-                                                                        _rewrite_dollar_strings(sql)
-                                                                        )
-                                                                    )
-                                                                )
-                                                            )
-                                                        )
-                                                    )
-                                                )
-                                            )
-                                        )
-                                        )
-                                        )
-                                    )
-                                )
-                            )
-                        )
-                    )
-                )
-            )
-        )
-    )
-    alt = _rewrite_count_distinct_window(_rewrite_window_filter(alt))
-    alt = _rewrite_divmod_null(_rewrite_int_casts(_rewrite_arrayish_pipe_concat(_rewrite_concat_skip_nulls(_rewrite_ducktype_numerics(alt)))))
-    alt = _rewrite_named_window_case(alt)
+    # the primary pipeline with QUALIFY's alternate (base-column-visible)
+    # injection shape swapped in — every other pass identical by
+    # construction, so the two can never drift apart again
+    alt = sql
+    for p in _PASSES:
+        alt = _rewrite_qualify_inject(alt) if p is _rewrite_qualify else p(alt)
     primary = rewrite_duckdb_dialect(sql)
     out = [alt] if alt != primary else []
     # DuckDB ``len`` is polymorphic (strings AND lists); Spark's ``len``

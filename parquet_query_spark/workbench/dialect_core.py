@@ -1506,6 +1506,36 @@ def _rewrite_brackets(sql: str) -> str:
         return sql
     return walk(0, len(sql))
 
+
+_ARRAY_TYPE_SUFFIX = re.compile(
+    r"([A-Za-z_][\w]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?|ARRAY<[^\[\]]*>)"
+    r"\s*\[\s*\]"
+)
+
+
+def _rewrite_array_type_suffix(sql: str) -> str:
+    """DuckDB's array-type syntax ``BIGINT[]`` / ``DECIMAL(10,2)[]`` (in
+    CAST targets etc.) → Spark's ``ARRAY<T>``.  An EMPTY ``[]`` after a
+    word is never a subscript, so the rewrite is unconditional; runs
+    before the bracket pass, which would otherwise read the ``[`` as an
+    indexing group (fuzz r9: ``CAST(NULL AS BIGINT[])`` became
+    try_element_at type soup).  Fixpoint handles ``BIGINT[][]``."""
+    if "[" not in sql:
+        return sql
+    while True:
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _ARRAY_TYPE_SUFFIX.finditer(sql)
+                if all(mask[i] for i in range(c.start(), c.end()))
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        sql = sql[: m.start()] + f"ARRAY<{m.group(1)}>" + sql[m.end() :]
+
 # method-first: USING SAMPLE reservoir(100 ROWS) / bernoulli(10%);
 # size-first:   USING SAMPLE 10% (system[, seed]);
 # plain:        USING SAMPLE 10% / 100 ROWS / bare 100 (rows)

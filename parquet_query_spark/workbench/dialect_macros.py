@@ -46,7 +46,6 @@ _FN_MAP = {
     "list_reverse": "reverse",
     "list_min": "array_min",
     "list_max": "array_max",
-    "list_intersect": "array_intersect",
     "list_has_any": "arrays_overlap",
     "array_has_any": "arrays_overlap",
     "list_pack": "array",
@@ -72,20 +71,17 @@ _FN_MAP = {
     "list_apply": "transform",
     "array_apply": "transform",
     "row": "struct",
-    "ord": "ascii",  # DuckDB ord = unicode codepoint; Spark ascii matches
-                     # (the unicode→ascii rename below is single-pass, so
-                     # ord must map to the FINAL name)
     "strpos": "instr",
     "string_to_array": "split",
     "from_hex": "unhex",
-    "unicode": "ascii",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
     "to_hex": "hex",
     "today": "current_date",
     "week": "weekofyear",
     "list_position": "array_position",
     "list_indexof": "array_position",
     "array_indexof": "array_position",
-    "list_zip": "arrays_zip",
     # wave-2 sweep
     "json_keys": "json_object_keys",
     "regexp_split_to_array": "split",
@@ -628,28 +624,6 @@ def _macro_parse_filename(args):
     return None
 
 
-_ACCENTS_FROM = (
-    "\u00c0\u00c1\u00c2\u00c3\u00c4\u00c5\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5"
-    "\u00c8\u00c9\u00ca\u00cb\u00e8\u00e9\u00ea\u00eb"
-    "\u00cc\u00cd\u00ce\u00cf\u00ec\u00ed\u00ee\u00ef"
-    "\u00d2\u00d3\u00d4\u00d5\u00d6\u00f2\u00f3\u00f4\u00f5\u00f6"
-    "\u00d9\u00da\u00db\u00dc\u00f9\u00fa\u00fb\u00fc"
-    "\u00dd\u00fd\u00ff\u00d1\u00f1\u00c7\u00e7"
-)
-_ACCENTS_TO = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuYyyNnCc"
-
-
-def _macro_strip_accents(args):
-    """Latin-1 accent folding via translate (probed: 'AEIou N c' for
-    mixed input).  DuckDB does full Unicode NFD stripping; characters
-    outside the curated Latin-1 map pass through unchanged here —
-    a documented partial-coverage residual."""
-    a = _one_arg(args)
-    if a is None:
-        return None
-    return f"translate(({a}), '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
-
-
 def _macro_date_add_interval(args):
     # DuckDB date_add(date, INTERVAL) returns a TIMESTAMP (probed);
     # Spark's 2-arg date_add is (date, int_days) — only the INTERVAL
@@ -1107,6 +1081,62 @@ def _macro_lcm(args):
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BIGINT) "
         f"WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
         f"ELSE CAST(try_divide(abs(({a}) * ({b})), {g}) AS BIGINT) END)"
+    )
+
+
+def _macro_chr_codepoint(args):
+    """DuckDB chr(n) returns the Unicode CODEPOINT; Spark's chr/char is
+    modulo-256 Latin-1 (probed r9: chr(769) is '\\x01' there vs the
+    combining acute here).  Character.toString(int) via reflect is
+    codepoint-exact for the full range."""
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return (
+        f"reflect('java.lang.Character', 'toString', CAST(({a}) AS INT))"
+    )
+
+
+def _macro_ord_unicode(args):
+    """DuckDB ord/unicode: first codepoint, -1 for the EMPTY string
+    (probed r9), NULL for NULL.  Spark's ascii('') is 0."""
+    a = _one_arg(args)
+    if a is None:
+        return None
+    return f"(CASE WHEN ({a}) = '' THEN -1 ELSE ascii(({a})) END)"
+
+
+def _macro_list_zip(args):
+    """DuckDB list_zip pads to the LONGEST input and treats a NULL list
+    as all-NULL of the other's length (probed r9: list_zip(NULL,[1,2]) =
+    [(NULL,1),(NULL,2)]; both NULL = []).  Spark's arrays_zip pads the
+    same but NULL-propagates — coalesce each input to a typed empty."""
+    if len(args) < 2:
+        return None
+    wrapped = ", ".join(f"coalesce(({a.strip()}), array())" for a in args)
+    return f"arrays_zip({wrapped})"
+
+
+def _macro_list_intersect(args):
+    """DuckDB list_intersect semantics (probed r9): distinct elements,
+    NULL elements DROPPED ([NULL,1] ∩ [1,NULL] = [1] — Spark's
+    array_intersect matches NULLs), asymmetric NULL args (NULL ∩ x =
+    NULL but x ∩ NULL = []).  Element ORDER is DuckDB-internal hash
+    order (the same value set comes back [3,2] or [2,3] depending on
+    the inputs) — unspecified on both engines, documented intentional
+    difference #22; this emission keeps the second list's order."""
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    if re.fullmatch(r"NULL", a, re.IGNORECASE):
+        # untyped literal NULL first arg: result is NULL (probed)
+        return "CAST(NULL AS ARRAY<STRING>)"
+    # coalesce types the untyped-literal corner on either side; the ELSE
+    # branch only runs when a IS NOT NULL, where coalesce(a, b) ≡ a
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN NULL ELSE "
+        f"array_distinct(filter(coalesce(({b}), slice(coalesce(({a}), ({b})), 1, 0)), "
+        f"__li_x -> array_contains(coalesce(({a}), ({b})), __li_x))) END)"
     )
 
 
@@ -1828,13 +1858,19 @@ _FN_MACROS_BASE = {
     "parse_path": _macro_parse_path,
     "parse_dirname": _macro_parse_dirname,
     "parse_filename": _macro_parse_filename,
-    "strip_accents": _macro_strip_accents,
     "date_add": _macro_date_add_interval,
     "dateadd": _macro_date_add_interval,
     "datesub": _macro_date_sub3,
     "datetrunc": lambda args: f"date_trunc({', '.join(a.strip() for a in args)})" if len(args) == 2 else None,
     "regexp_matches": _macro_regexp_matches_flags,
     "even": _macro_even,
+    "chr": _macro_chr_codepoint,
+    "char": _macro_chr_codepoint,
+    "ord": _macro_ord_unicode,
+    "unicode": _macro_ord_unicode,
+    "list_zip": _macro_list_zip,
+    "list_intersect": _macro_list_intersect,
+    "array_intersect": _macro_list_intersect,
     "gcd": _macro_gcd,
     "greatest_common_divisor": _macro_gcd,
     "lcm": _macro_lcm,

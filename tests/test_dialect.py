@@ -694,9 +694,12 @@ def test_fn_map_list_min_max_intersect_overlap():
     out = rewrite_duckdb_dialect(
         "SELECT list_min(a), list_max(a), list_intersect(a, b), list_has_any(a, b) FROM t"
     )
-    assert out == (
-        "SELECT array_min(a), array_max(a), array_intersect(a, b), arrays_overlap(a, b) FROM t"
-    )
+    # r9: list_intersect expands to DuckDB's exact semantics (NULL
+    # elements dropped, asymmetric NULL args — macro docstring) instead
+    # of the plain array_intersect rename
+    assert out.startswith("SELECT array_min(a), array_max(a), (CASE WHEN (a) IS NULL")
+    assert "__li_x -> array_contains(" in out
+    assert out.endswith("arrays_overlap(a, b) FROM t")
 
 
 def test_list_unique_wraps_distinct():

@@ -127,10 +127,13 @@ def test_residual_10_hash_is_murmur3_not_duckdb(engine):
     want = duckdb.connect().execute("SELECT hash('abc')").fetchone()[0]
     assert got == 1322437556
     assert want == 14846292297954449589
-    # strip_accents partial coverage: curated Latin-1 set folds, rare
-    # codepoints pass through (DuckDB folds them)
-    got2 = engine.sql("SELECT strip_accents('café') AS v").collect()[0][0]
-    assert got2 == "cafe"
+    # strip_accents is EXACT as of r9 (full-Unicode NFD-drop-marks UDF):
+    # Latin-1, Greek, and kana dakuten all fold like DuckDB's
+    got2 = engine.sql(
+        "SELECT strip_accents('café') AS a, strip_accents('Ωμέγα') AS b, "
+        "strip_accents('日本で') AS c"
+    ).collect()[0]
+    assert (got2[0], got2[1], got2[2]) == ("cafe", "Ωμεγα", "日本て")
 
 
 def test_residual_11_zero_width_global_replace(engine):
@@ -541,4 +544,60 @@ def test_r9_string_literal_base_subscript(engine):
         got = [tuple(r) for r in engine.sql(q).collect()]
         want = con.execute(q).fetchall()
         assert got == want, (q, got[:3], want[:3])
+    con.close()
+
+
+def test_r9_unicode_and_list_function_parity(engine):
+    """r9 curated-battery fixes, each probed on DuckDB 1.0.0 and
+    compared differentially: ord/unicode('') = -1; list_zip treats a
+    NULL list as all-NULL padding (both-NULL = []); to_base64 /
+    from_base64 renames; nfc_normalize + full-Unicode strip_accents
+    registered UDFs; list_intersect NULL-element drop + asymmetric NULL
+    args (order compared via list_sort — intentional #22)."""
+    import duckdb
+
+    con = duckdb.connect()
+    battery = [
+        "SELECT unicode('') AS a, ord('') AS b, unicode('aX') AS c, "
+        "unicode(NULL) AS d, unicode('日本') AS e",
+        "SELECT list_zip([1,2,3],[1,2]) AS a, list_zip(NULL,[1,2]) AS b, "
+        "list_zip(CAST(NULL AS BIGINT[]), CAST(NULL AS BIGINT[])) AS c",
+        "SELECT to_base64('ab'::BLOB) AS a",
+        "SELECT decode(from_base64('Y2Fmw6k=')) AS a",
+        "SELECT nfc_normalize('cafe'||chr(769)) AS a, nfc_normalize(NULL) AS b",
+        "SELECT strip_accents('ÅÉîõü日本で') AS a, strip_accents('Ωμέγα') AS b, "
+        "strip_accents(NULL) AS c",
+        "SELECT list_sort(list_intersect([1,1,2],[2,1])) AS a, "
+        "list_intersect([NULL,1],[1,NULL]) AS b, "
+        "list_intersect([1],NULL) AS c, list_intersect(NULL,NULL) AS d",
+    ]
+    for q in battery:
+        got = [
+            tuple(list(c) if isinstance(c, (list, tuple)) else c for c in r)
+            for r in engine.sql(q).collect()
+        ]
+        want = [
+            tuple(
+                [tuple(x) if isinstance(x, tuple) else x for x in c]
+                if isinstance(c, list)
+                else c
+                for c in r
+            )
+            for r in con.execute(q).fetchall()
+        ]
+
+        def norm(v):
+            if isinstance(v, bytes):
+                return v
+            if isinstance(v, (list, tuple)):
+                return [norm(x) for x in v]
+            if isinstance(v, dict):
+                return [norm(x) for x in v.values()]
+            if hasattr(v, "asDict"):
+                return [norm(x) for x in v.asDict().values()]
+            return v
+
+        got_n = [[norm(c) for c in r] for r in got]
+        want_n = [[norm(c) for c in r] for r in want]
+        assert got_n == want_n, (q, got_n, want_n)
     con.close()
