@@ -1529,6 +1529,9 @@ def _rewrite_array_type_suffix(sql: str) -> str:
                 c
                 for c in _ARRAY_TYPE_SUFFIX.finditer(sql)
                 if all(mask[i] for i in range(c.start(), c.end()))
+                # a KEYWORD before [] is not a type: ``FOR x IN [] IF``
+                # (empty comprehension source — fuzz r9 seed 8756)
+                and c.group(1).lower() not in _BRACKET_NONLITERAL_KEYWORDS
             ),
             None,
         )

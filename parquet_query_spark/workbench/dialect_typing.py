@@ -235,6 +235,55 @@ _UNSIGNED_MAP = {
 }
 
 
+_BLOB_LITERAL = re.compile(
+    r"'((?:[\x20-\x26\x28-\x5B\x5D-\x7E]|''|\\\\x[0-9A-Fa-f]{2})*)'"
+    r"\s*::\s*(?:BLOB|BYTEA)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_blob_literal(sql: str) -> str:
+    """DuckDB blob literals ``'\\xAA\\x01'::BLOB`` — ``\\xNN`` escapes
+    decode to bytes, plain ASCII chars to their bytes (probed r9; Spark
+    would cast the ESCAPE TEXT to binary).  Rewritten to
+    ``unhex('<hex>')``.  Runs after the raw-string pass, so the literal
+    body carries doubled backslashes.  Literals with characters outside
+    printable ASCII + ``\\x`` escapes are left to the plain BINARY
+    cast."""
+    if "::" not in sql or "\\" not in sql:
+        return sql
+    out = sql
+    while True:
+        mask = _code_mask(out)
+        m = next(
+            (
+                c
+                for c in _BLOB_LITERAL.finditer(out)
+                if "\\\\x" in c.group(1)
+                # the opening quote is non-code; everything after must
+                # not sit inside a DIFFERENT string
+                and mask[c.end() - 1]
+            ),
+            None,
+        )
+        if m is None:
+            return out
+        body = m.group(1)
+        buf = bytearray()
+        i = 0
+        while i < len(body):
+            if body.startswith("\\\\x", i):
+                buf.append(int(body[i + 3 : i + 5], 16))
+                i += 5
+            elif body.startswith("''", i):
+                buf.append(0x27)
+                i += 2
+            else:
+                buf.append(ord(body[i]))
+                i += 1
+        out = out[: m.start()] + f"unhex('{buf.hex().upper()}')" + out[m.end() :]
+
+
 def _rewrite_bare_varchar(sql: str) -> str:
     """DuckDB's length-free ``VARCHAR`` (its canonical string type, in
     DDL and ``::VARCHAR`` casts) → Spark ``STRING`` — Spark rejects
@@ -242,6 +291,7 @@ def _rewrite_bare_varchar(sql: str) -> str:
     ``JSON`` type in cast position (``::JSON`` / ``CAST(x AS JSON)``)
     also becomes STRING: Spark has no JSON type; its JSON functions
     operate on strings."""
+    sql = _rewrite_blob_literal(sql)
     mask = _code_mask(sql)
     repls = [
         (m.start(), m.end(), "STRING")

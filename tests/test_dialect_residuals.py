@@ -601,3 +601,23 @@ def test_r9_unicode_and_list_function_parity(engine):
         want_n = [[norm(c) for c in r] for r in want]
         assert got_n == want_n, (q, got_n, want_n)
     con.close()
+
+
+def test_r9_blob_literals(engine):
+    """DuckDB blob literals: '\\xNN' escapes decode to bytes (probed r9
+    — Spark would cast the escape TEXT to binary).  Value parity checked
+    via hex/octet_length; a plain string literal with \\x stays text."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in [
+        "SELECT hex('\\xAA\\x01'::BLOB) AS v",
+        "SELECT octet_length('\\xAA\\x01\\xFF'::BLOB) AS v",
+        "SELECT hex('AB\\x00c'::BLOB) AS v",
+        "SELECT hex('it''s\\x21'::BLOB) AS v",
+        "SELECT '\\xAA' AS v",
+    ]:
+        got = [tuple(str(c) for c in r) for r in engine.sql(q).collect()]
+        want = [tuple(str(c) for c in r) for r in con.execute(q).fetchall()]
+        assert got == want, (q, got, want)
+    con.close()
