@@ -1499,9 +1499,14 @@ def main() -> int:
             if cls in ("value_mismatch", "spark_error_only"):
                 # intentional-difference triage over the comment-stripped
                 # sequence (macro bodies can host e.g. #9 UBIGINT negation)
-                from parquet_query_spark.workbench.dialect import strip_comments
+                from parquet_query_spark.workbench.dialect import (
+                    _unquote_function_names,
+                    strip_comments,
+                )
 
-                joined = strip_comments("; ".join(stmts))
+                # unquote too: a mutation-double-quoted "list_sum" must
+                # still match the #3 pattern (seed 3031)
+                joined = _unquote_function_names(strip_comments("; ".join(stmts)))
                 if any(p.search(joined) for p in INTENTIONAL):
                     counts["intentional"] = counts.get("intentional", 0) + 1
                     continue
@@ -1533,9 +1538,15 @@ def main() -> int:
             # match against comment-stripped text: a mutated comment
             # between the operator and its operand must not hide a
             # documented intentional difference (wave-22 seed 6189)
-            from parquet_query_spark.workbench.dialect import strip_comments
+            from parquet_query_spark.workbench.dialect import (
+                _unquote_function_names,
+                strip_comments,
+            )
 
-            if any(p.search(strip_comments(mini)) for p in INTENTIONAL):
+            if any(
+                p.search(_unquote_function_names(strip_comments(mini)))
+                for p in INTENTIONAL
+            ):
                 counts[cls] -= 1
                 counts["intentional"] = counts.get("intentional", 0) + 1
                 continue

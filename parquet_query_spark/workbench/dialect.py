@@ -646,7 +646,10 @@ def rewrite_duckdb_dialect_fallbacks(sql: str) -> list[str]:
         bases = sorted(
             h
             for h in _subscript_base_heads(sql)
-            if h not in _BRACKET_NONLITERAL_KEYWORDS
+            # 'case' is a keyword but a (CASE ... END)[i] base is a real
+            # expression whose reading must be enumerable (fuzz r9 seed
+            # 10319: string-typed CASE subscript next to len(ls))
+            if (h == "case" or h not in _BRACKET_NONLITERAL_KEYWORDS)
             and not _ARRAYISH_BASE.match(h)
             and not _ARRAYISH_BASE.match(h + "(")
         )

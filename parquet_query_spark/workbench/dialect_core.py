@@ -388,9 +388,19 @@ def _rewrite_dynamic_interval(sql: str) -> str:
             return sql
         expr = sql[open_p + 1 : close]
         unit = um.group(1).upper()
+        # DuckDB TRUNCATES a fractional quantity to whole units for
+        # YEAR..MINUTE (probed r9: INTERVAL (24.9) YEAR adds 24 years;
+        # (-1.6) DAY subtracts 1 day; (2.5) HOUR adds 2h) but keeps
+        # sub-second precision for SECOND and finer ((2.5) SECOND is
+        # exact).  CAST(try_divide(..) AS BIGINT) is the truncating
+        # shape the int-cast rounding pass exempts.
+        if unit in ("SECOND", "MILLISECOND", "MICROSECOND"):
+            qty = f"({expr})"
+        else:
+            qty = f"CAST(try_divide(({expr}), 1) AS BIGINT)"
         sql = (
             sql[: hit.start()]
-            + f"(({expr}) * INTERVAL '1' {unit})"
+            + f"(({qty}) * INTERVAL '1' {unit})"
             + sql[um.end() :]
         )
 
@@ -1398,6 +1408,9 @@ _ARRAYISH_BASE = re.compile(
     r"|str_split\s*\(|string_to_array\s*\(|split\s*\("
     r"|regexp_split_to_array\s*\(|map_keys\s*\(|map_values\s*\("
     r"|collect_list\s*\(|collect_set\s*\(|transform\s*\(|filter\s*\("
+    # DuckDB element_at/map_extract wrap the value in a one-element LIST
+    # (intentional #19), so their subscripts take the array path
+    r"|element_at\s*\(|map_extract\s*\("
     r"|slice\s*\(|sort_array\s*\(|generate_series\s*\()",
     re.IGNORECASE,
 )
