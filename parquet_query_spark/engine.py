@@ -210,26 +210,39 @@ class Engine:
         df = self.sql(head)
         desc = (m.group("dir") or "").upper() == "DESC"
         nulls_first = (m.group("nulls") or "LAST").upper() == "FIRST"
-        # MAP columns are unorderable in Spark (INVALID_ORDERING_TYPE);
-        # DuckDB sorts them last-resort.  Skip them: the remaining columns
-        # disambiguate unless rows tie on EVERY sortable column (fuzz r9
-        # seed 1874 — ``SELECT * EXCLUDE (us) ... ORDER BY ALL`` over the
-        # map-bearing fixture).
+        # MAP columns are unorderable in Spark (INVALID_ORDERING_TYPE) but
+        # DuckDB sorts them by key-sorted entry list (probed r10:
+        # MAP(['a'],[1]) < MAP(['a'],[2]) < MAP(['b'],[1])).  Sort them on
+        # sort_array(map_entries(c)) — same ordering, deterministic — in
+        # schema position; if the entry struct itself is unorderable
+        # (map-valued values), fall back to skipping map columns, where
+        # the remaining columns disambiguate (fuzz r9 seed 1874).
+        from pyspark.sql import functions as F
         from pyspark.sql.types import MapType
 
-        sortable = [
-            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
-        ]
-        keys = []
-        for c in sortable:
-            col = df[c]
+        def _dir(col):
             if desc:
-                col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+                return col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+            return col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+
+        keys = []
+        fallback_keys = []
+        has_map = False
+        for f in df.schema.fields:
+            if isinstance(f.dataType, MapType):
+                has_map = True
+                keys.append(_dir(F.sort_array(F.map_entries(df[f.name]))))
             else:
-                col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
-            keys.append(col)
+                keys.append(_dir(df[f.name]))
+                fallback_keys.append(_dir(df[f.name]))
         if keys:
-            df = df.orderBy(*keys)
+            if has_map:
+                try:
+                    df = df.orderBy(*keys)
+                except Exception:
+                    df = df.orderBy(*fallback_keys) if fallback_keys else df
+            else:
+                df = df.orderBy(*keys)
         if m.group("offset"):
             df = df.offset(int(m.group("offset")))
         if m.group("limit"):

@@ -1676,6 +1676,18 @@ def _ordered_first_last(fn: str):
     return macro
 
 
+def _macro_map_ctor(args: list[str]) -> str | None:
+    # DuckDB's function-form constructor MAP(keys_list, values_list)
+    # (probed r10: map(['a','b'],[1,2]) = {a:1, b:2}); Spark's varargs
+    # map() would instead build a single entry keyed by the whole list.
+    # Brace literals (MAP {..}) emit map_from_arrays directly and never
+    # reach this arity guard.
+    if len(args) != 2:
+        return None
+    k, v = args[0].strip(), args[1].strip()
+    return f"map_from_arrays(({k}), ({v}))"
+
+
 def _macro_map_extract(args: list[str]) -> str | None:
     # DuckDB map_extract returns a LIST: [v] on hit, [] on miss
     if len(args) != 2:
@@ -1966,6 +1978,7 @@ _FN_MACROS_REGEX_JSON = {
     "collect_list": _macro_array_agg_ordered,
     "first": _ordered_first_last("first"),
     "last": _ordered_first_last("last"),
+    "map": _macro_map_ctor,
     "map_extract": _macro_map_extract,
     "unnest": lambda args: f"explode(({args[0].strip()}))" if len(args) == 1 else None,
     "array_to_string": _macro_array_to_string,

@@ -1043,11 +1043,20 @@ def _rewrite_brace_literals(sql: str) -> str:
             if not pairs or any(p is None for p in pairs):
                 out.append("{" + inner + "}")
                 continue
-            args = ", ".join(f"{k.strip()}, {v.strip()}" for k, v in pairs)
             mkw = _MAP_KW_TAIL.search(prefix)
             if mkw:
-                out = [prefix[: mkw.start()], f"map({args})"]
+                # Emit map_from_arrays, not varargs map(): the fn-macro
+                # pass (which runs later) rewrites 2-arg map(keys, vals)
+                # — DuckDB's list-pair constructor — and a one-pair brace
+                # literal emitted as map(k, v) would collide with it.
+                ks = ", ".join(k.strip() for k, _ in pairs)
+                vs = ", ".join(v.strip() for _, v in pairs)
+                out = [
+                    prefix[: mkw.start()],
+                    f"map_from_arrays(array({ks}), array({vs}))",
+                ]
             else:
+                args = ", ".join(f"{k.strip()}, {v.strip()}" for k, v in pairs)
                 out = [prefix, f"named_struct({args})"]
         return "".join(out)
 

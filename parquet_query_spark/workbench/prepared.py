@@ -34,9 +34,33 @@ from __future__ import annotations
 import re
 
 from parquet_query_spark.workbench.dialect_core import (
+    _DOLLAR_TAG,
     _code_mask,
     _split_call_args,
 )
+
+
+def _mask_with_dollar_quotes(sql: str) -> list[bool]:
+    """``_code_mask`` extended to treat dollar-quoted spans (``$$..$$``,
+    ``$tag$..$tag$``) as non-code, so a ``$word`` inside one is string
+    data rather than a named parameter (ADVICE r9).  A span only opens at
+    a position ``_code_mask`` already classes as code (never inside a
+    ``'...'`` literal, identifier quote, or comment)."""
+    mask = _code_mask(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if mask[i] and sql[i] == "$":
+            m = _DOLLAR_TAG.match(sql, i)
+            if m:
+                tag = m.group(0)
+                close = sql.find(tag, m.end())
+                end = (close + len(tag)) if close != -1 else n
+                for j in range(i, end):
+                    mask[j] = False
+                i = end
+                continue
+        i += 1
+    return mask
 
 _PREPARE = re.compile(
     r"^\s*PREPARE\s+([A-Za-z_][\w$]*)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
@@ -54,7 +78,11 @@ _TXN = re.compile(
     re.IGNORECASE,
 )
 _NAMED_ARG = re.compile(r"^\s*([A-Za-z_][\w$]*)\s*:=\s*(.+)$", re.DOTALL)
-_SIMPLE_ARG = re.compile(r"^\s*(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*'|NULL)\s*$", re.IGNORECASE)
+# Non-negative literals only: negative numbers must parenthesize, or
+# ``EXECUTE p(-1)`` into ``SELECT 2-$1`` expands to ``2--1`` and the
+# comment stripper eats the tail (ADVICE r9).  Bare literals exist solely
+# for the LIMIT-clause carve-out, which never needs a sign.
+_SIMPLE_ARG = re.compile(r"^\s*(?:\d+(?:\.\d+)?|'(?:[^']|'')*'|NULL)\s*$", re.IGNORECASE)
 _PARAM = re.compile(r"\$(\d+)|\$([A-Za-z_][\w$]*)|\?")
 
 
@@ -100,8 +128,12 @@ def expand_execute(store: dict, stmt: str) -> str:
     if name not in store:
         raise ValueError(f'Prepared statement "{m.group(1)}" does not exist')
     args: list[str] = []
+    if m.group(2) is not None and m.group(2).strip() == "()":
+        # DuckDB parse-errors on an empty argument list (probed r10);
+        # zero-arg EXECUTE omits the parens entirely.
+        raise ValueError('Parser Error: syntax error at or near ")"')
     if m.group(2):
-        parsed = _split_call_args(m.group(2), _code_mask(m.group(2)), 0)
+        parsed = _split_call_args(m.group(2), _mask_with_dollar_quotes(m.group(2)), 0)
         if parsed is None:
             raise ValueError(f"cannot parse EXECUTE arguments: {m.group(2)}")
         args = [a for a in parsed[0] if a.strip()]
@@ -114,7 +146,7 @@ def expand_execute(store: dict, stmt: str) -> str:
         else:
             positional.append(_render_arg(a))
     body = store[name]
-    mask = _code_mask(body)
+    mask = _mask_with_dollar_quotes(body)
     out: list[str] = []
     last = 0
     qmark = 0  # next ?-parameter index

@@ -1301,7 +1301,12 @@ def test_struct_and_map_literals():
     )
     assert (
         rewrite_duckdb_dialect("SELECT MAP {'k': 2, 'j': 3}")
-        == "SELECT map('k', 2, 'j', 3)"
+        == "SELECT map_from_arrays(array('k', 'j'), array(2, 3))"
+    )
+    # function-form constructor: MAP(keys_list, values_list) — probed r10
+    assert (
+        rewrite_duckdb_dialect("SELECT MAP(['a','b'], [1,2])")
+        == "SELECT map_from_arrays((array('a','b')), (array(1,2)))"
     )
     # nested struct + list literal value; casts inside values survive
     # (the ::INT cast now dispatches through the int-cast rounding pass —

@@ -621,3 +621,30 @@ def test_r9_blob_literals(engine):
         want = [tuple(str(c) for c in r) for r in con.execute(q).fetchall()]
         assert got == want, (q, got, want)
     con.close()
+
+
+def test_r10_order_by_all_map_tiebreak_matches_duckdb(engine):
+    """ADVICE r9 follow-up: when rows tie on every non-MAP column, the
+    MAP column now breaks the tie via sort_array(map_entries(c)) — the
+    same key-sorted-entry ordering DuckDB uses (probed r10:
+    MAP(['a'],[1]) < MAP(['a'],[2]) < MAP(['b'],[1]))."""
+    q = ("SELECT * FROM (VALUES (1, MAP(['b'],[1])), (1, MAP(['a'],[2])), "
+         "(1, MAP(['a'],[1])), (0, MAP(['z'],[9]))) t(k, m) ORDER BY ALL")
+    got = [(r[0], dict(r[1])) for r in engine.sql(q).collect()]
+    con = duckdb.connect()
+    want = [
+        (k, dict(zip(m["key"], m["value"])))
+        for k, m in con.execute(q).fetchall()
+    ]
+    con.close()
+    assert got == want
+    # DESC direction flips the map ordering too
+    q2 = q + " DESC"
+    got2 = [(r[0], dict(r[1])) for r in engine.sql(q2).collect()]
+    con = duckdb.connect()
+    want2 = [
+        (k, dict(zip(m["key"], m["value"])))
+        for k, m in con.execute(q2).fetchall()
+    ]
+    con.close()
+    assert got2 == want2

@@ -95,3 +95,39 @@ def test_transaction_markers(engine):
     engine.sql("BEGIN")
     assert engine.sql("SELECT 1 AS v").collect()[0][0] == 1
     engine.sql("COMMIT")
+
+
+def test_negative_literal_arg_parenthesized(engine):
+    """ADVICE r9: EXECUTE p(-1) into 'SELECT 2-$1' must not expand to
+    '2--1' (the comment stripper reads '--1 ...' as a line comment and the
+    query silently returned 2 where DuckDB returns 3)."""
+    con = duckdb.connect()
+    _both(engine, con, ["PREPARE n1 AS SELECT 2-$1 AS v", "EXECUTE n1(-1)"])
+    _both(engine, con, ["PREPARE n2 AS SELECT $1 AS v", "EXECUTE n2(-2.5)"])
+    _both(engine, con, ["PREPARE n3 AS SELECT 10-?-? AS v", "EXECUTE n3(-1, -2)"])
+    con.close()
+
+
+def test_dollar_quoted_body_span_is_data(engine):
+    """ADVICE r9: a $word inside a $$...$$ (or $tag$...$tag$) literal in
+    the PREPARE body is string data, not a named parameter."""
+    con = duckdb.connect()
+    _both(engine, con, [
+        "PREPARE dq1 AS SELECT $$hello $name$$ AS s, $1 AS v",
+        "EXECUTE dq1(7)",
+    ])
+    _both(engine, con, [
+        "PREPARE dq2 AS SELECT $tag$got $1 and $x here$tag$ AS s, $x AS v",
+        "EXECUTE dq2(x := 3)",
+    ])
+    con.close()
+
+
+def test_execute_empty_parens_is_parse_error(engine):
+    """EXECUTE q() is a DuckDB parse error even for a zero-parameter body
+    (probed r10); zero-arg EXECUTE omits the parens."""
+    engine.sql("PREPARE z AS SELECT 1 AS v")
+    with pytest.raises(ValueError, match="syntax error"):
+        engine.sql("EXECUTE z()")
+    # the no-parens form still works
+    assert [tuple(r) for r in engine.sql("EXECUTE z").collect()] == [(1,)]
