@@ -135,6 +135,32 @@ TABLES = {
         ],
         "key": "k",
     },
+    # Deep-nesting committed table (tests/data/fuzz_nested2.parquet, r10):
+    # map-of-struct, list-of-map, struct-of-map, list-of-list — the
+    # composite type frontier VERDICT r9 #5 called out.  Same derived-
+    # expression trick: map_extract()[1] keeps DuckDB's list-wrap
+    # (intentional #19) scalar on both engines; flatten parity comes from
+    # the r10 flatten macro (NULL sub-lists dropped).
+    "nested2_parquet": {
+        "num": [
+            "k",
+            "map_extract(ms, 'a')[1].p",
+            "CAST(cardinality(ms) AS BIGINT)",
+            "len(lm)",
+            "element_at(lm[1], 'x')[1]",
+            "CAST(list_sum(map_values(sm.m)) AS BIGINT)",
+            "ll[1][2]",
+            "len(flatten(ll))",
+            "CAST(cardinality(lm[1]) AS BIGINT)",
+        ],
+        "str": [
+            "sm.t",
+            "map_extract(ms, 'a')[1].q",
+            "array_to_string(list_sort(map_keys(ms)), ',')",
+            "array_to_string(list_sort(map_keys(sm.m)), '|')",
+        ],
+        "key": "k",
+    },
 }
 
 # join shapes: (left table, right table, join condition, key for ORDER BY)
@@ -1072,12 +1098,79 @@ def gen_statement_seq(rng: random.Random):
     """Returns a list of SQL statements; results compared for each one
     that yields rows (CREATE/DROP MACRO yield none on DuckDB's side and a
     dummy Count row on the engine's — skipped from comparison)."""
-    shape = rng.randrange(8)
+    shape = rng.randrange(11)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     key = cols["key"]
     base_filter = cols.get("filter")
     w = f" WHERE {base_filter}" if base_filter else ""
+    if shape == 8:  # r10 v5: PREPARE body calls a macro; macro redefined
+        # between EXECUTEs (DuckDB re-binds at EXECUTE — probed r10: the
+        # redefinition IS visible, and EXECUTE after DROP MACRO errors)
+        g = Gen(rng, {"num": ["a", "b"]})
+        body1 = g.num(rng.randrange(1, 3)).sql
+        body2 = g.num(rng.randrange(1, 3)).sql
+        c1 = rng.choice(cols["num"])
+        mname = f"fz_pm{rng.randrange(1000)}"
+        pname = f"fz_pp{rng.randrange(1000)}"
+        if rng.random() < 0.5:  # positional param feeds the macro arg
+            body = (f"SELECT {key} AS k, {mname}({c1}, $1) AS v "
+                    f"FROM {table}{w} ORDER BY k")
+            call = f"EXECUTE {pname}({rng.choice(NUM_LITS[:8])})"
+        else:  # named prepared param inside a named macro default arg
+            body = (f"SELECT {key} AS k, {mname}({c1}, b := $m) + $n AS v "
+                    f"FROM {table}{w} ORDER BY k")
+            call = (f"EXECUTE {pname}(m := {rng.choice(NUM_LITS[:8])}, "
+                    f"n := {rng.choice(NUM_LITS[:8])})")
+        ddl = ("(a, b)" if "b :=" not in body else f"(a, b := {rng.choice(['1', '2'])})")
+        return [
+            f"CREATE OR REPLACE MACRO {mname}{ddl} AS ({body1})",
+            f"PREPARE {pname} AS {body}",
+            call,
+            f"CREATE OR REPLACE MACRO {mname}{ddl} AS ({body2})",
+            call,
+            f"DEALLOCATE {pname}",
+            f"DROP MACRO {mname}",
+        ]
+    if shape == 9:  # r10 v5: PREPARE over a view; view replaced between
+        # EXECUTEs (DuckDB re-binds: the replacement is visible — probed)
+        g = Gen(rng, {"num": cols["num"]})
+        e1 = g.num(rng.randrange(1, 3)).sql
+        e2 = g.num(rng.randrange(1, 3)).sql
+        vname = f"fz_v{rng.randrange(1000)}"
+        pname = f"fz_pv{rng.randrange(1000)}"
+        lit = rng.choice(NUM_LITS[:8])
+        return [
+            f"CREATE OR REPLACE VIEW {vname} AS "
+            f"SELECT {key} AS k, ({e1}) AS x FROM {table}{w}",
+            f"PREPARE {pname} AS SELECT k, x + $1 AS v FROM {vname} "
+            f"ORDER BY k LIMIT 20",
+            f"EXECUTE {pname}({lit})",
+            f"CREATE OR REPLACE VIEW {vname} AS "
+            f"SELECT {key} AS k, ({e2}) AS x FROM {table}{w}",
+            f"EXECUTE {pname}({lit})",
+            f"DEALLOCATE {pname}",
+            f"DROP VIEW {vname}",
+        ]
+    if shape == 10:  # r10 v5: prepared set-op chain, $1 reused per branch
+        g = Gen(rng, {"num": cols["num"]})
+        e1 = g.num(rng.randrange(1, 3)).sql
+        e2 = g.num(rng.randrange(1, 3)).sql
+        pname = f"fz_ps{rng.randrange(1000)}"
+        setop = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
+        lit = rng.choice(NUM_LITS[:8])
+        cut = rng.choice(["2", "5", "9"])
+        w2 = (f" WHERE {base_filter} AND {key} < {cut}" if base_filter
+              else f" WHERE {key} < {cut}")
+        return [
+            f"PREPARE {pname} AS "
+            f"SELECT {key} AS k, ({e1}) + $1 AS v FROM {table}{w} "
+            f"{setop} "
+            f"SELECT {key} AS k, ({e2}) + $1 AS v FROM {table}{w2} "
+            f"ORDER BY k, v",
+            f"EXECUTE {pname}({lit})",
+            f"DEALLOCATE {pname}",
+        ]
     if shape == 6:  # r9: PREPARE → EXECUTE → re-PREPARE → EXECUTE → DEALLOCATE
         g = Gen(rng, {"num": cols["num"]})
         e1 = g.num(rng.randrange(1, 3)).sql
@@ -1472,16 +1565,20 @@ def main() -> int:
     con = duckdb.connect()
     nulls_path = "/root/repo/tests/data/fuzz_nulls.parquet"
     nested_path = "/root/repo/tests/data/fuzz_nested.parquet"
+    nested2_path = "/root/repo/tests/data/fuzz_nested2.parquet"
     for t in TABLES:
         if t == "nulls_parquet":
             path = nulls_path
         elif t == "nested_parquet":
             path = nested_path
+        elif t == "nested2_parquet":
+            path = nested2_path
         else:
             path = f"{SF_DIR}/{t.rsplit('_', 1)[0]}.parquet"
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     engine.spark.read.parquet(nulls_path).createOrReplaceTempView("nulls_parquet")
     engine.spark.read.parquet(nested_path).createOrReplaceTempView("nested_parquet")
+    engine.spark.read.parquet(nested2_path).createOrReplaceTempView("nested2_parquet")
     differ = Differ(engine, con)
 
     seeds = [args.one] if args.one is not None else range(args.start, args.start + args.seeds)

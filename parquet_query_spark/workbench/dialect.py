@@ -297,6 +297,8 @@ from parquet_query_spark.workbench.dialect_core import (  # noqa: F401
     _rewrite_describe,
     _PRAGMA,
     _rewrite_pragma,
+    _CREATE_VIEW,
+    _rewrite_create_view,
     _UNPIVOT_STMT,
     _unpivot_label,
     _rewrite_unpivot,
@@ -561,6 +563,7 @@ _PASSES = (
     _rewrite_literal_backslashes,
     _rewrite_numeric_underscores,
     _rewrite_pragma,
+    _rewrite_create_view,
     _rewrite_read_functions,
     _rewrite_unpivot,
     _rewrite_describe,

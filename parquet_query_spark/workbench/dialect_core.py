@@ -979,6 +979,28 @@ def _rewrite_pragma(sql: str) -> str:
     )
 
 
+# DuckDB's CREATE VIEW lives in its single-session in-memory catalog, so
+# it can reference the registered parquet views freely.  Spark forbids a
+# PERSISTENT view over temp views (INVALID_TEMP_OBJ_REFERENCE) — and the
+# workbench's registered tables ARE temp views — so the statement maps to
+# a TEMPORARY view, which has exactly DuckDB's session lifetime here
+# (same rationale as the transaction markers).  Plain CREATE VIEW keeps
+# its duplicate-name error on both engines; TEMP/TEMPORARY/GLOBAL
+# spellings pass through untouched.
+
+_CREATE_VIEW = re.compile(
+    r"^(\s*CREATE\s+)(OR\s+REPLACE\s+)?(VIEW\b)", re.IGNORECASE
+)
+
+
+def _rewrite_create_view(sql: str) -> str:
+    m = _CREATE_VIEW.match(sql)
+    if not m:
+        return sql
+    keep = m.group(2) or ""
+    return f"{m.group(1)}{keep}TEMPORARY VIEW{sql[m.end():]}"
+
+
 # ── DuckDB UNPIVOT statements ───────────────────────────────────────────
 #
 # ``UNPIVOT tbl ON a, b, c INTO NAME n VALUE v`` → Spark's relational

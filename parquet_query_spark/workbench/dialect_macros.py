@@ -1676,6 +1676,20 @@ def _ordered_first_last(fn: str):
     return macro
 
 
+def _macro_flatten(args: list[str]) -> str | None:
+    # DuckDB's flatten DROPS NULL sub-lists (probed r10: flatten([NULL])
+    # = [], flatten([[1], NULL]) = [1]); Spark returns NULL whenever any
+    # element is NULL.  The guard stops fixpoint reentry on our own
+    # emission (and on other macros' internal flatten(array(..)) forms,
+    # whose elements are non-NULL by construction the filter is a no-op).
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    if a.startswith("filter(") and "__fl" in a:
+        return None
+    return f"flatten(filter(({a}), __fl -> __fl IS NOT NULL))"
+
+
 def _macro_map_ctor(args: list[str]) -> str | None:
     # DuckDB's function-form constructor MAP(keys_list, values_list)
     # (probed r10: map(['a','b'],[1,2]) = {a:1, b:2}); Spark's varargs
@@ -1978,6 +1992,7 @@ _FN_MACROS_REGEX_JSON = {
     "collect_list": _macro_array_agg_ordered,
     "first": _ordered_first_last("first"),
     "last": _ordered_first_last("last"),
+    "flatten": _macro_flatten,
     "map": _macro_map_ctor,
     "map_extract": _macro_map_extract,
     "unnest": lambda args: f"explode(({args[0].strip()}))" if len(args) == 1 else None,

@@ -2064,3 +2064,34 @@ def test_r9_unquote_function_names_dollar_quote_aware(engine):
         want = con.execute(q).fetchall()
         assert got == want, (q, got, want)
     con.close()
+
+
+def test_create_view_maps_to_temporary_view():
+    """DuckDB session views over registered (temp-view) tables: Spark
+    forbids persistent views over temp objects, so CREATE [OR REPLACE]
+    VIEW maps to a TEMPORARY view with the same single-session lifetime
+    (r10).  TEMP/TEMPORARY spellings pass through."""
+    assert (
+        rewrite_duckdb_dialect("CREATE VIEW v1 AS SELECT 1 AS x")
+        == "CREATE TEMPORARY VIEW v1 AS SELECT 1 AS x"
+    )
+    assert (
+        rewrite_duckdb_dialect("CREATE OR REPLACE VIEW v1 AS SELECT 1")
+        == "CREATE OR REPLACE TEMPORARY VIEW v1 AS SELECT 1"
+    )
+    assert (
+        rewrite_duckdb_dialect("CREATE TEMP VIEW v1 AS SELECT 1")
+        == "CREATE TEMP VIEW v1 AS SELECT 1"
+    )
+
+
+def test_flatten_drops_null_sublists():
+    """DuckDB flatten drops NULL sub-lists (probed r10); Spark's returns
+    NULL on any NULL element, so the macro filters first — with a reentry
+    guard for the fixpoint loop."""
+    out = rewrite_duckdb_dialect("SELECT flatten(ll) FROM t")
+    assert out == (
+        "SELECT flatten(filter((ll), __fl -> __fl IS NOT NULL)) FROM t"
+    )
+    # fixpoint-stable: rewriting the output again is a no-op
+    assert rewrite_duckdb_dialect(out) == out

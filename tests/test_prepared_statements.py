@@ -131,3 +131,34 @@ def test_execute_empty_parens_is_parse_error(engine):
         engine.sql("EXECUTE z()")
     # the no-parens form still works
     assert [tuple(r) for r in engine.sql("EXECUTE z").collect()] == [(1,)]
+
+
+def test_prepared_rebinds_macros_and_views_at_execute(engine):
+    """DuckDB re-binds at EXECUTE (probed r10): a macro or view redefined
+    AFTER the PREPARE is visible to the next EXECUTE, and EXECUTE after
+    DROP MACRO errors on both engines."""
+    con = duckdb.connect()
+    seq = [
+        "CREATE OR REPLACE MACRO fz_rb(x) AS (x + 1)",
+        "PREPARE rb AS SELECT fz_rb($1) AS v",
+        "EXECUTE rb(10)",
+        "CREATE OR REPLACE MACRO fz_rb(x) AS (x * 100)",
+        "EXECUTE rb(10)",
+        "CREATE OR REPLACE VIEW fz_rbv AS SELECT 1 AS a",
+        "PREPARE rbv AS SELECT a + $1 AS v FROM fz_rbv",
+        "EXECUTE rbv(1)",
+        "CREATE OR REPLACE VIEW fz_rbv AS SELECT 50 AS a",
+        "EXECUTE rbv(1)",
+    ]
+    for s in seq:
+        got = [tuple(r) for r in engine.sql(s).collect()]
+        want = con.execute(s).fetchall()
+        if s.startswith("EXECUTE"):
+            assert got == want, (s, got, want)
+    engine.sql("DROP MACRO fz_rb")
+    con.execute("DROP MACRO fz_rb")
+    with pytest.raises(Exception):
+        engine.sql("EXECUTE rb(10)").collect()
+    with pytest.raises(Exception):
+        con.execute("EXECUTE rb(10)")
+    con.close()
