@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Hot-band skew rehearsal for the MinHash LSH band join (VERDICT r9 #4).
+
+A boilerplate paragraph duplicated into B documents puts all B copies in
+ONE (band_id, band_val) bucket; the band self-join then emits B²/2 pairs.
+That is join-key skew by OUTPUT: the hot bucket's slim input rows total a
+few hundred KB, far below AQE's skewedPartitionThresholdInBytes, so the
+input-size-based skew split never engages — the engine's defense is the
+chunk-tiled self-join in ``_lsh_candidate_pairs_with_shingles``
+(operators/dedup.py), which bounds every task at ≤ C² candidate pairs.
+
+This script runs ``dedup_minhash_candidate_pairs`` on a hot corpus
+(``scale_data.py --bounded-dup --hot-cluster B``) and reports, for the
+stage that produced the most shuffle-write records (the tile join), the
+per-task shuffle-write-record distribution: max, median-of-nonzero, and
+their ratio.  Pre-tiling, one task held ~100% of the pair volume; the
+tiled plan must keep max ≤ 2× the median of busy tasks.
+
+Usage:
+  python scale_data.py --dst /tmp/hot_x64 --factor 64 --bounded-dup \
+      --hot-cluster 16000
+  python skew_rehearsal.py --sf-dir /tmp/hot_x64 [--op dedup_minhash_candidate_pairs]
+
+Writes one JSON line to stdout; paste the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rest(base: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def task_write_distribution(spark):
+    """Per-task shuffle-write records for the completed stage with the
+    largest total shuffle-write record count (the pair-producing join)."""
+    base = spark.sparkContext.uiWebUrl
+    app = _rest(base, "applications")[0]["id"]
+    stages = _rest(base, f"applications/{app}/stages?status=COMPLETE")
+    hot = max(stages, key=lambda s: s.get("shuffleWriteRecords", 0))
+    detail = _rest(
+        base,
+        f"applications/{app}/stages/{hot['stageId']}/"
+        f"{hot['attemptId']}?details=true&taskStatus=SUCCESS",
+    )
+    if isinstance(detail, list):
+        detail = detail[0]
+    tasks = detail.get("tasks", {})
+    writes = sorted(
+        t.get("taskMetrics", {})
+        .get("shuffleWriteMetrics", {})
+        .get("recordsWritten", 0)
+        for t in tasks.values()
+    )
+    busy = [w for w in writes if w > 0]
+    return {
+        "stage_id": hot["stageId"],
+        "stage_name": hot["name"][:80],
+        "total_write_records": hot.get("shuffleWriteRecords", 0),
+        "n_tasks": len(writes),
+        "n_busy_tasks": len(busy),
+        "max_task_records": max(writes) if writes else 0,
+        "median_busy_records": int(statistics.median(busy)) if busy else 0,
+        "max_over_median": (
+            round(max(writes) / statistics.median(busy), 2) if busy else None
+        ),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/hot_x64")
+    ap.add_argument("--op", default="dedup_minhash_candidate_pairs")
+    ap.add_argument(
+        "--chunk-c", type=int, default=None,
+        help="override dedup._BAND_CHUNK_C — pass a huge value (1e9) to "
+        "reproduce the pre-tiling single-task plan as the 'before' row",
+    )
+    args = ap.parse_args()
+
+    from parquet_query_spark.operators.catalog import load_all
+    from parquet_query_spark.session import get_spark
+
+    if args.chunk_c is not None:
+        from parquet_query_spark.operators import dedup
+
+        dedup._BAND_CHUNK_C = args.chunk_c
+
+    spark = get_spark(
+        "skew-rehearsal", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    spec = load_all()[args.op]
+    t0 = time.time()
+    n = spec.fn(spark, args.sf_dir).count()
+    sec = round(time.time() - t0, 2)
+    dist = task_write_distribution(spark)
+    print(json.dumps({"op": args.op, "sf_dir": args.sf_dir,
+                      "chunk_c": args.chunk_c, "sec": sec,
+                      "result_rows": n, **dist}))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,3 +141,60 @@ def test_simhash_python_matches_duckdb_oracle_on_random_text():
         assert got == want
 
     check()
+
+
+@pytest.fixture(scope="module")
+def hot_band_dir(tmp_path_factory):
+    """30 near-identical docs (one hot LSH band bucket: same boilerplate,
+    distinct trailing token from a 3-value set, so shingle sets overlap
+    ~fully and all pairs pass verification) + 4 normal docs."""
+    d = tmp_path_factory.mktemp("hotband")
+    texts, ids = [], []
+    for i in range(30):
+        texts.append(BASE + f" hotdup tail token v{i % 3}")
+        ids.append(100 + i)
+    texts += [FAR, FAR + " extra tail words here", NEAR, BASE]
+    ids += [1, 2, 3, 4]
+    docs = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(os.path.join(str(d), "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_band_join_tiling_preserves_pairs(spark, hot_band_dir, monkeypatch):
+    """r10 skew hardening: the chunk-tiled band self-join must emit the
+    EXACT same pair set as the plain join — every pair in exactly one
+    (ca ≤ cb) chunk tile.  chunk_c=7 forces the 30-doc hot bucket through
+    ⌈30/7⌉ = 5 chunks → 15 tiles, exercising same-chunk and cross-chunk
+    tiles plus the multi-band dropDuplicates."""
+    from parquet_query_spark.operators import dedup as dd
+
+    fn = CATALOG["dedup_minhash_candidate_pairs"].fn
+    baseline = {(r.doc_a, r.doc_b): r.jaccard for r in fn(spark, hot_band_dir).collect()}
+    monkeypatch.setattr(dd, "_BAND_CHUNK_C", 7)
+    tiled = {(r.doc_a, r.doc_b): r.jaccard for r in fn(spark, hot_band_dir).collect()}
+    assert tiled == baseline
+    # the hot clique must actually be present (30 copies ≈ 435 pairs)
+    hot_pairs = [p for p in tiled if p[0] >= 100 and p[1] >= 100]
+    assert len(hot_pairs) == 30 * 29 // 2
+
+
+def test_band_join_tiling_containment_and_pipeline_agree(spark, hot_band_dir, monkeypatch):
+    """The containment and cluster-pipeline operators share the tiled
+    kernel; forced multi-chunk tiling must not change their output."""
+    from parquet_query_spark.operators import dedup as dd
+
+    for name in ["dedup_minhash_containment", "dedup_cluster_pipeline"]:
+        fn = CATALOG[name].fn
+        base = sorted(map(tuple, fn(spark, hot_band_dir).collect()))
+        monkeypatch.setattr(dd, "_BAND_CHUNK_C", 7)
+        tiled = sorted(map(tuple, fn(spark, hot_band_dir).collect()))
+        monkeypatch.undo()
+        assert tiled == base, name
