@@ -28,11 +28,15 @@ from parquet_query_spark.operators.catalog import query, views
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
-# Band-join chunk size: a tile task verifies at most _BAND_CHUNK_C²
+# Band-join chunk size: a tile task emits at most _BAND_CHUNK_C²
 # candidate pairs regardless of how hot one (band_id, band_val) bucket is
-# (r10 skew rehearsal; see _lsh_candidate_pairs_with_shingles).  Tests
-# shrink it to force multi-chunk tiling on small fixtures.
-_BAND_CHUNK_C = 4096
+# (r10 skew rehearsal; see _lsh_candidate_pairs_with_shingles).  1024 won
+# the rehearsal sweep on the 16,000-doc hot-clique corpus: max-task
+# shuffle-write 128.1M records (untiled) → 32.0M (C=4096) → 15.1M
+# (C=1024, max/median-busy 2.15, wall 433 s → 309 s); buckets ≤ C — all
+# of them on a deduplicated corpus — pay zero tiling overhead.  Tests
+# shrink it further to force multi-chunk tiling on small fixtures.
+_BAND_CHUNK_C = 1024
 
 
 @query(

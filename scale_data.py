@@ -57,17 +57,27 @@ def main() -> None:
         "VERDICT #5: separates plan cost from corpus artifact for the "
         "edge-bound dedup/graph family)",
     )
+    ap.add_argument(
+        "--tables",
+        help="comma-separated fact tables to scale (default: all); dims "
+        "always copy.  The 4096x stretch tier only needs documents — "
+        "scaling lineitem/events 4096x would be ~50 GB of dead weight",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
+    facts = dict(FACTS)
+    if args.tables:
+        keep = {t.strip() for t in args.tables.split(",")}
+        facts = {t: v for t, v in facts.items() if t in keep}
     for t in DIMS:
         con.execute(
             f"COPY (SELECT * FROM '{args.src}/{t}.parquet') "
             f"TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied")
-    for t, (key, off) in FACTS.items():
+    for t, (key, off) in facts.items():
         if t == "documents" and args.bounded_dup:
             # copy 0 is the base corpus verbatim; copy i>0 prefixes every
             # word with a per-copy salt, preserving each copy's INTERNAL

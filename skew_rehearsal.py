@@ -89,17 +89,33 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # get_spark disables the UI; the task-metric REST API needs it.  Own
+    # the session: create it first with the UI on (ui.enabled is a static
+    # conf — unreachable once the session exists), then let
+    # ensure_session_confs apply the engine's runtime SQL confs.
+    from pyspark.sql import SparkSession
+
     from parquet_query_spark.operators.catalog import load_all
-    from parquet_query_spark.session import get_spark
+    from parquet_query_spark.session import ensure_session_confs
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("skew-rehearsal")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "2000")
+        .config("spark.ui.retainedTasks", "200000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_session_confs(spark)
 
     if args.chunk_c is not None:
         from parquet_query_spark.operators import dedup
 
         dedup._BAND_CHUNK_C = args.chunk_c
 
-    spark = get_spark(
-        "skew-rehearsal", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
     spec = load_all()[args.op]
     t0 = time.time()
     n = spec.fn(spark, args.sf_dir).count()
