@@ -276,8 +276,8 @@ def _resolve_from_schema(engine, statement, mask, construct):
                 "literal, or parenthesized subquery FROM source"
             )
         src = sm.group(1)
-    schema_cols = engine.sql(f"SELECT * FROM {src} __cols_src WHERE 1=0").columns
-    return fm, schema_cols
+    probe = engine.sql(f"SELECT * FROM {src} __cols_src WHERE 1=0")
+    return fm, probe.columns, dict(probe.dtypes)
 
 
 _STAR_REPLACE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
@@ -307,7 +307,7 @@ def expand_star_replace(engine, statement: str) -> str:
     )
     if m is None:
         return statement
-    _, schema_cols = _resolve_from_schema(engine, statement, mask, "* REPLACE")
+    _, schema_cols, _types = _resolve_from_schema(engine, statement, mask, "* REPLACE")
     parsed = _split_call_args(statement, mask, m.end() - 1)
     if parsed is None:
         raise ValueError("unbalanced * REPLACE (...) list")
@@ -340,7 +340,7 @@ def expand_columns(engine, statement: str) -> str:
     error will name the construct).
     """
     mask = _code_mask(statement)
-    fm, schema_cols = _resolve_from_schema(engine, statement, mask, "COLUMNS(...)")
+    fm, schema_cols, col_types = _resolve_from_schema(engine, statement, mask, "COLUMNS(...)")
 
     sel = [
         k
@@ -435,6 +435,21 @@ def expand_columns(engine, statement: str) -> str:
             expanded = (
                 item[: call.start()] + f"`{col}`" + item[close + 1 : body_end]
             ).strip()
+            # min/max over a MAP column: Spark cannot order maps
+            # (INVALID_ORDERING_TYPE) where DuckDB compares them by
+            # key-sorted entry list (probed r10) — pick the same winner
+            # with min_by/max_by over sort_array(map_entries()) so
+            # max(COLUMNS(*)) works over map-bearing tables (fuzz r10
+            # statement seeds 6540/6752).
+            mm = re.fullmatch(
+                rf"(?is)\s*(min|max)\s*\(\s*`{re.escape(col)}`\s*\)\s*",
+                expanded,
+            )
+            if mm and col_types.get(col, "").startswith("map<"):
+                fn = mm.group(1).lower()
+                expanded = (
+                    f"{fn}_by(`{col}`, sort_array(map_entries(`{col}`)))"
+                )
             if alias_m and len(matched) == 1:
                 alias = alias_m.group(1)
             elif expanded == f"`{col}`":

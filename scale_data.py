@@ -67,6 +67,8 @@ def main() -> None:
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
+    # a 4096-branch UNION ALL trips the default 1000 parser depth
+    con.execute("SET max_expression_depth TO 100000")
     facts = dict(FACTS)
     if args.tables:
         keep = {t.strip() for t in args.tables.split(",")}

@@ -648,3 +648,32 @@ def test_r10_order_by_all_map_tiebreak_matches_duckdb(engine):
     ]
     con.close()
     assert got2 == want2
+
+
+def test_r10_min_max_columns_over_map(engine):
+    """r10 (fuzz statement seeds 6540/6752): min/max(COLUMNS(..)) over a
+    MAP column no longer fails analysis — the expansion substitutes
+    min_by/max_by over sort_array(map_entries()), DuckDB's map
+    comparison order.  Exact winner parity holds when entry values are
+    non-NULL (NULL-valued entries fall under intentional #21)."""
+    import duckdb
+
+    engine.spark.sql(
+        "SELECT * FROM VALUES (1, map('a', 1)), (2, map('a', 2)), "
+        "(3, map('b', 1)), (4, map()) AS t(k, m)"
+    ).createOrReplaceTempView("map_src")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW map_src AS SELECT * FROM (VALUES (1, MAP {'a': 1}), "
+        "(2, MAP {'a': 2}), (3, MAP {'b': 1}), (4, MAP {})) t(k, m)"
+    )
+    q = "SELECT max(COLUMNS('.*')) FROM map_src"
+    got = engine.sql(q).collect()[0]
+    want = con.execute(q).fetchall()[0]
+    assert got[0] == want[0] == 4
+    assert dict(got[1]) == dict(zip(want[1]["key"], want[1]["value"])) == {"b": 1}
+    q2 = "SELECT min(COLUMNS('m')) FROM map_src"
+    got2 = engine.sql(q2).collect()[0]
+    want2 = con.execute(q2).fetchall()[0]
+    assert dict(got2[0]) == dict(zip(want2[0]["key"], want2[0]["value"])) == {}
+    con.close()
