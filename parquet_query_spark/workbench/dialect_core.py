@@ -1315,8 +1315,17 @@ def _rewrite_comprehension(inner: str) -> str | None:
     if ifs:
         cond = src[ifs[0].end() :].strip()
         src = src[: ifs[0].start()].strip()
+        if re.fullmatch(r"\[\s*\]|array\s*\(\s*\)", src, re.IGNORECASE):
+            return "array()"
         return f"transform(filter({src}, {var} -> {cond}), {var} -> {expr})"
-    return f"transform({src.strip()}, {var} -> {expr})"
+    src = src.strip()
+    # Comprehension over a LITERAL empty list: emit array() itself, not
+    # transform(array(), x -> f(x)) — the lambda's result type (e.g.
+    # abs → DOUBLE) would coerce a later list_concat to DOUBLE where
+    # DuckDB keeps the other side's INTEGER type (fuzz r10 seed 60745).
+    if re.fullmatch(r"\[\s*\]|array\s*\(\s*\)", src, re.IGNORECASE):
+        return "array()"
+    return f"transform({src}, {var} -> {expr})"
 
 
 # Flipped by the fallback pipeline: DuckDB subscripts are polymorphic

@@ -779,6 +779,22 @@ def _right_operand_end(sql: str, mask: list[bool], pos: int) -> int | None:
                 elif mask[j] and sql[j] == ")":
                     depth -= 1
                     if depth == 0:
+                        # same struct-field absorption as the paren-group
+                        # branch: ``k // map_extract(m, 'a')[1].p`` — by
+                        # this pass the subscript is already a call, so
+                        # the ``.p`` tail hangs off a CALL operand (fuzz
+                        # r10 statement seed 8330)
+                        while (
+                            j + 1 < n
+                            and sql[j + 1] == "."
+                            and j + 2 < n
+                            and (sql[j + 2].isalpha() or sql[j + 2] in "_$")
+                        ):
+                            j += 2
+                            while j + 1 < n and (
+                                sql[j + 1].isalnum() or sql[j + 1] in "_$"
+                            ):
+                                j += 1
                         return j
                 j += 1
             return None

@@ -677,3 +677,47 @@ def test_r10_min_max_columns_over_map(engine):
     want2 = con.execute(q2).fetchall()[0]
     assert dict(got2[0]) == dict(zip(want2[0]["key"], want2[0]["value"])) == {}
     con.close()
+
+
+def test_r10_divmod_operand_absorbs_call_field_suffix(engine):
+    """fuzz r10 statement seed 8330: the //-dispatch right-operand
+    scanner returned a CALL operand at its closing paren, leaving a
+    struct-field suffix behind — ``k // map_extract(ms, 'a')[1].p``
+    divided by the whole STRUCT (analysis error).  The call branch now
+    absorbs trailing ``.ident`` chains like the paren-group branch."""
+    import duckdb
+
+    P = "/root/repo/tests/data/fuzz_nested2.parquet"
+    engine.spark.read.parquet(P).createOrReplaceTempView("nested2_parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nested2_parquet AS SELECT * FROM '{P}'")
+    for q in [
+        "SELECT k, 10 // map_extract(ms, 'a')[1].p AS v "
+        "FROM nested2_parquet ORDER BY k LIMIT 4",
+        "SELECT k, (((k // map_extract(ms, 'a')[1].p) % "
+        "(CAST(cardinality(lm[1]) AS BIGINT) - CAST(cardinality(ms) AS BIGINT)"
+        "))) AS v FROM nested2_parquet ORDER BY k LIMIT 5",
+    ]:
+        got = [(r[0], None if r[1] is None else float(r[1])) for r in engine.sql(q).collect()]
+        want = [(r[0], None if r[1] is None else float(r[1])) for r in con.execute(q).fetchall()]
+        assert got == want, (q, got, want)
+    con.close()
+
+
+def test_r10_empty_list_comprehension_keeps_neutral_type(engine):
+    """fuzz r10 grammar seed 60745: [f(x) FOR x IN []] used to emit
+    transform(array(), x -> f(x)), whose lambda result type (abs →
+    DOUBLE) coerced a later list_concat to DOUBLE where DuckDB keeps the
+    other operand's INTEGER — '0.0,3.0' vs '0,3' after stringification.
+    A literal-empty comprehension source now emits array() itself."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in [
+        "SELECT array_to_string(list_concat([0, 3], [abs(x) FOR x IN []]), ',') AS v",
+        "SELECT [x FOR x IN [] IF x > 1] AS v",
+    ]:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, (q, got, want)
+    con.close()
