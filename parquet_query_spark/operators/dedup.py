@@ -313,22 +313,27 @@ def _lsh_candidate_pairs_with_shingles(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_val")
-    # Chunk-tiled band self-join (r10 skew rehearsal, VERDICT r9 #4).  A
-    # hot (band_id, band_val) bucket — one boilerplate paragraph shared by
-    # B documents — makes the plain equi-join emit B²/2 pairs from ONE
-    # task: join-key skew by OUTPUT, invisible to AQE's input-size skew
-    # split (the hot bucket's slim input rows are a few hundred KB).
-    # Same discipline as the fuzzy-join kernel: rank docs inside each
-    # bucket, cut into chunks of C, and give every (ca ≤ cb) chunk tile
-    # its own join key — each pair lands in exactly one tile, every task
-    # verifies ≤ C² pairs, and a B-doc bucket fans out over k(k+1)/2 tile
-    # keys (k = ⌈B/C⌉) instead of one.  Buckets with ≤ C members (all of
-    # them, on a deduplicated corpus) have k = 1: one tile, one copy per
-    # side — the exact pre-tiling join volume.  rn is the in-bucket
-    # doc_id rank, so rn_a < rn_b ⟺ doc_a < doc_b; cross-chunk tiles
-    # satisfy it by construction.  No tile table, no broadcast: each row
-    # replicates to its k(+1-chunk) tiles with a sequence explode, and
-    # max(chunk) rides the SAME window partitioning as rn (one shuffle).
+    # Chunk-tiled band self-join for HOT buckets only (r10 skew
+    # rehearsal, VERDICT r9 #4).  A hot (band_id, band_val) bucket — one
+    # boilerplate paragraph shared by B documents — makes the plain
+    # equi-join emit B²/2 pairs from ONE task: join-key skew by OUTPUT,
+    # invisible to AQE's input-size skew split (the hot bucket's slim
+    # input rows are a few hundred KB; measured in BASELINE.md r10).
+    #
+    # Shape: ONE exchange hash-partitions the slim band rows by bucket;
+    # two window functions over that partitioning attach the in-bucket
+    # doc_id rank (rn), its C-sized chunk, and the bucket's max chunk.
+    # Buckets with ≤ C members — all of them, on a deduplicated corpus —
+    # take the plain self-join on (band_id, band_val): both sides read
+    # the SAME window output, so the exchange is built once and reused
+    # (the minhash scan runs once, where the pre-r10 self-join computed
+    # it per side), and no new shuffle is added — the join reuses the
+    # bucket partitioning.  Oversized buckets fan out over (ca ≤ cb)
+    # chunk tiles: every pair lands in exactly one tile, every task
+    # emits ≤ C² pairs, and a B-doc bucket spreads over k(k+1)/2 tile
+    # keys (k = ⌈B/C⌉) per band instead of one.  rn is the in-bucket
+    # doc_id rank, so rn_a < rn_b ⟺ doc_a < doc_b.  The hot branch is
+    # EMPTY on normal corpora — its stages schedule nothing.
     from pyspark.sql import Window
 
     chunk_c = _BAND_CHUNK_C
@@ -339,7 +344,18 @@ def _lsh_candidate_pairs_with_shingles(
         .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
         .withColumn("kmax", F.max("chunk").over(w_all))
     )
-    a_rep = sized.select(
+    small = sized.where(F.col("kmax") == 0)
+    cand_small = (
+        small.select("band_id", "band_val", F.col("doc_id").alias("doc_a"))
+        .join(
+            small.select("band_id", "band_val", F.col("doc_id").alias("doc_b")),
+            ["band_id", "band_val"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    hot = sized.where(F.col("kmax") > 0)
+    a_rep = hot.select(
         "band_id",
         "band_val",
         F.col("chunk").alias("ca"),
@@ -347,7 +363,7 @@ def _lsh_candidate_pairs_with_shingles(
         F.col("doc_id").alias("doc_a"),
         F.col("rn").alias("rn_a"),
     )
-    b_rep = sized.select(
+    b_rep = hot.select(
         "band_id",
         "band_val",
         F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ca"),
@@ -360,17 +376,17 @@ def _lsh_candidate_pairs_with_shingles(
     # would fold many tiles into one post-shuffle partition and
     # re-serialize the pair explosion the tiling spreads out.  The join
     # keys equal the repartition keys, so the join reuses this
-    # partitioning with no extra exchange.
+    # partitioning with no extra exchange.  Only hot-bucket rows pay it.
     n_part = spark.sparkContext.defaultParallelism * 2
     tile_keys = ["band_id", "band_val", "ca", "cb"]
     a_rep = a_rep.repartition(n_part, *tile_keys)
     b_rep = b_rep.repartition(n_part, *tile_keys)
-    cand = (
+    cand_hot = (
         a_rep.join(b_rep, tile_keys)
         .where(F.col("rn_a") < F.col("rn_b"))
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    cand = cand_small.unionByName(cand_hot).dropDuplicates(["doc_a", "doc_b"])
     return cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
