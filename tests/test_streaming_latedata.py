@@ -235,3 +235,33 @@ def test_ingest_decontaminate_order_insensitive(spark, tmp_path):
     assert streaming_ops.LAST_NUM_BATCHES >= 2
     report = compare(spark, root, out, spec.oracle)
     assert report["match"], report
+
+
+def test_dedup_by_key_admits_late_rows(spark, tmp_path):
+    """streaming_dedup_by_key (dropDuplicates + 1h watermark): probed
+    r10 — the watermark bounds the DEDUP STATE, it does not filter late
+    input (numRowsDroppedByWatermark stays 0), so a new-keyed event
+    arriving far below the watermark is still admitted and counted and
+    the drained result equals the full-data batch oracle.  (A late
+    DUPLICATE whose key state was already evicted could re-count — a
+    documented state-eviction trade, timing-dependent, not pinned.)"""
+    schema, base = _events_base()
+    t_max = base["ts"].max()
+    late_new = _planted(
+        base, event_id=100031, user_id=9301, event_type="view",
+        ts=base["ts"].min() + pd.Timedelta(minutes=17),
+    )
+    keep_new = _planted(
+        base, event_id=100032, user_id=9301, event_type="view",
+        ts=t_max - pd.Timedelta(minutes=20),
+    )
+    root = str(tmp_path / "late_dedupkey")
+    _copy_side_tables(root, skip="events.parquet")
+    wm_floor, _ = _split_with_plants(root, schema, base, [late_new], [keep_new])
+    assert late_new["ts"].iloc[0] < wm_floor - pd.Timedelta(hours=4)
+
+    spec = CATALOG["streaming_dedup_by_key"]
+    df = spec.fn(spark, root)
+    assert streaming_ops.LAST_NUM_BATCHES >= 3
+    report = compare(spark, root, df, spec.oracle)
+    assert report["match"], report
