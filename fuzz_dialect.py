@@ -1518,9 +1518,18 @@ INTENTIONAL = [
     re.compile(r"count\s*\([^;()]*\(?[^;()]*date_trunc", re.IGNORECASE),
     # #17/#18: JVM full Unicode case mappings vs DuckDB simple mappings —
     # only the unicode-heavy column exercises them
-    re.compile(r"\b(upper|ucase|lower|lcase|initcap)\s*\([^;]*\bus\b", re.IGNORECASE),
+    # (nested2's unicode carriers sm.t and ...[1].q included — r10 soak
+    # seed 65020: lower('ẞ İ') via sm.t)
+    re.compile(
+        r"\b(upper|ucase|lower|lcase|initcap)\s*\([^;]*"
+        r"(\bus\b|sm\s*\.\s*t\b|\.\s*q\b)",
+        re.IGNORECASE,
+    ),
     # #18: codepoint vs grapheme reverse on combining sequences
-    re.compile(r"\breverse\s*\([^;]*\bus\b", re.IGNORECASE),
+    re.compile(
+        r"\breverse\s*\([^;]*(\bus\b|sm\s*\.\s*t\b|\.\s*q\b)",
+        re.IGNORECASE,
+    ),
     # #19: map subscript returns the VALUE here, a one-element LIST there
     re.compile(r"\bmp\s*\[", re.IGNORECASE),
     # #20: DuckDB 1.0.0 ranking windows over a LIST-typed partition key
