@@ -211,36 +211,51 @@ class Engine:
         desc = (m.group("dir") or "").upper() == "DESC"
         nulls_first = (m.group("nulls") or "LAST").upper() == "FIRST"
         # MAP columns are unorderable in Spark (INVALID_ORDERING_TYPE) but
-        # DuckDB sorts them by key-sorted entry list (probed r10:
-        # MAP(['a'],[1]) < MAP(['a'],[2]) < MAP(['b'],[1])).  Sort them on
-        # sort_array(map_entries(c)) — same ordering, deterministic — in
-        # schema position; if the entry struct itself is unorderable
-        # (map-valued values), fall back to skipping map columns, where
-        # the remaining columns disambiguate (fuzz r9 seed 1874).
+        # DuckDB compares them by INSERTION-ORDER entry list (probed r11:
+        # MAP(['a','z'],[9,9]) < MAP(['b','a'],[1,1]) — positional, NOT
+        # key-sorted; shorter-prefix is smaller, matching Spark's array
+        # comparison).  Sort them on map_entries(c) — Spark preserves the
+        # stored entry order — in schema position; when the entry struct
+        # itself is unorderable (map-valued values, decided from the
+        # SCHEMA, not a trial plan), fall back to skipping map columns,
+        # where the remaining columns disambiguate (fuzz r9 seed 1874).
+        # NULL-valued entries compare smallest here, NULL there —
+        # intentional difference #21's element-null class.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
         def _dir(col):
             if desc:
                 return col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
             return col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
 
+        def _contains_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _contains_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            return False
+
         keys = []
         fallback_keys = []
-        has_map = False
+        nested_map = False
         for f in df.schema.fields:
             if isinstance(f.dataType, MapType):
-                has_map = True
-                keys.append(_dir(F.sort_array(F.map_entries(df[f.name]))))
+                if _contains_map(f.dataType.keyType) or _contains_map(
+                    f.dataType.valueType
+                ):
+                    nested_map = True
+                keys.append(_dir(F.map_entries(df[f.name])))
             else:
                 keys.append(_dir(df[f.name]))
                 fallback_keys.append(_dir(df[f.name]))
         if keys:
-            if has_map:
-                try:
-                    df = df.orderBy(*keys)
-                except Exception:
-                    df = df.orderBy(*fallback_keys) if fallback_keys else df
+            if nested_map:
+                # entry struct carries a nested MAP → unorderable even as
+                # entries; skip map columns entirely (pinned behavior)
+                df = df.orderBy(*fallback_keys) if fallback_keys else df
             else:
                 df = df.orderBy(*keys)
         if m.group("offset"):

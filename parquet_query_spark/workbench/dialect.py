@@ -229,10 +229,14 @@ this list is the triage ground truth for fuzz_dialect.py divergences):
    disambiguates — agree; element-level null order inside array
    comparison is not controllable from the query (mutation-fuzz r9
    seed 417).  Same root surfaces through ``min``/``max`` over nested
-   columns (r10: ``max(COLUMNS(*))`` over the nested fixture — the MAP
-   column now aggregates via the key-sorted-entries surrogate and
-   agrees when entry values are non-NULL; list/struct/NULL-valued-map
-   winners can differ by the element-level null order).
+   columns (r10/r11: ``max(COLUMNS(*))`` over the nested fixture — the
+   MAP column aggregates via the insertion-order ``map_entries``
+   surrogate, DuckDB's actual positional comparison (probed r11:
+   ``MAP(['a','z'],[9,9]) < MAP(['b','a'],[1,1])`` — NOT key-sorted),
+   and agrees when entry values are non-NULL; list/struct/
+   NULL-valued-map winners can differ by the element-level null order —
+   DuckDB's ``<`` even returns NULL when a compared entry value is
+   NULL, where Spark ranks the NULL element smallest).
 22. ``list_intersect``/``array_intersect`` element ORDER: DuckDB
    returns the same value set in an input-dependent internal hash
    order ([1,2,3] ∩ [2,3,99] is [3,2] there but [3,2] ∩ [2,3] is

@@ -437,19 +437,23 @@ def expand_columns(engine, statement: str) -> str:
             ).strip()
             # min/max over a MAP column: Spark cannot order maps
             # (INVALID_ORDERING_TYPE) where DuckDB compares them by
-            # key-sorted entry list (probed r10) — pick the same winner
-            # with min_by/max_by over sort_array(map_entries()) so
+            # INSERTION-ORDER entry list (probed r11: positional, NOT
+            # key-sorted) — pick the same winner with min_by/max_by over
+            # map_entries() (Spark preserves stored entry order) so
             # max(COLUMNS(*)) works over map-bearing tables (fuzz r10
-            # statement seeds 6540/6752).
+            # statement seeds 6540/6752).  Scope: only a BARE
+            # min(`col`)/max(`col`) expansion is rewritten — a composite
+            # item like min(COLUMNS(*)) + 1 still hits Spark's
+            # INVALID_ORDERING_TYPE (error, not wrong answer); and
+            # min_by ties between maps differing only in entry order pick
+            # a nondeterministic winner (same entries ⇒ equal sort key).
             mm = re.fullmatch(
                 rf"(?is)\s*(min|max)\s*\(\s*`{re.escape(col)}`\s*\)\s*",
                 expanded,
             )
             if mm and col_types.get(col, "").startswith("map<"):
                 fn = mm.group(1).lower()
-                expanded = (
-                    f"{fn}_by(`{col}`, sort_array(map_entries(`{col}`)))"
-                )
+                expanded = f"{fn}_by(`{col}`, map_entries(`{col}`))"
             if alias_m and len(matched) == 1:
                 alias = alias_m.group(1)
             elif expanded == f"`{col}`":

@@ -128,8 +128,9 @@ def expand_execute(store: dict, stmt: str) -> str:
     if name not in store:
         raise ValueError(f'Prepared statement "{m.group(1)}" does not exist')
     args: list[str] = []
-    if m.group(2) is not None and m.group(2).strip() == "()":
-        # DuckDB parse-errors on an empty argument list (probed r10);
+    if m.group(2) is not None and re.sub(r"\s+", "", m.group(2)) == "()":
+        # DuckDB parse-errors on an empty argument list — including
+        # whitespace-only parens ``EXECUTE p( )`` (probed r10/r11);
         # zero-arg EXECUTE omits the parens entirely.
         raise ValueError('Parser Error: syntax error at or near ")"')
     if m.group(2):

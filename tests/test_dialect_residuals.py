@@ -624,12 +624,16 @@ def test_r9_blob_literals(engine):
 
 
 def test_r10_order_by_all_map_tiebreak_matches_duckdb(engine):
-    """ADVICE r9 follow-up: when rows tie on every non-MAP column, the
-    MAP column now breaks the tie via sort_array(map_entries(c)) — the
-    same key-sorted-entry ordering DuckDB uses (probed r10:
-    MAP(['a'],[1]) < MAP(['a'],[2]) < MAP(['b'],[1]))."""
+    """ADVICE r9/r10 follow-up: when rows tie on every non-MAP column,
+    the MAP column breaks the tie via map_entries(c) WITHOUT sort_array
+    — DuckDB compares maps by INSERTION-ORDER entry list (probed r11:
+    MAP(['a','z'],[9,9]) < MAP(['b','a'],[1,1]), and min() over those
+    two picks the ['a','z'] one), not key-sorted.  The non-ascending-key
+    rows below discriminate the two models."""
     q = ("SELECT * FROM (VALUES (1, MAP(['b'],[1])), (1, MAP(['a'],[2])), "
-         "(1, MAP(['a'],[1])), (0, MAP(['z'],[9]))) t(k, m) ORDER BY ALL")
+         "(1, MAP(['a'],[1])), (0, MAP(['z'],[9])), "
+         "(1, MAP(['b','a'],[1,1])), (1, MAP(['a','z'],[9,9])), "
+         "(1, MAP(['a','b'],[2,0]))) t(k, m) ORDER BY ALL")
     got = [(r[0], dict(r[1])) for r in engine.sql(q).collect()]
     con = duckdb.connect()
     want = [
@@ -651,11 +655,15 @@ def test_r10_order_by_all_map_tiebreak_matches_duckdb(engine):
 
 
 def test_r10_min_max_columns_over_map(engine):
-    """r10 (fuzz statement seeds 6540/6752): min/max(COLUMNS(..)) over a
-    MAP column no longer fails analysis — the expansion substitutes
-    min_by/max_by over sort_array(map_entries()), DuckDB's map
-    comparison order.  Exact winner parity holds when entry values are
-    non-NULL (NULL-valued entries fall under intentional #21)."""
+    """r10 (fuzz statement seeds 6540/6752), corrected r11: min/max
+    (COLUMNS(..)) over a MAP column no longer fails analysis — the
+    expansion substitutes min_by/max_by over map_entries() WITHOUT
+    sort_array, DuckDB's actual INSERTION-ORDER positional comparison
+    (ADVICE r10).  Exact winner parity holds when entry values are
+    non-NULL (NULL-valued entries fall under intentional #21).  Scope:
+    only a bare min(`col`)/max(`col`) expansion is rewritten; composite
+    items like min(COLUMNS(*)) + 1 still raise (error, not wrong
+    answer)."""
     import duckdb
 
     engine.spark.sql(
@@ -677,6 +685,83 @@ def test_r10_min_max_columns_over_map(engine):
     want2 = con.execute(q2).fetchall()[0]
     assert dict(got2[0]) == dict(zip(want2[0]["key"], want2[0]["value"])) == {}
     con.close()
+
+
+def test_r11_map_ordering_insertion_order_not_key_sorted(engine):
+    """ADVICE r10 (medium): DuckDB 1.0.0 compares MAPs by insertion-order
+    entry list, NOT key-sorted — MAP(['a','z'],[9,9]) is the MIN of
+    {MAP(['b','a'],[1,1]), MAP(['a','z'],[9,9])} (probed r11; the
+    key-sorted surrogate picked the other).  Pinned against live DuckDB
+    through both the min/max COLUMNS expansion and ORDER BY ALL."""
+    import duckdb
+
+    engine.spark.sql(
+        "SELECT * FROM VALUES (1, map('b', 1, 'a', 1)), "
+        "(2, map('a', 9, 'z', 9)), (3, map('a', 2, 'b', 0)) AS t(k, m)"
+    ).createOrReplaceTempView("map_src_r11")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW map_src_r11 AS SELECT * FROM (VALUES "
+        "(1, MAP(['b','a'],[1,1])), (2, MAP(['a','z'],[9,9])), "
+        "(3, MAP(['a','b'],[2,0]))) t(k, m)"
+    )
+    for q in [
+        "SELECT min(COLUMNS('m')) AS v FROM map_src_r11",
+        "SELECT max(COLUMNS('m')) AS v FROM map_src_r11",
+    ]:
+        got = engine.sql(q).collect()[0][0]
+        want = con.execute(q).fetchall()[0][0]
+        assert dict(got) == dict(zip(want["key"], want["value"])), (
+            q, got, want,
+        )
+    # the minimum is the insertion-order-smallest — entries ('a',2) <
+    # ('a',9) < ('b',1) positionally; the key-sorted surrogate would
+    # have picked MAP(['b','a'],[1,1]) (sorted entries [('a',1),…])
+    got_min = engine.sql(
+        "SELECT min(COLUMNS('m')) AS v FROM map_src_r11"
+    ).collect()[0][0]
+    assert dict(got_min) == {"a": 2, "b": 0}
+    # ORDER BY ALL tie-break over the same maps (constant k forces the
+    # map column to decide the order)
+    q3 = ("SELECT * FROM (VALUES (1, MAP(['b','a'],[1,1])), "
+          "(1, MAP(['a','z'],[9,9])), (1, MAP(['a','b'],[2,0]))) t(k, m) "
+          "ORDER BY ALL")
+    got3 = [dict(r[1]) for r in engine.sql(q3).collect()]
+    want3 = [
+        dict(zip(m["key"], m["value"])) for _, m in con.execute(q3).fetchall()
+    ]
+    assert got3 == want3
+    assert got3[0] == {"a": 2, "b": 0}  # positional: ('a',2) < ('a',9)
+    con.close()
+
+
+def test_r11_order_by_all_nested_map_schema_fallback(engine):
+    """ADVICE r10 (low): the ORDER BY ALL map handler now decides
+    orderability from the SCHEMA (entry struct carrying a nested MAP →
+    skip map columns, fuzz r9 seed 1874 behavior) instead of a bare
+    ``except Exception`` around a trial orderBy — so an unrelated
+    planner error can no longer silently degrade the ordering."""
+    q = ("SELECT * FROM (VALUES (2, MAP(['a'],[MAP(['x'],[1])])), "
+         "(1, MAP(['b'],[MAP(['y'],[2])]))) t(k, mm) ORDER BY ALL")
+    got = [r[0] for r in engine.sql(q).collect()]
+    assert got == [1, 2]  # k orders; the map-of-map column is skipped
+    # DESC direction through the same fallback
+    got_d = [r[0] for r in engine.sql(q + " DESC").collect()]
+    assert got_d == [2, 1]
+
+
+def test_r11_execute_whitespace_only_parens_raises(engine):
+    """ADVICE r10 (low): ``EXECUTE p( )`` — whitespace inside the parens
+    — must mirror DuckDB's parse error like the bare ``()`` form does
+    (probed r11: both raise 'syntax error at or near \")\"')."""
+    import pytest as _pytest
+
+    engine.sql("PREPARE __ws_p AS SELECT 42 AS v")
+    assert [tuple(r) for r in engine.sql("EXECUTE __ws_p").collect()] == [(42,)]
+    for call in ["EXECUTE __ws_p( )", "EXECUTE __ws_p(  \n )"]:
+        with _pytest.raises(Exception, match=r'syntax error at or near'):
+            engine.sql(call)
+    engine.sql("DEALLOCATE __ws_p")
 
 
 def test_r10_divmod_operand_absorbs_call_field_suffix(engine):
