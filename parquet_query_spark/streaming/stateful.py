@@ -148,6 +148,13 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EWMA_TAPS = 16
+# Ring RETENTION is 2× the EWMA window: a late bar inserted mid-ring
+# forces re-emission of every bar at/after it, and each re-emitted bar
+# needs its full 16 predecessors IN the ring to reproduce the batch EWMA
+# — with retention 32, any insert at position >= 16 is batch-exact, and
+# anything later than that is dropped instead of silently re-emitted
+# with a truncated window (r11 late-data fix; state stays O(32)/key).
+_EWMA_RETAIN = 2 * _EWMA_TAPS
 
 _EWMA_OUT_SCHEMA = T.StructType(
     [
@@ -184,7 +191,18 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
     span a micro-batch boundary is MERGED into its existing ring slot
     (not appended as a duplicate bar), and the bar — plus any bars after
     it — is re-emitted with recomputed EWMA; the monotone ``seq`` lets
-    the reader keep only the final emission per bar."""
+    the reader keep only the final emission per bar.
+
+    Late-data admission (r11 fix): a re-emitted bar is only batch-exact
+    when its full 16-tap window is reconstructible from the ring.  The
+    ring retains 2×16 bars; once it may have evicted (len == retain), a
+    late INSERT needs position >= 16 (so every re-emitted bar keeps 15
+    in-ring predecessors after the head eviction) and a late MERGE needs
+    position >= 15 — anything older is DROPPED, bounded-state's honest
+    answer, instead of the pre-r11 behavior (admit and re-emit with a
+    silently truncated window, diverging from the batch twin).  While
+    the ring has never evicted it holds the key's complete bar history,
+    so arbitrarily-late bars are admitted exactly."""
     import numpy as np
     import pandas as pd
 
@@ -216,8 +234,17 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
 
     out_rows = []
     for h in sorted(per_hour):
+        # "may have evicted": once length reaches the retention cap we
+        # can no longer distinguish exactly-32-bars-total from a ring
+        # that dropped its head — treat it conservatively as evicted
+        may_have_evicted = len(ring) >= _EWMA_RETAIN
         if h in hours_us:  # boundary-split hour: merge, don't duplicate
             idx = hours_us.index(h)
+            if may_have_evicted and idx < _EWMA_TAPS - 1:
+                # the bar's 16-tap window would read evicted predecessors
+                # — recomputing would silently truncate; drop the late
+                # contribution instead (r11)
+                continue
             ring[idx] += per_hour[h]
             # this bar's total changed, so its EWMA — and every later
             # bar's — must be re-emitted with the merged values
@@ -228,17 +255,19 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
             # SORTED insert (r9 ADVICE fix): a late hour arriving after
             # newer bars were ringed used to be appended at the tail,
             # leaving hours_us unsorted so every later merge and EWMA
-            # window read positionally-misordered bars.  An hour older
-            # than the head of a FULL ring would already have been
-            # evicted — drop it (late data outside the retained window).
+            # window read positionally-misordered bars.
             idx = bisect.bisect_left(hours_us, h)
-            if idx == 0 and len(ring) >= _EWMA_TAPS:
+            if may_have_evicted and idx < _EWMA_TAPS:
+                # insert would evict the head, shifting every re-emitted
+                # bar one position down — position >= 16 pre-insert keeps
+                # all their 16-tap windows complete; older is DROPPED
+                # (late data beyond the reconstructible window, r11)
                 continue
             hours_us.insert(idx, h)
             ring.insert(idx, per_hour[h])
-            if len(ring) > _EWMA_TAPS:
-                hours_us = hours_us[-_EWMA_TAPS:]
-                ring = ring[-_EWMA_TAPS:]
+            if len(ring) > _EWMA_RETAIN:
+                hours_us = hours_us[-_EWMA_RETAIN:]
+                ring = ring[-_EWMA_RETAIN:]
                 idx -= 1
             # a mid-ring insert shifts the EWMA window of every bar at or
             # after it — re-emit them all (tail append re-emits just the
@@ -337,7 +366,16 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
     """Per-user cadence moments, updated incrementally: each arriving
     event contributes one gap to (n, Σg, Σg²) — the whole batch operator
     reduces to three integers of keyed state, which is why the CV
-    inequality scales to an unbounded stream."""
+    inequality scales to an unbounded stream.
+
+    Late-data admission (r11 fix): an event arriving with a timestamp
+    BEFORE the key's last processed event cannot have its true gaps
+    reconstructed from O(1) state (it would retro-split one historical
+    gap into two) — the pre-r11 code appended it anyway, diffing a
+    NEGATIVE gap into Σg/Σg² and corrupting the moments.  Out-of-order
+    arrivals are now dropped at admission (monotone event time per key);
+    equal-timestamp arrivals are kept (a zero gap — identical to the
+    batch operator's contribution for a timestamp tie)."""
     import pandas as pd
 
     last_us, last_id, n, sum_s, sumsq_s = (
@@ -351,16 +389,19 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
             rows.append(pdf[["ts", "event_id"]])
     if rows:
         allr = pd.concat(rows).sort_values(["ts", "event_id"])
-        sec = (pd.to_datetime(allr["ts"]).astype("int64") // 1_000_000_000).to_numpy()
+        ts_us = pd.to_datetime(allr["ts"]).astype("int64") // 1000
+        if last_us is not None:
+            keep = (ts_us >= last_us).to_numpy()
+            allr, ts_us = allr[keep], ts_us[keep]
+    if rows and len(allr):
+        sec = (ts_us // 1_000_000).to_numpy()
         if last_us is not None:
             sec = np.concatenate(([last_us // 1_000_000], sec))
         gaps = np.diff(sec)
         n += int(len(gaps))
         sum_s += int(gaps.sum())
         sumsq_s += int((gaps * gaps).sum())
-        last_us = int(
-            pd.to_datetime(allr["ts"]).astype("int64").iloc[-1] // 1000
-        )
+        last_us = int(ts_us.iloc[-1])
         last_id = int(allr["event_id"].iloc[-1])
     state.update((last_us, last_id, n, sum_s, sumsq_s))
     if n >= 5:

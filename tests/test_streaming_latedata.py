@@ -265,3 +265,209 @@ def test_dedup_by_key_admits_late_rows(spark, tmp_path):
     assert streaming_ops.LAST_NUM_BATCHES >= 3
     report = compare(spark, root, df, spec.oracle)
     assert report["match"], report
+
+
+# ---------------------------------------------------------------------------
+# r11 (VERDICT r10 #4): the applyInPandasWithState quartet + complete-mode
+# OHLC.  These state machines have NO watermark (NoTimeout), so "late" means
+# out-of-ORDER relative to per-key state, not below-watermark — each test
+# pins the operator's admission rule against a clean-twin batch oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_user_totals_admits_late_rows(spark, tmp_path):
+    """streaming_stateful_user_totals (applyInPandasWithState, NoTimeout):
+    count/sum state is arrival-order-INSENSITIVE, so rows arriving days
+    below any would-be watermark still fold in and the drained result
+    equals the batch oracle over ALL rows including the late ones."""
+    schema, base = _events_base()
+    late_existing = _planted(
+        base, event_id=100041, user_id=14, event_type="view", value=55.55,
+        ts=base["ts"].min() + pd.Timedelta(minutes=23),
+    )
+    late_new = _planted(
+        base, event_id=100042, user_id=9401, event_type="click", value=7.25,
+        ts=base["ts"].min() + pd.Timedelta(minutes=29),
+    )
+    root = str(tmp_path / "late_totals")
+    _copy_side_tables(root, skip="events.parquet")
+    wm_floor, _ = _split_with_plants(root, schema, base, [late_existing, late_new], [])
+    assert late_new["ts"].iloc[0] < wm_floor - pd.Timedelta(hours=4)
+
+    spec = CATALOG["streaming_stateful_user_totals"]
+    df = spec.fn(spark, root)
+    assert streaming_ops.LAST_NUM_BATCHES >= 3
+    report = compare(spark, root, df, spec.oracle)
+    assert report["match"], report
+
+
+def test_hourly_ohlc_complete_mode_merges_late_rows(spark, tmp_path):
+    """streaming_hourly_ohlc (watermarked windowed agg, COMPLETE mode):
+    complete mode never evicts window state, so a row arriving days after
+    its bar closed still merges — here it rewrites the bar's OPEN and HIGH
+    (min_by key ordering), proving the merge has teeth, and the drained
+    result equals the batch oracle over ALL rows."""
+    schema, base = _events_base()
+    views = base[base["event_type"] == "view"]
+    bar = views["ts"].min().floor("h")
+    late = _planted(
+        base, event_id=100051, user_id=14, event_type="view", value=777.77,
+        ts=bar + pd.Timedelta(seconds=1),
+    )
+    # the plant opens its bar: earlier than every base event in that hour
+    in_bar = views[views["ts"].dt.floor("h") == bar]
+    assert late["ts"].iloc[0] < in_bar["ts"].min()
+    root = str(tmp_path / "late_ohlc")
+    _copy_side_tables(root, skip="events.parquet")
+    wm_floor, _ = _split_with_plants(root, schema, base, [late], [])
+    assert late["ts"].iloc[0] < wm_floor - pd.Timedelta(hours=4)
+
+    spec = CATALOG["streaming_hourly_ohlc"]
+    df = spec.fn(spark, root)
+    assert streaming_ops.LAST_NUM_BATCHES >= 3
+    report = compare(spark, root, df, spec.oracle)
+    assert report["match"], report
+    # sanity: without the late row the oracle disagrees (open/high moved)
+    clean = str(tmp_path / "clean_ohlc")
+    _copy_side_tables(clean, skip="events.parquet")
+    _write_parts(os.path.join(clean, "events.parquet"), schema, [base])
+    assert not compare(spark, clean, df, spec.oracle)["match"]
+
+
+def _view_bars_through_file1(base):
+    """Distinct 'view' hour-bars the EWMA ring has seen before file2's
+    batch (files split 2/5 | 2/5 | 1/5 in time order)."""
+    n = len(base)
+    f01 = base.iloc[: n * 4 // 5]
+    sub = f01[f01["event_type"] == "view"]
+    return sorted(pd.to_datetime(sub["ts"]).dt.floor("h").unique())
+
+
+def test_ewma_late_bars_within_window_admitted_exactly(spark, tmp_path):
+    """streaming_ewma_hourly: the order-SENSITIVE ring.  A late bar
+    inserted ≤16 positions from the ring tail (and a late contribution
+    MERGED into such a bar) is re-emitted batch-exactly — retention is
+    2×16 bars precisely so these re-emissions keep complete 16-tap
+    windows (r11 fix; the old 16-bar ring silently truncated them).  The
+    drained result equals the batch oracle over ALL rows."""
+    schema, base = _events_base()
+    bars = _view_bars_through_file1(base)
+    all_bars = set(pd.to_datetime(base[base["event_type"] == "view"]["ts"]).dt.floor("h").unique())
+    assert len(bars) >= 32, "ring must be at retention for the test to bite"
+    # empty hour a few ring positions below the tail -> admitted insert:
+    # scan between adjacent ringed bars in the last ~10 positions
+    insert_hour = next(
+        h
+        for i in range(2, 11)
+        for k in range(1, 96)
+        for h in [bars[-i - 1] + pd.Timedelta(hours=k)]
+        if h < bars[-i] and h not in all_bars
+    )
+    newer_than_insert = sum(1 for b in bars[-32:] if b > insert_hour)
+    assert 1 <= newer_than_insert <= 15
+    merge_hour = bars[-2]  # existing bar, 1 ringed bar newer -> idx 30
+    late_insert = _planted(
+        base, event_id=100061, user_id=14, event_type="view", value=41.41,
+        ts=insert_hour + pd.Timedelta(minutes=7),
+    )
+    late_merge = _planted(
+        base, event_id=100062, user_id=14, event_type="view", value=52.52,
+        ts=merge_hour + pd.Timedelta(minutes=9),
+    )
+    root = str(tmp_path / "late_ewma_keep")
+    _copy_side_tables(root, skip="events.parquet")
+    _split_with_plants(root, schema, base, [late_insert, late_merge], [])
+
+    spec = CATALOG["streaming_ewma_hourly"]
+    df = spec.fn(spark, root)
+    assert streaming_ops.LAST_NUM_BATCHES >= 3
+    report = compare(spark, root, df, spec.oracle)
+    assert report["match"], report
+    # sanity: the plants are not invisible — the no-plant oracle disagrees
+    clean = str(tmp_path / "clean_ewma_keep")
+    _copy_side_tables(clean, skip="events.parquet")
+    _write_parts(os.path.join(clean, "events.parquet"), schema, [base])
+    assert not compare(spark, clean, df, spec.oracle)["match"]
+
+
+def test_ewma_too_late_bars_dropped(spark, tmp_path):
+    """streaming_ewma_hourly: a bar arriving ~20 positions below the ring
+    tail cannot have its (or its successors') 16-tap windows rebuilt from
+    bounded state — it is DROPPED (insert and merge alike) instead of the
+    pre-r11 behavior, which admitted it and re-emitted successors with
+    silently truncated windows.  Streamed result equals the clean-twin
+    oracle (plants excluded) and differs from the full-data oracle."""
+    schema, base = _events_base()
+    bars = _view_bars_through_file1(base)
+    all_bars = set(pd.to_datetime(base[base["event_type"] == "view"]["ts"]).dt.floor("h").unique())
+    assert len(bars) >= 32
+    # empty hour with >16 ringed bars newer -> dropped insert: scan the
+    # hours between bars[-22] and bars[-19] for one with no existing bar
+    deep_insert = next(
+        h
+        for k in range(1, 96)
+        for h in [bars[-22] + pd.Timedelta(hours=k)]
+        if h not in all_bars and h < bars[-19]
+    )
+    newer = sum(1 for b in bars[-32:] if b > deep_insert)
+    assert newer > 16, f"insert must be deeper than 16 ring positions ({newer})"
+    merge_hour = bars[-22]  # existing bar, 21 ringed bars newer -> idx 10
+    assert sum(1 for b in bars[-32:] if b > merge_hour) > 17
+    late_insert = _planted(
+        base, event_id=100071, user_id=14, event_type="view", value=63.63,
+        ts=deep_insert + pd.Timedelta(minutes=11),
+    )
+    late_merge = _planted(
+        base, event_id=100072, user_id=14, event_type="view", value=74.74,
+        ts=merge_hour + pd.Timedelta(minutes=13),
+    )
+    root = str(tmp_path / "late_ewma_drop")
+    _copy_side_tables(root, skip="events.parquet")
+    _split_with_plants(root, schema, base, [late_insert, late_merge], [])
+
+    spec = CATALOG["streaming_ewma_hourly"]
+    df = spec.fn(spark, root)
+    assert streaming_ops.LAST_NUM_BATCHES >= 3
+    clean = str(tmp_path / "clean_ewma_drop")
+    _copy_side_tables(clean, skip="events.parquet")
+    _write_parts(os.path.join(clean, "events.parquet"), schema, [base])
+    report = compare(spark, clean, df, spec.oracle)
+    assert report["match"], report
+    assert not compare(spark, root, df, spec.oracle)["match"]
+
+
+def test_bot_cadence_drops_out_of_order_keeps_in_order(spark, tmp_path):
+    """streaming_bot_cadence: gap moments need monotone per-key event
+    time — an out-of-order arrival would retro-split a historical gap,
+    which O(1) state cannot express (the pre-r11 code diffed a NEGATIVE
+    gap into Σg/Σg², corrupting the moments).  Out-of-order events are
+    dropped at admission; in-order events keep folding.  Streamed equals
+    the clean-twin oracle (late row excluded) and differs from the
+    full-data oracle (which would re-split the gap)."""
+    schema, base = _events_base()
+    n = len(base)
+    f01 = base.iloc[: n * 4 // 5]
+    u14_last = f01[f01["user_id"] == 14]["ts"].max()
+    u14_first = base[base["user_id"] == 14]["ts"].min()
+    late_ts = u14_last - pd.Timedelta(days=1, minutes=3)
+    assert u14_first < late_ts < u14_last
+    late = _planted(base, event_id=100081, user_id=14, event_type="view",
+                    ts=late_ts)
+    keep = _planted(base, event_id=100082, user_id=14, event_type="view",
+                    ts=base["ts"].max() + pd.Timedelta(minutes=5))
+    root = str(tmp_path / "late_cadence")
+    _copy_side_tables(root, skip="events.parquet")
+    _split_with_plants(root, schema, base, [late], [keep])
+
+    spec = CATALOG["streaming_bot_cadence"]
+    df = spec.fn(spark, root)
+    assert streaming_ops.LAST_NUM_BATCHES >= 3
+    clean = str(tmp_path / "clean_cadence")
+    _copy_side_tables(clean, skip="events.parquet")
+    _write_parts(
+        os.path.join(clean, "events.parquet"), schema,
+        [pd.concat([base, keep], ignore_index=True)],
+    )
+    report = compare(spark, clean, df, spec.oracle)
+    assert report["match"], report
+    assert not compare(spark, root, df, spec.oracle)["match"]
