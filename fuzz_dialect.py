@@ -161,6 +161,34 @@ TABLES = {
         ],
         "key": "k",
     },
+    # One level deeper (tests/data/fuzz_nested3.parquet, r11 v6):
+    # map-of-STRUCT-OF-MAP, list-of-MAP-OF-LIST, struct-of-LIST-OF-LIST
+    # — every derived expression below keeps DuckDB's list-wrap
+    # (intentional #19) scalar on both engines via map_extract()[1] /
+    # element_at()[1], and list_sum casts away DuckDB's HUGEINT.
+    "nested3_parquet": {
+        "num": [
+            "k",
+            "map_extract(msm, 'a')[1].p",
+            "CAST(cardinality(msm) AS BIGINT)",
+            "element_at(map_extract(msm, 'a')[1].mm, 'x')[1]",
+            "CAST(cardinality(map_extract(msm, 'a')[1].mm) AS BIGINT)",
+            "len(lml)",
+            "CAST(cardinality(lml[1]) AS BIGINT)",
+            "CAST(list_sum(element_at(lml[1], 'u')[1]) AS BIGINT)",
+            "sll.a[1][2]",
+            "len(flatten(sll.a))",
+            "CAST(list_sum(flatten(sll.a)) AS BIGINT)",
+        ],
+        "str": [
+            "ut",
+            "sll.t",
+            "array_to_string(list_sort(map_keys(msm)), ',')",
+            "array_to_string(list_sort(map_keys(lml[1])), '|')",
+            "array_to_string(list_sort(map_keys(map_extract(msm, 'a')[1].mm)), ';')",
+        ],
+        "key": "k",
+    },
 }
 
 # join shapes: (left table, right table, join condition, key for ORDER BY)
@@ -690,7 +718,15 @@ def gen_query(rng: random.Random):
     if shape == 10:  # window functions over a table (wave-13 widened grammar)
         exprs = [g.any_expr(rng.randrange(1, 3)) for _ in range(rng.randrange(1, 3))]
         part = rng.choice(cols["num"] + cols["str"])
-        ncol = rng.choice(cols["num"])
+        # r11 v6: 40% of the time the window aggregand is a full
+        # dialect-rewritten numeric expression (// % concat-NULL packs,
+        # list HOFs) instead of a bare column — frames over rewritten
+        # expressions were an untested interaction
+        ncol = (
+            f"({g.num(rng.randrange(1, 3)).sql})"
+            if rng.random() < 0.4
+            else rng.choice(cols["num"])
+        )
         # rank family takes no frame; value/agg functions may take one
         wfn, frameable = rng.choice(
             [("row_number()", False), ("rank()", False), ("dense_rank()", False),
@@ -1098,12 +1134,85 @@ def gen_statement_seq(rng: random.Random):
     """Returns a list of SQL statements; results compared for each one
     that yields rows (CREATE/DROP MACRO yield none on DuckDB's side and a
     dummy Count row on the engine's — skipped from comparison)."""
-    shape = rng.randrange(11)
+    shape = rng.randrange(15)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     key = cols["key"]
     base_filter = cols.get("filter")
     w = f" WHERE {base_filter}" if base_filter else ""
+    if shape == 11:  # r11 v6: PIVOT × PREPARE in one script — the pivot
+        # materialized by CTAS and queried through a prepared statement
+        # (column-ORDER-stable projection: dynamic pivot column order
+        # differs between engines, so the prepared query aggregates);
+        # the bare PIVOT statement re-checks value parity name-aware
+        pcol = rng.choice(cols["str"])
+        vcol = rng.choice(cols["num"])
+        agg = rng.choice(["sum", "min", "max", "count"])
+        tname = f"fz_pt{rng.randrange(1000)}"
+        pname = f"fz_pq{rng.randrange(1000)}"
+        lit = rng.choice(["0", "1", "-1"])
+        return [
+            f"CREATE OR REPLACE TABLE {tname} AS "
+            f"PIVOT (SELECT {pcol} AS p, {vcol} AS v FROM {table}{w}) "
+            f"ON p USING {agg}(v)",
+            f"PIVOT (SELECT {pcol} AS p, {vcol} AS v FROM {table}{w}) "
+            f"ON p USING {agg}(v)",
+            f"PREPARE {pname} AS SELECT count(*) + $1 AS n FROM {tname}",
+            f"EXECUTE {pname}({lit})",
+            f"DEALLOCATE {pname}",
+            f"DROP TABLE {tname}",
+        ]
+    if shape == 12:  # r11 v6: COLUMNS() expansion inside a PREPARE body
+        # with the prepared param in the WHERE under it
+        agg = rng.choice(["max", "min", "count"])
+        pat = rng.choice(["'.*key'", f"'{key[0]}_.*'", "'.*'"])
+        pname = f"fz_pc{rng.randrange(1000)}"
+        cut = rng.choice(["0", "2", "100"])
+        cond = f"{key} >= $1"
+        return [
+            f"PREPARE {pname} AS SELECT {agg}(COLUMNS({pat})) "
+            f"FROM {table}{w} {'AND' if w else 'WHERE'} {cond}",
+            f"EXECUTE {pname}({cut})",
+            f"DEALLOCATE {pname}",
+        ]
+    if shape == 13:  # r11 v6: macro inside PIVOT — in the pivot source
+        # SELECT always, and (50%) inside the USING aggregate too
+        g = Gen(rng, {"num": ["a"]})
+        body = g.num(rng.randrange(1, 3)).sql
+        pcol = rng.choice(cols["str"])
+        vcol = rng.choice(cols["num"])
+        mname = f"fz_mp{rng.randrange(1000)}"
+        if rng.random() < 0.5:
+            piv = (f"PIVOT (SELECT {pcol} AS p, {mname}({vcol}) AS v "
+                   f"FROM {table}{w}) ON p USING sum(v)")
+        else:
+            piv = (f"PIVOT (SELECT {pcol} AS p, {vcol} AS v "
+                   f"FROM {table}{w}) ON p USING sum({mname}(v))")
+        return [
+            f"CREATE OR REPLACE MACRO {mname}(a) AS ({body})",
+            piv,
+            f"DROP MACRO {mname}",
+        ]
+    if shape == 14:  # r11 v6: window FRAME whose aggregand is a macro
+        # over a dialect-rewritten numeric expression (// % etc.)
+        g = Gen(rng, {"num": ["a"]})
+        body = g.num(rng.randrange(1, 3)).sql
+        c1 = rng.choice(cols["num"])
+        mname = f"fz_mw{rng.randrange(1000)}"
+        fn = rng.choice(["sum", "min", "max", "avg", "count"])
+        frame = rng.choice(
+            ["ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+             f"RANGE BETWEEN {rng.randrange(1, 5)} PRECEDING AND CURRENT ROW"]
+        )
+        return [
+            f"CREATE OR REPLACE MACRO {mname}(a) AS ({body})",
+            f"SELECT {key} AS k, {fn}({mname}({c1})) "
+            f"OVER (ORDER BY {key} {frame}) AS wv "
+            f"FROM {table}{w} ORDER BY k",
+            f"DROP MACRO {mname}",
+        ]
     if shape == 8:  # r10 v5: PREPARE body calls a macro; macro redefined
         # between EXECUTEs (DuckDB re-binds at EXECUTE — probed r10: the
         # redefinition IS visible, and EXECUTE after DROP MACRO errors)
@@ -1519,15 +1628,15 @@ INTENTIONAL = [
     # #17/#18: JVM full Unicode case mappings vs DuckDB simple mappings —
     # only the unicode-heavy column exercises them
     # (nested2's unicode carriers sm.t and ...[1].q included — r10 soak
-    # seed 65020: lower('ẞ İ') via sm.t)
+    # seed 65020: lower('ẞ İ') via sm.t; nested3 adds ut and sll.t, r11)
     re.compile(
         r"\b(upper|ucase|lower|lcase|initcap)\s*\([^;]*"
-        r"(\bus\b|sm\s*\.\s*t\b|\.\s*q\b)",
+        r"(\bus\b|\but\b|(sm|sll)\s*\.\s*t\b|\.\s*q\b)",
         re.IGNORECASE,
     ),
     # #18: codepoint vs grapheme reverse on combining sequences
     re.compile(
-        r"\breverse\s*\([^;]*(\bus\b|sm\s*\.\s*t\b|\.\s*q\b)",
+        r"\breverse\s*\([^;]*(\bus\b|\but\b|(sm|sll)\s*\.\s*t\b|\.\s*q\b)",
         re.IGNORECASE,
     ),
     # #19: map subscript returns the VALUE here, a one-element LIST there
@@ -1554,8 +1663,8 @@ INTENTIONAL = [
     # element-level null order, which Spark fixes smallest / DuckDB
     # largest)
     re.compile(
-        r"(?is)\bnested2?_parquet\b.*\b(min|max)\s*\(\s*columns"
-        r"|\b(min|max)\s*\(\s*columns.*\bnested2?_parquet\b"
+        r"(?is)\bnested[23]?_parquet\b.*\b(min|max)\s*\(\s*columns"
+        r"|\b(min|max)\s*\(\s*columns.*\bnested[23]?_parquet\b"
     ),
 ]
 
@@ -1586,6 +1695,7 @@ def main() -> int:
     nulls_path = "/root/repo/tests/data/fuzz_nulls.parquet"
     nested_path = "/root/repo/tests/data/fuzz_nested.parquet"
     nested2_path = "/root/repo/tests/data/fuzz_nested2.parquet"
+    nested3_path = "/root/repo/tests/data/fuzz_nested3.parquet"
     for t in TABLES:
         if t == "nulls_parquet":
             path = nulls_path
@@ -1593,12 +1703,15 @@ def main() -> int:
             path = nested_path
         elif t == "nested2_parquet":
             path = nested2_path
+        elif t == "nested3_parquet":
+            path = nested3_path
         else:
             path = f"{SF_DIR}/{t.rsplit('_', 1)[0]}.parquet"
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     engine.spark.read.parquet(nulls_path).createOrReplaceTempView("nulls_parquet")
     engine.spark.read.parquet(nested_path).createOrReplaceTempView("nested_parquet")
     engine.spark.read.parquet(nested2_path).createOrReplaceTempView("nested2_parquet")
+    engine.spark.read.parquet(nested3_path).createOrReplaceTempView("nested3_parquet")
     differ = Differ(engine, con)
 
     seeds = [args.one] if args.one is not None else range(args.start, args.start + args.seeds)

@@ -37,6 +37,10 @@ N_BANDS = 4  # 4 rows per band
 # of them on a deduplicated corpus — pay zero tiling overhead.  Tests
 # shrink it further to force multi-chunk tiling on small fixtures.
 _BAND_CHUNK_C = 1024
+# fuzzy_join_rarest_token's block-tiling chunk size — module-level so the
+# skew rehearsal can patch it (1e9 reproduces the untiled 'before' plan),
+# same knob pattern as _BAND_CHUNK_C above.
+_FUZZY_CHUNK_C = 2048
 
 
 @query(
@@ -1332,7 +1336,7 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ca ≤ cb) chunk tile: every pair lands in exactly one tile, each
     # task verifies ≤ C² pairs, and the hot block fans out over
     # k(k+1)/2 tile keys instead of one.
-    chunk_c = 2048
+    chunk_c = _FUZZY_CHUNK_C
     w_chunk = W.partitionBy("block_key").orderBy("doc_id")
     sized = (
         blocked.withColumn("rn", F.row_number().over(w_chunk))

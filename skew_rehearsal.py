@@ -114,7 +114,10 @@ def main() -> None:
     if args.chunk_c is not None:
         from parquet_query_spark.operators import dedup
 
-        dedup._BAND_CHUNK_C = args.chunk_c
+        if args.op == "fuzzy_join_rarest_token":
+            dedup._FUZZY_CHUNK_C = args.chunk_c
+        else:
+            dedup._BAND_CHUNK_C = args.chunk_c
 
     spec = load_all()[args.op]
     t0 = time.time()
