@@ -1299,9 +1299,12 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency — hot common tokens ("the") never become join keys, which
     is precisely what kills naive token-blocked joins at 100 TB.  The DF
     table is one word-keyed aggregation; the block assignment is a
-    row_number argmin; the candidate join carries slim (doc_id, key) rows
-    with word sets re-attached afterward by doc_id (the same
-    slim-shuffle discipline as the MinHash LSH join).  Trade-off (single
+    row_number argmin; the candidate join carries the ≤8-word sets WITH
+    the block rows and verifies Jaccard INSIDE the join stage (r11) —
+    raw candidate pairs are bounded only by rarest-token df, so they
+    must stay transient codegen rows, never shuffle payload (the
+    re-attach-by-doc_id shape moved ~150 GB at 512× and died; only
+    verified survivors shuffle now).  Trade-off (single
     blocking key misses pairs whose rarest tokens differ) is the standard
     ER recall/cost dial — add the 2nd-rarest token as a second blocking
     pass to raise recall."""
@@ -1327,79 +1330,92 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("word").alias("block_key"))
     )
-    # Tiled self-join: a block's pairs grow quadratically in its size, and
-    # a plain equi-join on block_key puts the WHOLE hot block's pair
-    # explosion in one task (join-key skew by output, which AQE's
-    # input-size-based skew split never sees — observed at 8× scale:
-    # a 9,000-doc block = 40M pairs in a single task).  Chunk each block
-    # into runs of C docs (row_number order) and emit one join key per
-    # (ca ≤ cb) chunk tile: every pair lands in exactly one tile, each
-    # task verifies ≤ C² pairs, and the hot block fans out over
-    # k(k+1)/2 tile keys instead of one.
+    # Tiled self-join, unified with the band kernel's two-path design
+    # (r11; _lsh_candidate_pairs_with_shingles): a block's pairs grow
+    # quadratically in its size, and a plain equi-join on block_key puts
+    # the WHOLE hot block's pair explosion in one task (join-key skew by
+    # output, which AQE's input-size-based skew split never sees —
+    # observed at 8× scale: a 9,000-doc block = 40M pairs in a single
+    # task).  Blocks with ≤ C docs take the plain self-join; oversized
+    # blocks fan out over (ca ≤ cb) chunk tiles via explode(sequence) —
+    # every pair lands in exactly one tile, each task verifies ≤ C²
+    # pairs, and no vocabulary-sized tiles table is broadcast (the r10
+    # broadcast-tiles shape died at 100 TB vocabularies by construction).
+    #
+    # CRITICAL scale property (r11 512× post-mortem): the word sets ride
+    # INTO the tile join and the Jaccard threshold filters INSIDE the
+    # join stage, so raw candidate pairs — ~10⁹ at 512×, since block
+    # sizes are bounded only by the rarest token's df — are transient
+    # codegen rows, never shuffle payload.  The previous shape emitted
+    # slim raw pairs and re-attached words by TWO doc_id shuffle joins:
+    # ~150 GB through the exchange at 512×, which filled the disk with
+    # sort spill.  Verified output (the jac ≥ 0.5 survivors) is what
+    # shuffles afterward, and that is duplicate-mass-sized.
     chunk_c = _FUZZY_CHUNK_C
     w_chunk = W.partitionBy("block_key").orderBy("doc_id")
+    w_block = W.partitionBy("block_key")
     sized = (
-        blocked.withColumn("rn", F.row_number().over(w_chunk))
+        blocked.join(pref, "doc_id")
+        .withColumn("rn", F.row_number().over(w_chunk))
         .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
+        .withColumn("kmax", F.max("chunk").over(w_block))
     )
-    chunks = sized.select("block_key", "chunk").distinct()
-    tiles = (
-        chunks.alias("ta")
-        .join(
-            chunks.alias("tb"),
-            (F.col("ta.block_key") == F.col("tb.block_key"))
-            & (F.col("ta.chunk") <= F.col("tb.chunk")),
+
+    def _jac_pairs(a, b):
+        inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+        jac = inter / (F.size("wa") + F.size("wb") - inter)
+        return (
+            a.join(b, [c for c in a.columns if c in b.columns and c not in
+                       ("doc_a", "doc_b", "rn_a", "rn_b", "wa", "wb")])
+            .where(F.col("rn_a") < F.col("rn_b"))
+            .where(jac >= 0.5)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         )
-        .select(
-            F.col("ta.block_key").alias("block_key"),
-            F.col("ta.chunk").alias("ca"),
-            F.col("tb.chunk").alias("cb"),
-        )
+
+    small = sized.where(F.col("kmax") == 0)
+    pairs_small = _jac_pairs(
+        small.select(
+            "block_key",
+            F.col("doc_id").alias("doc_a"),
+            F.col("rn").alias("rn_a"),
+            F.col("words").alias("wa"),
+        ),
+        small.select(
+            "block_key",
+            F.col("doc_id").alias("doc_b"),
+            F.col("rn").alias("rn_b"),
+            F.col("words").alias("wb"),
+        ),
     )
-    a_rep = (
-        sized.join(F.broadcast(tiles), ["block_key"])
-        .where(F.col("chunk") == F.col("ca"))
-        .select("block_key", "ca", "cb", F.col("doc_id").alias("doc_a"), F.col("rn").alias("rn_a"))
+    hot = sized.where(F.col("kmax") > 0)
+    a_rep = hot.select(
+        "block_key",
+        F.col("chunk").alias("ca"),
+        F.explode(F.sequence("chunk", "kmax")).alias("cb"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        F.col("words").alias("wa"),
     )
-    b_rep = (
-        sized.join(F.broadcast(tiles), ["block_key"])
-        .where(F.col("chunk") == F.col("cb"))
-        .select("block_key", "ca", "cb", F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b"))
+    b_rep = hot.select(
+        "block_key",
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ca"),
+        F.col("chunk").alias("cb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("words").alias("wb"),
     )
     # Explicit fixed-count repartition on the tile key: the tile INPUTS are
     # a few MB, so AQE's input-size-based coalesce would fold every tile
     # back into one post-shuffle partition — re-serializing the explosion
     # it was built to avoid.  A user repartition with an explicit count is
     # never coalesced, and the join reuses the partitioning (no extra
-    # exchange).
+    # exchange).  Only hot-block rows pay it; the hot branch is empty
+    # until some rarest token's df exceeds C.
     n_part = spark.sparkContext.defaultParallelism * 2
     a_rep = a_rep.repartition(n_part, "block_key", "ca", "cb")
     b_rep = b_rep.repartition(n_part, "block_key", "ca", "cb")
-    cand = (
-        a_rep.join(b_rep, ["block_key", "ca", "cb"])
-        .where(F.col("rn_a") < F.col("rn_b"))
-        .select("doc_a", "doc_b")
-    )
-    scored = (
-        cand.join(
-            pref.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa")),
-            "doc_a",
-        )
-        .join(
-            pref.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb")),
-            "doc_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("wa", "wb")).cast("double"))
-        .withColumn(
-            "jac",
-            F.col("inter") / (F.size("wa") + F.size("wb") - F.col("inter")),
-        )
-    )
-    return (
-        scored.where(F.col("jac") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    pairs_hot = _jac_pairs(a_rep, b_rep)
+    return pairs_small.unionByName(pairs_hot).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -75,6 +75,14 @@ def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = No
     )
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    # Ad-hoc STATIC confs (settable only at session creation), e.g. the
+    # growth harness passes spark.cleaner.periodicGC.interval so multi-
+    # action pipelines release checkpoint-truncated shuffle files while
+    # running instead of holding ~10x-corpus spill until app exit:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.cleaner.periodicGC.interval=90s"
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     from parquet_query_spark.functions.similarity_udfs import (

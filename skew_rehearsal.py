@@ -64,7 +64,7 @@ def task_write_distribution(spark):
         for t in tasks.values()
     )
     busy = [w for w in writes if w > 0]
-    return {
+    out = {
         "stage_id": hot["stageId"],
         "stage_name": hot["name"][:80],
         "total_write_records": hot.get("shuffleWriteRecords", 0),
@@ -76,6 +76,39 @@ def task_write_distribution(spark):
             round(max(writes) / statistics.median(busy), 2) if busy else None
         ),
     }
+    # r11: the inline-verify join shapes keep the pair explosion OUT of
+    # the shuffle entirely — there skew manifests as task DURATION on the
+    # join stage, not write records.  Report the duration distribution of
+    # the stage with the largest summed task time as a second lens.
+    def _durs(stage):
+        d = _rest(
+            base,
+            f"applications/{app}/stages/{stage['stageId']}/"
+            f"{stage['attemptId']}?details=true&taskStatus=SUCCESS",
+        )
+        if isinstance(d, list):
+            d = d[0]
+        return sorted(
+            t.get("duration", 0) for t in d.get("tasks", {}).values()
+        )
+    slow = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    durs = _durs(slow)
+    busy_d = [x for x in durs if x > 0] or [0]
+    out.update(
+        {
+            "slowest_stage_id": slow["stageId"],
+            "slowest_stage_name": slow["name"][:80],
+            "stage_executor_run_ms": slow.get("executorRunTime", 0),
+            "max_task_ms": max(durs) if durs else 0,
+            "median_busy_task_ms": int(statistics.median(busy_d)),
+            "max_over_median_ms": (
+                round(max(durs) / statistics.median(busy_d), 2)
+                if durs and statistics.median(busy_d) > 0
+                else None
+            ),
+        }
+    )
+    return out
 
 
 def main() -> None:

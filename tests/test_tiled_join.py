@@ -42,40 +42,48 @@ def _blocked(spark, docs):
 
 
 def _tiled_pairs(spark, blocked, chunk_c):
-    """The operator's tile decomposition, parameterized chunk size."""
+    """The operator's tile decomposition (r11 two-path shape, mirroring
+    the band kernel: ≤C blocks take the plain self-join, oversized blocks
+    fan out over explode(sequence) chunk tiles — no broadcast tiles
+    table), parameterized chunk size."""
     w_chunk = W.partitionBy("block_key").orderBy("doc_id")
-    sized = blocked.withColumn("rn", F.row_number().over(w_chunk)).withColumn(
-        "chunk", F.expr(f"(rn - 1) DIV {chunk_c}")
+    w_block = W.partitionBy("block_key")
+    sized = (
+        blocked.withColumn("rn", F.row_number().over(w_chunk))
+        .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
+        .withColumn("kmax", F.max("chunk").over(w_block))
     )
-    chunks = sized.select("block_key", "chunk").distinct()
-    tiles = (
-        chunks.alias("ta")
-        .join(
-            chunks.alias("tb"),
-            (F.col("ta.block_key") == F.col("tb.block_key"))
-            & (F.col("ta.chunk") <= F.col("tb.chunk")),
-        )
-        .select(
-            F.col("ta.block_key").alias("block_key"),
-            F.col("ta.chunk").alias("ca"),
-            F.col("tb.chunk").alias("cb"),
-        )
+    small = sized.where(F.col("kmax") == 0)
+    cand_small = (
+        small.select("block_key", F.col("doc_id").alias("doc_a"))
+        .join(small.select("block_key", F.col("doc_id").alias("doc_b")), "block_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
-    a_rep = (
-        sized.join(F.broadcast(tiles), ["block_key"])
-        .where(F.col("chunk") == F.col("ca"))
-        .select("block_key", "ca", "cb", F.col("doc_id").alias("doc_a"), F.col("rn").alias("rn_a"))
+    hot = sized.where(F.col("kmax") > 0)
+    a_rep = hot.select(
+        "block_key",
+        F.col("chunk").alias("ca"),
+        F.explode(F.sequence("chunk", "kmax")).alias("cb"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
     )
-    b_rep = (
-        sized.join(F.broadcast(tiles), ["block_key"])
-        .where(F.col("chunk") == F.col("cb"))
-        .select("block_key", "ca", "cb", F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b"))
+    b_rep = hot.select(
+        "block_key",
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ca"),
+        F.col("chunk").alias("cb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rn_b"),
     )
-    return (
+    n_part = spark.sparkContext.defaultParallelism * 2
+    a_rep = a_rep.repartition(n_part, "block_key", "ca", "cb")
+    b_rep = b_rep.repartition(n_part, "block_key", "ca", "cb")
+    cand_hot = (
         a_rep.join(b_rep, ["block_key", "ca", "cb"])
         .where(F.col("rn_a") < F.col("rn_b"))
         .select("doc_a", "doc_b")
     )
+    return cand_small.unionByName(cand_hot)
 
 
 def _naive_pairs(blocked):
