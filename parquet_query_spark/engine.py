@@ -37,6 +37,12 @@ _ORDER_ALL_TAIL = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE [OR REPLACE] TABLE <name> AS <body> — decomposed in sql() (the
+# v1 catalog cannot REPLACE TABLE AS SELECT; PIVOT bodies need routing).
+_CREATE_TABLE_AS = re.compile(
+    r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_]\w*)\s+AS\s+(\S[\s\S]*)$"
+)
 from parquet_query_spark.workbench.formatting import format_cell
 from parquet_query_spark.workbench.summarize import (
     summarize,
@@ -325,6 +331,28 @@ class Engine:
         if is_execute(statement):
             return self.sql(expand_execute(self.prepared, statement))
         statement = expand_macros(statement, self.macros)
+        # DuckDB CREATE [OR REPLACE] TABLE <n> AS <body> (r11): Spark's
+        # v1 session catalog rejects REPLACE TABLE AS SELECT outright
+        # (probed: UNSUPPORTED_FEATURE.TABLE_OPERATION even for a fresh
+        # name), and a PIVOT / ORDER BY ALL / COLUMNS(...) body never
+        # reaches this engine's statement routing when Spark parses the
+        # CTAS natively.  Decompose: the body re-enters sql() (full
+        # routing), then writes via saveAsTable — drop-first under OR
+        # REPLACE, mode("ignore") under IF NOT EXISTS, default
+        # error-if-exists otherwise (DuckDB's duplicate error analog).
+        m_ctas = _CREATE_TABLE_AS.match(statement)
+        if m_ctas:
+            name = m_ctas.group(3).strip("`")
+            df = self.sql(m_ctas.group(4))
+            writer = df.write
+            if m_ctas.group(1):
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS `{name.replace('`', '``')}`"
+                )
+            elif m_ctas.group(2):
+                writer = writer.mode("ignore")
+            writer.saveAsTable(name)
+            return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
         # DuckDB UNION [ALL] BY NAME — engine-side unionByName fold.
         from parquet_query_spark.workbench.set_ops import (
             has_union_by_name,

@@ -206,3 +206,46 @@ def test_engine_insert_by_name_matches_duckdb(engine):
     assert got == want
     engine.exec("DROP TABLE __tbn_r7")
     con.close()
+
+
+def test_r11_create_table_as_pivot_and_replace(engine):
+    """r11 (fuzz v6 shape 11 exposure): Spark's v1 session catalog cannot
+    REPLACE TABLE AS SELECT at all, and a PIVOT body never reached the
+    statement routing through native CTAS — CREATE [OR REPLACE] TABLE AS
+    is now decomposed (body re-enters sql(), saveAsTable writes).
+    Parity pinned against live DuckDB for: CTAS over PIVOT, OR REPLACE
+    rebuild, and duplicate plain CREATE erroring on both engines."""
+    import duckdb
+    import pytest as _pytest
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW nation_parquet AS "
+        "SELECT * FROM '/root/testdata/sf0.001/nation.parquet'"
+    )
+    engine.spark.read.parquet(
+        "/root/testdata/sf0.001/nation.parquet"
+    ).createOrReplaceTempView("nation_parquet")
+    n = "__ctas_r11"
+    engine.exec(f"DROP TABLE IF EXISTS {n}")
+    for q in [
+        f"CREATE OR REPLACE TABLE {n} AS PIVOT (SELECT n_name AS p, "
+        f"n_regionkey AS v FROM nation_parquet WHERE n_nationkey < 4) "
+        f"ON p USING sum(v)",
+        f"CREATE OR REPLACE TABLE {n} AS SELECT 7 AS g",
+    ]:
+        engine.sql(q)
+        con.execute(q)
+    q2 = f"SELECT count(*) AS c, min(g) AS g FROM {n}"
+    assert [tuple(r) for r in engine.sql(q2).collect()] == con.execute(q2).fetchall()
+    engine.exec(f"DROP TABLE {n}")
+    con.execute(f"DROP TABLE {n}")
+    engine.sql(f"CREATE TABLE {n} AS SELECT 1 AS g")
+    con.execute(f"CREATE TABLE {n} AS SELECT 1 AS g")
+    with _pytest.raises(Exception, match="(?i)already exists"):
+        engine.sql(f"CREATE TABLE {n} AS SELECT 2 AS g")
+    with _pytest.raises(Exception, match="(?i)already exists"):
+        con.execute(f"CREATE TABLE {n} AS SELECT 2 AS g")
+    engine.exec(f"DROP TABLE {n}")
+    con.execute(f"DROP TABLE {n}")
+    con.close()
