@@ -330,6 +330,7 @@ class Engine:
             return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
         if is_execute(statement):
             return self.sql(expand_execute(self.prepared, statement))
+        pre_macro_statement = statement
         statement = expand_macros(statement, self.macros)
         # DuckDB CREATE [OR REPLACE] TABLE <n> AS <body> (r11): Spark's
         # v1 session catalog rejects REPLACE TABLE AS SELECT outright
@@ -401,7 +402,7 @@ class Engine:
         if is_copy_statement(statement):
             return run_copy(self, statement)
         if is_pivot_statement(statement):
-            return run_pivot(self, statement)
+            return run_pivot(self, statement, raw_statement=pre_macro_statement)
         if has_columns_expr(statement):
             return self.sql(expand_columns(self, statement))
         if has_star_replace(statement):

@@ -149,8 +149,28 @@ def _referenced_idents(expr: str) -> set[str]:
     return out
 
 
-def run_pivot(engine, statement: str):
-    """Execute a DuckDB PIVOT statement on the engine; returns a DataFrame."""
+def _rewrite_using_expr(expr: str) -> str:
+    """Dialect-rewrite a PIVOT USING aggregate expression (fuzz v6:
+    macro expansion can leave gcd/list_sum/``//``/... in the aggregate,
+    which never passes through the statement-level shim on this path —
+    F.expr on the raw text then fails UNRESOLVED_ROUTINE/parse)."""
+    from parquet_query_spark.workbench.dialect import rewrite_duckdb_dialect
+
+    rewritten = rewrite_duckdb_dialect(f"SELECT {expr} AS __pv_u")
+    m = re.match(r"(?is)^\s*SELECT\s+(.*)\s+AS\s+__pv_u\s*$", rewritten)
+    return m.group(1) if m else expr
+
+
+def run_pivot(engine, statement: str, raw_statement: str | None = None):
+    """Execute a DuckDB PIVOT statement on the engine; returns a DataFrame.
+
+    ``raw_statement`` is the PRE-macro-expansion text when the engine has
+    one: DuckDB decides the implicit group columns from the USING
+    arguments BEFORE macro binding, so ``USING sum(m(v))`` consumes ``v``
+    even when the macro body ignores its argument — after our earlier
+    textual expansion that reference can vanish (fuzz v6 seeds
+    90151/90166: a constant-body macro left ``v`` as a spurious implicit
+    group column)."""
     from pyspark.sql import functions as F
 
     p = parse_pivot(statement)
@@ -169,7 +189,7 @@ def run_pivot(engine, statement: str):
     using = p["using"] or [("count(*)", None)]
     aggs = []
     for expr, alias in using:
-        c = F.expr(expr)
+        c = F.expr(_rewrite_using_expr(expr))
         if alias is not None:
             c = c.alias(alias)
         aggs.append(c)
@@ -178,10 +198,18 @@ def run_pivot(engine, statement: str):
         groups = [cols_lower.get(g.lower(), g) for g in p["group_by"]]
     else:
         # DuckDB default: every column not pivoted on and not consumed by
-        # a USING aggregate is an implicit group column.
+        # a USING aggregate is an implicit group column.  Consumption is
+        # judged on the PRE-expansion text too (see docstring).
         used = set()
         for expr, _ in using:
             used |= _referenced_idents(expr)
+        if raw_statement is not None:
+            try:
+                raw_using = parse_pivot(raw_statement)["using"]
+                for expr, _ in raw_using or []:
+                    used |= _referenced_idents(expr)
+            except ValueError:
+                pass  # raw text unparseable -> post-expansion refs only
         groups = [
             c
             for c in base.columns
@@ -213,7 +241,9 @@ def run_pivot(engine, statement: str):
         _PIVOT_VIEW_SEQ += 1
         view = f"__pivot_result_{_PIVOT_VIEW_SEQ}"
         out.createOrReplaceTempView(view)
-        out = engine.spark.sql(f"SELECT * FROM {view} {p['tail']}")
+        # engine.sql, not spark.sql: the tail may carry dialect surface
+        # (ORDER BY ALL, renamed functions) that raw Spark rejects
+        out = engine.sql(f"SELECT * FROM {view} {p['tail']}")
     return out
 
 
