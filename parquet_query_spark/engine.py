@@ -216,17 +216,21 @@ class Engine:
         df = self.sql(head)
         desc = (m.group("dir") or "").upper() == "DESC"
         nulls_first = (m.group("nulls") or "LAST").upper() == "FIRST"
-        # MAP columns are unorderable in Spark (INVALID_ORDERING_TYPE) but
-        # DuckDB compares them by INSERTION-ORDER entry list (probed r11:
-        # MAP(['a','z'],[9,9]) < MAP(['b','a'],[1,1]) — positional, NOT
-        # key-sorted; shorter-prefix is smaller, matching Spark's array
-        # comparison).  Sort them on map_entries(c) — Spark preserves the
-        # stored entry order — in schema position; when the entry struct
-        # itself is unorderable (map-valued values, decided from the
-        # SCHEMA, not a trial plan), fall back to skipping map columns,
-        # where the remaining columns disambiguate (fuzz r9 seed 1874).
-        # NULL-valued entries compare smallest here, NULL there —
-        # intentional difference #21's element-null class.
+        # MAP-bearing columns are unorderable in Spark
+        # (INVALID_ORDERING_TYPE) at ANY nesting depth — a bare MAP, an
+        # array<map>, a struct carrying a map field (fuzz v6 seed 94153
+        # over nested3) — but DuckDB compares them all by INSERTION-ORDER
+        # entry list (probed r11: MAP(['a','z'],[9,9]) <
+        # MAP(['b','a'],[1,1]) — positional, NOT key-sorted;
+        # shorter-prefix is smaller, matching Spark's array comparison).
+        # Convert recursively from the SCHEMA (no trial plan): every MAP
+        # becomes its map_entries list — Spark preserves stored entry
+        # order — with key/value converted in turn; arrays map the
+        # conversion over elements; structs rebuild with converted fields
+        # (NULL-guarded: F.struct would turn a NULL struct into a
+        # struct-of-NULLs and misrank it).  NULL-valued entries compare
+        # smallest here, NULL there — intentional difference #21's
+        # element-null class.
         from pyspark.sql import functions as F
         from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -244,26 +248,32 @@ class Engine:
                 return any(_contains_map(f.dataType) for f in dt.fields)
             return False
 
-        keys = []
-        fallback_keys = []
-        nested_map = False
-        for f in df.schema.fields:
-            if isinstance(f.dataType, MapType):
-                if _contains_map(f.dataType.keyType) or _contains_map(
-                    f.dataType.valueType
-                ):
-                    nested_map = True
-                keys.append(_dir(F.map_entries(df[f.name])))
-            else:
-                keys.append(_dir(df[f.name]))
-                fallback_keys.append(_dir(df[f.name]))
+        def _orderable(col, dt):
+            if isinstance(dt, MapType):
+                return F.transform(
+                    F.map_entries(col),
+                    lambda e: F.struct(
+                        _orderable(e["key"], dt.keyType).alias("key"),
+                        _orderable(e["value"], dt.valueType).alias("value"),
+                    ),
+                )
+            if isinstance(dt, ArrayType) and _contains_map(dt.elementType):
+                return F.transform(col, lambda x: _orderable(x, dt.elementType))
+            if isinstance(dt, StructType) and _contains_map(dt):
+                rebuilt = F.struct(
+                    *[
+                        _orderable(col[f.name], f.dataType).alias(f.name)
+                        for f in dt.fields
+                    ]
+                )
+                return F.when(col.isNotNull(), rebuilt)
+            return col
+
+        keys = [
+            _dir(_orderable(df[f.name], f.dataType)) for f in df.schema.fields
+        ]
         if keys:
-            if nested_map:
-                # entry struct carries a nested MAP → unorderable even as
-                # entries; skip map columns entirely (pinned behavior)
-                df = df.orderBy(*fallback_keys) if fallback_keys else df
-            else:
-                df = df.orderBy(*keys)
+            df = df.orderBy(*keys)
         if m.group("offset"):
             df = df.offset(int(m.group("offset")))
         if m.group("limit"):

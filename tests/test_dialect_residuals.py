@@ -735,19 +735,51 @@ def test_r11_map_ordering_insertion_order_not_key_sorted(engine):
     con.close()
 
 
-def test_r11_order_by_all_nested_map_schema_fallback(engine):
-    """ADVICE r10 (low): the ORDER BY ALL map handler now decides
-    orderability from the SCHEMA (entry struct carrying a nested MAP →
-    skip map columns, fuzz r9 seed 1874 behavior) instead of a bare
-    ``except Exception`` around a trial orderBy — so an unrelated
-    planner error can no longer silently degrade the ordering."""
-    q = ("SELECT * FROM (VALUES (2, MAP(['a'],[MAP(['x'],[1])])), "
-         "(1, MAP(['b'],[MAP(['y'],[2])]))) t(k, mm) ORDER BY ALL")
-    got = [r[0] for r in engine.sql(q).collect()]
-    assert got == [1, 2]  # k orders; the map-of-map column is skipped
-    # DESC direction through the same fallback
-    got_d = [r[0] for r in engine.sql(q + " DESC").collect()]
-    assert got_d == [2, 1]
+def test_r11_order_by_all_deeply_nested_maps(engine):
+    """ADVICE r10 (low) + fuzz v6 seed 94153: ORDER BY ALL converts
+    MAP-bearing columns to orderable shapes RECURSIVELY from the schema
+    (map-of-map, array<map>, struct-with-map-field) instead of a bare
+    ``except Exception`` around a trial orderBy — unrelated planner
+    errors surface, and the deep shapes now ORDER with DuckDB parity
+    (positional entry-list comparison at every level) rather than being
+    skipped or failing analysis."""
+    import duckdb
+
+    con = duckdb.connect()
+    # map-of-map decides the order (constant k)
+    q = ("SELECT * FROM (VALUES (1, MAP(['a'],[MAP(['x'],[2])])), "
+         "(1, MAP(['a'],[MAP(['x'],[1])])), "
+         "(1, MAP(['b'],[MAP(['y'],[0])]))) t(k, mm) ORDER BY ALL")
+    for suffix in ["", " DESC"]:
+        got = [
+            {k2: dict(v) for k2, v in r[1].items()}
+            for r in engine.sql(q + suffix).collect()
+        ]
+        want = [
+            {
+                k2: dict(zip(v["key"], v["value"]))
+                for k2, v in zip(m["key"], m["value"])
+            }
+            for _, m in con.execute(q + suffix).fetchall()
+        ]
+        assert got == want, (suffix, got, want)
+    # array<map> column (the seed's shape, over the committed fixture)
+    P = "/root/repo/tests/data/fuzz_nested3.parquet"
+    engine.spark.read.parquet(P).createOrReplaceTempView("nested3_parquet")
+    con.execute(f"CREATE VIEW nested3_parquet AS SELECT * FROM '{P}'")
+    q2 = "SELECT k, lml FROM nested3_parquet ORDER BY ALL LIMIT 6"
+    got2 = [r[0] for r in engine.sql(q2).collect()]
+    want2 = [r[0] for r in con.execute(q2).fetchall()]
+    assert got2 == want2
+    # struct-with-map field + NULL struct ranks as NULL, not
+    # struct-of-NULLs (constant k forces the struct column to decide)
+    q3 = ("SELECT * FROM (VALUES (1, {'m': MAP(['b'],[1]), 's': 'x'}), "
+          "(1, NULL), (1, {'m': MAP(['a'],[9]), 's': 'y'})) t(k, st) "
+          "ORDER BY ALL")
+    got3 = [(r[1] is None, r[1] and r[1]["s"]) for r in engine.sql(q3).collect()]
+    want3 = [(r[1] is None, r[1] and r[1]["s"]) for r in con.execute(q3).fetchall()]
+    assert got3 == want3  # NULL struct ranks as NULL, same position
+    con.close()
 
 
 def test_r11_execute_whitespace_only_parens_raises(engine):
