@@ -1360,6 +1360,16 @@ def _string_subscript_base(base: str) -> bool:
     b = base.strip()
     if _STRING_LITERAL_BASE.match(b):
         return True
+    # A paren group HEADED by a string literal — ``('BUILDING' ||
+    # 'xy')[2:2]`` (fuzz v6 seed 96787) — is statically string too: a
+    # leading VARCHAR operand keeps ``||`` chains VARCHAR in DuckDB
+    # (even against a list, which it stringifies), and the fallback's
+    # per-base head enumeration has no identifier to key such a base on,
+    # so it must classify statically or never get the string reading.
+    # (Comments are stripped before any rewrite pass, so ``\s*`` is
+    # mask-safe here.)
+    if re.match(r"^[\s(]*'", b):
+        return True
     mode = _STRING_SUBSCRIPTS.get()
     if not mode:
         return False

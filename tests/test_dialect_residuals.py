@@ -838,3 +838,27 @@ def test_r10_empty_list_comprehension_keeps_neutral_type(engine):
         want = con.execute(q).fetchall()
         assert got == want, (q, got, want)
     con.close()
+
+
+def test_r11_paren_string_concat_subscript(engine):
+    """fuzz v6 seed 96787: a paren group HEADED by a string literal —
+    ``('BUILDING' || 'xy')[2:2]`` — takes the string (substr) reading
+    statically: the fallback's per-base enumeration keys on head
+    identifiers and such a base has none, so without static
+    classification no retry variant could ever produce the string
+    reading.  Parity pinned against live DuckDB alongside an array
+    subscript in the same query (no single global mode satisfies
+    both)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in [
+        "SELECT (('BUILDING' || 'xy'))[2:2] AS a, ('ab' || 'cd')[-3:] AS b",
+        "SELECT ('a' || 'bc')[2] AS a, ([1,2] || [3])[2] AS b",
+    ]:
+        got = [tuple(r) for r in engine.sql(q).collect()]
+        want = con.execute(q).fetchall()
+        assert [tuple(str(c) for c in r) for r in got] == [
+            tuple(str(c) for c in r) for r in want
+        ], (q, got, want)
+    con.close()
