@@ -461,9 +461,12 @@ def test_residual_20_duckdb_list_partition_ranking_bug(engine):
 
 
 def test_r9_order_by_all_skips_map_columns(engine):
-    """ORDER BY ALL over a projection containing a MAP column: Spark
-    cannot sort maps (INVALID_ORDERING_TYPE) — the engine-side expansion
-    skips them; the remaining columns disambiguate (fuzz r9 seed 1874)."""
+    """ORDER BY ALL over a projection containing a MAP column (fuzz r9
+    seed 1874).  History: r9 SKIPPED map columns, r10 sorted them via a
+    (wrong-model) key-sorted surrogate, r11 converts them recursively to
+    insertion-order entry lists — this test's k-first ordering held
+    through all three, pinning that the map column never breaks the
+    statement."""
     import duckdb
 
     engine.spark.read.parquet(NESTED_PATH).createOrReplaceTempView("nested_src")
