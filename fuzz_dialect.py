@@ -1163,9 +1163,14 @@ def gen_statement_seq(rng: random.Random):
             f"DROP TABLE {tname}",
         ]
     if shape == 12:  # r11 v6: COLUMNS() expansion inside a PREPARE body
-        # with the prepared param in the WHERE under it
+        # with the prepared param in the WHERE under it.  Patterns are
+        # derived from the table's key so they always MATCH: a
+        # no-match pattern diverges on error TIMING only (DuckDB binds
+        # at PREPARE, this engine re-binds at EXECUTE — both raise the
+        # same no-columns error, one statement apart), which r10 probed
+        # and pinned; fuzzing it again each wave is pure noise.
         agg = rng.choice(["max", "min", "count"])
-        pat = rng.choice(["'.*key'", f"'{key[0]}_.*'", "'.*'"])
+        pat = rng.choice([f"'{key}'", f"'{key[0]}.*'", "'.*'"])
         pname = f"fz_pc{rng.randrange(1000)}"
         cut = rng.choice(["0", "2", "100"])
         cond = f"{key} >= $1"
