@@ -149,16 +149,50 @@ def _referenced_idents(expr: str) -> set[str]:
     return out
 
 
-def _rewrite_using_expr(expr: str) -> str:
+def _using_expr_variants(expr: str) -> list[str]:
     """Dialect-rewrite a PIVOT USING aggregate expression (fuzz v6:
     macro expansion can leave gcd/list_sum/``//``/... in the aggregate,
     which never passes through the statement-level shim on this path —
-    F.expr on the raw text then fails UNRESOLVED_ROUTINE/parse)."""
-    from parquet_query_spark.workbench.dialect import rewrite_duckdb_dialect
+    F.expr on the raw text then fails UNRESOLVED_ROUTINE/parse).
+    Returns the primary rewrite plus the retry variants the engine's
+    whole-statement path gets from rewrite_duckdb_dialect_fallbacks
+    (fuzz v6 seed 99180: ``sum(len(range(-2, -2)))`` needs the
+    array-reading ``len`` variant, which only a fallback produces)."""
+    from parquet_query_spark.workbench.dialect import (
+        rewrite_duckdb_dialect,
+        rewrite_duckdb_dialect_fallbacks,
+    )
 
-    rewritten = rewrite_duckdb_dialect(f"SELECT {expr} AS __pv_u")
-    m = re.match(r"(?is)^\s*SELECT\s+(.*)\s+AS\s+__pv_u\s*$", rewritten)
-    return m.group(1) if m else expr
+    wrapped = f"SELECT {expr} AS __pv_u"
+    outs = [rewrite_duckdb_dialect(wrapped)]
+    try:
+        outs += rewrite_duckdb_dialect_fallbacks(wrapped)
+    except Exception:
+        pass
+    variants: list[str] = []
+    for o in outs:
+        m = re.match(r"(?is)^\s*SELECT\s+(.*)\s+AS\s+__pv_u\s*$", o)
+        v = m.group(1) if m else expr
+        if v not in variants:
+            variants.append(v)
+    return variants or [expr]
+
+
+def _resolve_using_agg(base, expr: str):
+    """First USING-expression variant that ANALYZES against the pivot
+    source (limit(0).agg is analysis-only — no job), mirroring the
+    engine's retry-on-AnalysisException pipeline for statements."""
+    from pyspark.sql import functions as F
+
+    last_err = None
+    for variant in _using_expr_variants(expr):
+        c = F.expr(variant)
+        try:
+            base.limit(0).agg(c)
+            return c
+        except Exception as ex:  # AnalysisException family
+            last_err = ex
+    raise last_err
 
 
 def run_pivot(engine, statement: str, raw_statement: str | None = None):
@@ -189,7 +223,7 @@ def run_pivot(engine, statement: str, raw_statement: str | None = None):
     using = p["using"] or [("count(*)", None)]
     aggs = []
     for expr, alias in using:
-        c = F.expr(_rewrite_using_expr(expr))
+        c = _resolve_using_agg(base, expr)
         if alias is not None:
             c = c.alias(alias)
         aggs.append(c)
