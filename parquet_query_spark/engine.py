@@ -43,6 +43,8 @@ _CREATE_TABLE_AS = re.compile(
     r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
     r"(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_]\w*)\s+AS\s+(\S[\s\S]*)$"
 )
+# Unique staging-table names for the OR REPLACE snapshot-then-swap path.
+_CTAS_SWAP_SEQ = 0
 from parquet_query_spark.workbench.formatting import format_cell
 from parquet_query_spark.workbench.summarize import (
     summarize,
@@ -341,29 +343,48 @@ class Engine:
         if is_execute(statement):
             return self.sql(expand_execute(self.prepared, statement))
         pre_macro_statement = statement
-        statement = expand_macros(statement, self.macros)
         # DuckDB CREATE [OR REPLACE] TABLE <n> AS <body> (r11): Spark's
         # v1 session catalog rejects REPLACE TABLE AS SELECT outright
         # (probed: UNSUPPORTED_FEATURE.TABLE_OPERATION even for a fresh
         # name), and a PIVOT / ORDER BY ALL / COLUMNS(...) body never
         # reaches this engine's statement routing when Spark parses the
         # CTAS natively.  Decompose: the body re-enters sql() (full
-        # routing), then writes via saveAsTable — drop-first under OR
-        # REPLACE, mode("ignore") under IF NOT EXISTS, default
-        # error-if-exists otherwise (DuckDB's duplicate error analog).
-        m_ctas = _CREATE_TABLE_AS.match(statement)
+        # routing), then writes via saveAsTable — mode("ignore") under
+        # IF NOT EXISTS, default error-if-exists otherwise (DuckDB's
+        # duplicate error analog).  Matched on the PRE-macro text (the
+        # CTAS prefix is literal syntax a macro call can never produce)
+        # so the nested sql() receives the raw body and run_pivot's
+        # pre-expansion implicit-group judgment still applies (r12).
+        m_ctas = _CREATE_TABLE_AS.match(pre_macro_statement)
         if m_ctas:
             name = m_ctas.group(3).strip("`")
             df = self.sql(m_ctas.group(4))
-            writer = df.write
             if m_ctas.group(1):
-                self.spark.sql(
-                    f"DROP TABLE IF EXISTS `{name.replace('`', '``')}`"
-                )
+                # OR REPLACE must snapshot-then-swap, not drop-then-write:
+                # DuckDB snapshots the body first, so ``CREATE OR REPLACE
+                # TABLE t AS SELECT ... FROM t`` is legal — and Spark's
+                # DataFrame is lazy, so dropping t before saveAsTable
+                # would both fail the write and destroy the original
+                # (r12, ADVICE).  Materialize to a unique staging table,
+                # then drop + catalog-rename; a failed body never touches
+                # the target.
+                q = f"`{name.replace('`', '``')}`"
+                global _CTAS_SWAP_SEQ
+                _CTAS_SWAP_SEQ += 1
+                tmp = f"__ctas_swap_{_CTAS_SWAP_SEQ}"
+                df.write.saveAsTable(tmp)
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {q}")
+                    self.spark.sql(f"ALTER TABLE `{tmp}` RENAME TO {q}")
+                except Exception:
+                    self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+                    raise
             elif m_ctas.group(2):
-                writer = writer.mode("ignore")
-            writer.saveAsTable(name)
+                df.write.mode("ignore").saveAsTable(name)
+            else:
+                df.write.saveAsTable(name)
             return self.spark.sql("SELECT CAST(NULL AS BIGINT) AS Count WHERE false")
+        statement = expand_macros(statement, self.macros)
         # DuckDB UNION [ALL] BY NAME — engine-side unionByName fold.
         from parquet_query_spark.workbench.set_ops import (
             has_union_by_name,
@@ -423,7 +444,8 @@ class Engine:
         except AnalysisException:
             # QUALIFY has two valid shapes (alias-visible vs base-column-
             # visible predicates); retry the alternate before surfacing
-            # the original analysis error.
+            # the original analysis error.  Depends on eager analysis at
+            # spark.sql() time — gated by session.assert_eager_analysis.
             for alt in rewrite_duckdb_dialect_fallbacks(statement):
                 try:
                     return self.spark.sql(

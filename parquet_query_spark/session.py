@@ -61,6 +61,34 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def assert_eager_analysis(spark: SparkSession) -> None:
+    """Gate: the engine's retry pipelines (QUALIFY fallbacks, PIVOT USING
+    variant probe, engine.sql's AnalysisException retries) all assume
+    classic PySpark, where ``spark.sql()`` analyzes the plan eagerly and
+    raises AnalysisException at call time.  Under Spark Connect analysis
+    is deferred to action time, so every fallback would silently pass its
+    probe and the retry machinery would be bypassed — fail loudly at
+    bootstrap instead (r12, VERDICT #7)."""
+    from pyspark.errors import AnalysisException
+
+    if "connect" in type(spark).__module__:
+        raise RuntimeError(
+            "parquet_query_spark requires a classic (non-Connect) "
+            "SparkSession: its analysis-retry pipelines depend on eager "
+            "analysis at spark.sql() time, which Spark Connect defers to "
+            "action time."
+        )
+    try:
+        spark.sql("SELECT __pq_eager_probe_missing_col__")
+    except AnalysisException:
+        return  # analyzed eagerly — the retry pipelines are sound
+    raise RuntimeError(
+        "SparkSession did not analyze eagerly at spark.sql() time; "
+        "parquet_query_spark's fallback probes would silently pass. "
+        "Use a classic local/cluster session."
+    )
+
+
 def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = None) -> SparkSession:
     """Memoized local session (``SparkSession.getOrCreate`` is the memo).
 
@@ -85,6 +113,7 @@ def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = No
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    assert_eager_analysis(spark)
     from parquet_query_spark.functions.similarity_udfs import (
         register_similarity_udfs,
     )
@@ -103,6 +132,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     ``__spark_entry__``; these SQL confs are all runtime-settable and make
     query semantics (timezone, nanos handling, AQE) identical to ours.
     """
+    assert_eager_analysis(spark)
     for k, v in _DEFAULTS.items():
         try:
             spark.conf.set(k, v)

@@ -1366,10 +1366,17 @@ def _string_subscript_base(base: str) -> bool:
     # (even against a list, which it stringifies), and the fallback's
     # per-base head enumeration has no identifier to key such a base on,
     # so it must classify statically or never get the string reading.
-    # (Comments are stripped before any rewrite pass, so ``\s*`` is
-    # mask-safe here.)
-    if re.match(r"^[\s(]*'", b):
-        return True
+    # The literal must be followed by a string-PRESERVING continuation
+    # (``||``, a subscript, a closer, or end) though: ``('a' = 'b')[2]``
+    # is BOOLEAN (DuckDB: binder error, no array_extract(BOOLEAN, ...)),
+    # and that verdict is static in EVERY mode — returning False before
+    # the mode check keeps the all-string fallback variant from silently
+    # succeeding on Spark via an implicit bool→string cast where DuckDB
+    # errors (r12, ADVICE).  (Comments are stripped before any rewrite
+    # pass, so ``\s*`` is mask-safe here.)
+    m_lit = re.match(r"^[\s(]*'(?:[^']|'')*'\s*", b)
+    if m_lit:
+        return bool(re.match(r"^(?:\|\||[\[)]|$)", b[m_lit.end():]))
     mode = _STRING_SUBSCRIPTS.get()
     if not mode:
         return False

@@ -167,7 +167,10 @@ def _using_expr_variants(expr: str) -> list[str]:
     outs = [rewrite_duckdb_dialect(wrapped)]
     try:
         outs += rewrite_duckdb_dialect_fallbacks(wrapped)
-    except Exception:
+    except ValueError:
+        # the text pipeline's own complaint class on pathological
+        # fragments; anything else (a real bug) must surface, not
+        # silently shrink the variant list (r12, VERDICT #4)
         pass
     variants: list[str] = []
     for o in outs:
@@ -183,14 +186,18 @@ def _resolve_using_agg(base, expr: str):
     source (limit(0).agg is analysis-only — no job), mirroring the
     engine's retry-on-AnalysisException pipeline for statements."""
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException, ParseException
 
     last_err = None
     for variant in _using_expr_variants(expr):
-        c = F.expr(variant)
+        # Analysis/parse failures advance to the next variant; anything
+        # else (py4j bridge death, runtime error) must surface instead of
+        # silently trying the next rewrite (r12, VERDICT #4).
         try:
+            c = F.expr(variant)
             base.limit(0).agg(c)
             return c
-        except Exception as ex:  # AnalysisException family
+        except (AnalysisException, ParseException) as ex:
             last_err = ex
     raise last_err
 
@@ -233,17 +240,27 @@ def run_pivot(engine, statement: str, raw_statement: str | None = None):
     else:
         # DuckDB default: every column not pivoted on and not consumed by
         # a USING aggregate is an implicit group column.  Consumption is
-        # judged on the PRE-expansion text too (see docstring).
+        # judged on the PRE-expansion text ALONE when it parses — DuckDB
+        # decides before macro binding, so a macro body that reaches a
+        # source column the raw call never names (e.g. via a scalar
+        # subquery: probed r12, ``USING sum(m(v))`` with ``m(a) :=
+        # a + (SELECT max(w) FROM p)`` keeps ``w`` as a group column) must
+        # not be over-consumed by post-expansion references (ADVICE r12).
         used = set()
-        for expr, _ in using:
-            used |= _referenced_idents(expr)
+        raw_used = None
         if raw_statement is not None:
             try:
                 raw_using = parse_pivot(raw_statement)["using"]
+                raw_used = set()
                 for expr, _ in raw_using or []:
-                    used |= _referenced_idents(expr)
+                    raw_used |= _referenced_idents(expr)
             except ValueError:
-                pass  # raw text unparseable -> post-expansion refs only
+                raw_used = None  # raw unparseable -> post-expansion refs
+        if raw_used is not None:
+            used = raw_used
+        else:
+            for expr, _ in using:
+                used |= _referenced_idents(expr)
         groups = [
             c
             for c in base.columns
