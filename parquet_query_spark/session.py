@@ -71,17 +71,35 @@ def assert_eager_analysis(spark: SparkSession) -> None:
     bootstrap instead (r12, VERDICT #7)."""
     from pyspark.errors import AnalysisException
 
-    if "connect" in type(spark).__module__:
+    mod = type(spark).__module__
+    if "connect" in mod:
         raise RuntimeError(
             "parquet_query_spark requires a classic (non-Connect) "
             "SparkSession: its analysis-retry pipelines depend on eager "
             "analysis at spark.sql() time, which Spark Connect defers to "
             "action time."
         )
+    if mod in ("pyspark.sql.session", "pyspark.sql.classic.session"):
+        # Classic PySpark analyzes eagerly by construction
+        # (Dataset.ofRows → assertAnalyzed) — no probe needed, and the
+        # probe's intentional failure would log a full analyzer ERROR
+        # blob at every bootstrap.
+        return
+    # Unknown session type: behavioral probe, with the JVM logger
+    # quieted so the intentional failure doesn't masquerade as a crash.
+    try:
+        spark.sparkContext.setLogLevel("FATAL")
+    except Exception:
+        pass
     try:
         spark.sql("SELECT __pq_eager_probe_missing_col__")
     except AnalysisException:
         return  # analyzed eagerly — the retry pipelines are sound
+    finally:
+        try:
+            spark.sparkContext.setLogLevel("WARN")
+        except Exception:
+            pass
     raise RuntimeError(
         "SparkSession did not analyze eagerly at spark.sql() time; "
         "parquet_query_spark's fallback probes would silently pass. "
