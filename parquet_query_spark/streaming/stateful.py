@@ -166,14 +166,23 @@ _EWMA_OUT_SCHEMA = T.StructType(
         # RE-emitted with its merged totals, and the reader keeps the
         # highest-seq row per (key, hour) — last-write-wins
         T.StructField("seq", T.LongType()),
+        # cumulative per-key count of late contributions DROPPED at
+        # admission (below the reconstructible ring window) — rides on
+        # every emission so an operator can alarm on admission loss
+        # instead of the r11 behavior of dropping silently (r12,
+        # VERDICT #5).  A batch that only drops emits a sentinel row
+        # (NULL hour_ts) so the count is never deferred.
+        T.StructField("dropped_late", T.LongType()),
     ]
 )
-# Ring buffer of the last 16 observed hourly bars per key + emission seq.
+# Ring buffer of the last 16 observed hourly bars per key + emission seq
+# + cumulative dropped-late counter.
 _EWMA_STATE_SCHEMA = T.StructType(
     [
         T.StructField("hours_us", T.ArrayType(T.LongType())),
         T.StructField("cents", T.ArrayType(T.LongType())),
         T.StructField("seq", T.LongType()),
+        T.StructField("dropped", T.LongType()),
     ]
 )
 
@@ -206,11 +215,13 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
     import numpy as np
     import pandas as pd
 
-    hours_us, ring, seq = ([], [], 0) if not state.exists else (
+    hours_us, ring, seq, dropped = ([], [], 0, 0) if not state.exists else (
         list(state.get[0]),
         list(state.get[1]),
         int(state.get[2]),
+        int(state.get[3]),
     )
+    dropped_before = dropped
     per_hour: dict[int, int] = {}
     for pdf in pdf_iter:
         if len(pdf) == 0:
@@ -243,7 +254,9 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
             if may_have_evicted and idx < _EWMA_TAPS - 1:
                 # the bar's 16-tap window would read evicted predecessors
                 # — recomputing would silently truncate; drop the late
-                # contribution instead (r11)
+                # contribution instead (r11), counted for observability
+                # (r12, VERDICT #5)
+                dropped += 1
                 continue
             ring[idx] += per_hour[h]
             # this bar's total changed, so its EWMA — and every later
@@ -261,7 +274,9 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
                 # insert would evict the head, shifting every re-emitted
                 # bar one position down — position >= 16 pre-insert keeps
                 # all their 16-tap windows complete; older is DROPPED
-                # (late data beyond the reconstructible window, r11)
+                # (late data beyond the reconstructible window, r11),
+                # counted for observability (r12, VERDICT #5)
+                dropped += 1
                 continue
             hours_us.insert(idx, h)
             ring.insert(idx, per_hour[h])
@@ -275,14 +290,24 @@ def _ewma_state_fn(key, pdf_iter, state: GroupState):
             for j in range(idx, len(ring)):
                 seq += 1
                 out_rows.append((hours_us[j], ring[j], ewma_at(j), seq))
-    state.update((hours_us, ring, seq))
+    if not out_rows and dropped > dropped_before:
+        # a batch whose every contribution was too late would otherwise
+        # defer the counter to the next emission — surface it now via a
+        # sentinel row (NULL hour_ts; readers filter it out)
+        seq += 1
+        out_rows.append((None, None, None, seq))
+    state.update((hours_us, ring, seq, dropped))
     yield pd.DataFrame(
         {
             "event_type": [key[0]] * len(out_rows),
-            "hour_ts": pd.to_datetime([r[0] * 1000 for r in out_rows], utc=True).tz_localize(None),
+            "hour_ts": pd.to_datetime(
+                [r[0] * 1000 if r[0] is not None else None for r in out_rows],
+                utc=True,
+            ).tz_localize(None),
             "cents": [r[1] for r in out_rows],
             "ewma_micro": [r[2] for r in out_rows],
             "seq": [r[3] for r in out_rows],
+            "dropped_late": [dropped] * len(out_rows),
         }
     )
 
@@ -317,13 +342,26 @@ def streaming_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _run_to_table(bars, "ewma", mode="update")
+    # Surface the admission-loss counter (r12, VERDICT #5): dropped_late
+    # is cumulative per key, so the total is sum over keys of the max.
+    # A live ingest would alarm on this column in the sink table; the
+    # drained harness records it module-side like LAST_NUM_BATCHES.
+    from parquet_query_spark.streaming import streaming_ops as _so
+
+    tbl = spark.table(name)
+    _so.LAST_DROPPED_LATE["streaming_ewma_hourly"] = int(
+        tbl.groupBy("event_type")
+        .agg(F.max("dropped_late").alias("d"))
+        .agg(F.coalesce(F.sum("d"), F.lit(0)))
+        .collect()[0][0]
+    )
     # last emission per bar wins: a boundary-split hour is re-emitted with
     # merged totals under a higher per-key seq (multi-batch r8 fix)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("event_type", "hour_ts").orderBy(F.desc("seq"))
     return (
-        spark.table(name)
+        tbl.where(F.col("hour_ts").isNotNull())  # counter-only sentinels
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("event_type", "hour_ts", "cents", "ewma_micro")
@@ -348,9 +386,13 @@ _CADENCE_OUT_SCHEMA = T.StructType(
         T.StructField("n_gaps", T.LongType()),
         T.StructField("mean_gap_s", T.LongType()),
         T.StructField("metronomic", T.IntegerType()),
+        # cumulative per-key count of out-of-order events dropped at
+        # admission (r12, VERDICT #5) — observability for admission loss
+        T.StructField("dropped_late", T.LongType()),
     ]
 )
-# O(1) per-key state: last event (ts, id) + the three gap moments.
+# O(1) per-key state: last event (ts, id) + the three gap moments + the
+# cumulative dropped-late counter.
 _CADENCE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
@@ -358,6 +400,7 @@ _CADENCE_STATE_SCHEMA = T.StructType(
         T.StructField("n", T.LongType()),
         T.StructField("sum_s", T.LongType()),
         T.StructField("sumsq_s", T.LongType()),
+        T.StructField("dropped", T.LongType()),
     ]
 )
 
@@ -378,8 +421,8 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
     batch operator's contribution for a timestamp tie)."""
     import pandas as pd
 
-    last_us, last_id, n, sum_s, sumsq_s = (
-        state.get if state.exists else (None, None, 0, 0, 0)
+    last_us, last_id, n, sum_s, sumsq_s, dropped = (
+        state.get if state.exists else (None, None, 0, 0, 0, 0)
     )
     import numpy as np
 
@@ -392,6 +435,7 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
         ts_us = pd.to_datetime(allr["ts"]).astype("int64") // 1000
         if last_us is not None:
             keep = (ts_us >= last_us).to_numpy()
+            dropped += int((~keep).sum())  # counted, not silent (r12 #5)
             allr, ts_us = allr[keep], ts_us[keep]
     if rows and len(allr):
         sec = (ts_us // 1_000_000).to_numpy()
@@ -403,7 +447,7 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
         sumsq_s += int((gaps * gaps).sum())
         last_us = int(ts_us.iloc[-1])
         last_id = int(allr["event_id"].iloc[-1])
-    state.update((last_us, last_id, n, sum_s, sumsq_s))
+    state.update((last_us, last_id, n, sum_s, sumsq_s, dropped))
     if n >= 5:
         yield pd.DataFrame(
             {
@@ -411,12 +455,13 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
                 "n_gaps": [n],
                 "mean_gap_s": [sum_s // n],
                 "metronomic": [1 if 100 * n * sumsq_s < 101 * sum_s * sum_s else 0],
+                "dropped_late": [dropped],
             }
         )
     else:
         yield pd.DataFrame(
-            {"user_id": [], "n_gaps": [], "mean_gap_s": [], "metronomic": []}
-        ).astype({"user_id": "int64", "n_gaps": "int64", "mean_gap_s": "int64", "metronomic": "int32"})
+            {"user_id": [], "n_gaps": [], "mean_gap_s": [], "metronomic": [], "dropped_late": []}
+        ).astype({"user_id": "int64", "n_gaps": "int64", "mean_gap_s": "int64", "metronomic": "int32", "dropped_late": "int64"})
 
 
 @query(
@@ -446,13 +491,24 @@ def streaming_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _run_to_table(flags, "cadence", mode="update")
+    # Surface admission loss (r12, VERDICT #5): dropped_late is cumulative
+    # per key — total = sum over keys of the max.
+    from parquet_query_spark.streaming import streaming_ops as _so
+
+    tbl = spark.table(name)
+    _so.LAST_DROPPED_LATE["streaming_bot_cadence"] = int(
+        tbl.groupBy("user_id")
+        .agg(F.max("dropped_late").alias("d"))
+        .agg(F.coalesce(F.sum("d"), F.lit(0)))
+        .collect()[0][0]
+    )
     # update mode emits once per key per micro-batch; n_gaps is monotone,
     # so the max-n_gaps row per user is the final state (multi-batch r8)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.desc("n_gaps"))
     return (
-        spark.table(name)
+        tbl
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "n_gaps", "mean_gap_s", "metronomic")

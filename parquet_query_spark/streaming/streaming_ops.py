@@ -35,6 +35,13 @@ _STREAM_READ_OPTIONS: dict[str, str] = {}
 # processed — lets tests assert state actually crossed a batch boundary.
 LAST_NUM_BATCHES: int = 0
 
+# Per-op total of late/out-of-order rows DROPPED at admission by the
+# stateful operators' bounded-state semantics on their most recent drive
+# (r12, VERDICT #5) — the observable counterpart of the r11 honest-drop
+# fixes, so an ingest operator can alarm on admission loss instead of
+# discovering it in a batch-twin diff.  Keyed by catalog op name.
+LAST_DROPPED_LATE: dict[str, int] = {}
+
 
 def _file_stream(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
     """``{sf_dir}/{filename}`` as a file-source stream.  The path may be a

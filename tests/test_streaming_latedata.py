@@ -383,6 +383,8 @@ def test_ewma_late_bars_within_window_admitted_exactly(spark, tmp_path):
     assert streaming_ops.LAST_NUM_BATCHES >= 3
     report = compare(spark, root, df, spec.oracle)
     assert report["match"], report
+    # both plants were admitted — the admission-loss counter reads zero
+    assert streaming_ops.LAST_DROPPED_LATE["streaming_ewma_hourly"] == 0
     # sanity: the plants are not invisible — the no-plant oracle disagrees
     clean = str(tmp_path / "clean_ewma_keep")
     _copy_side_tables(clean, skip="events.parquet")
@@ -428,6 +430,9 @@ def test_ewma_too_late_bars_dropped(spark, tmp_path):
     spec = CATALOG["streaming_ewma_hourly"]
     df = spec.fn(spark, root)
     assert streaming_ops.LAST_NUM_BATCHES >= 3
+    # the two planted too-late contributions are dropped AND counted
+    # (r12, VERDICT #5 — observability, not silence)
+    assert streaming_ops.LAST_DROPPED_LATE["streaming_ewma_hourly"] == 2
     clean = str(tmp_path / "clean_ewma_drop")
     _copy_side_tables(clean, skip="events.parquet")
     _write_parts(os.path.join(clean, "events.parquet"), schema, [base])
@@ -462,6 +467,8 @@ def test_bot_cadence_drops_out_of_order_keeps_in_order(spark, tmp_path):
     spec = CATALOG["streaming_bot_cadence"]
     df = spec.fn(spark, root)
     assert streaming_ops.LAST_NUM_BATCHES >= 3
+    # the planted out-of-order event is dropped AND counted (r12 #5)
+    assert streaming_ops.LAST_DROPPED_LATE["streaming_bot_cadence"] == 1
     clean = str(tmp_path / "clean_cadence")
     _copy_side_tables(clean, skip="events.parquet")
     _write_parts(
