@@ -188,6 +188,37 @@ def _band_cols_duckdb() -> str:
     )
 
 
+def _band_keys_spark() -> list[F.Column]:
+    """INTERNAL int64 band keys for the candidate kernel (r12 shuffle-
+    payload rewrite): xxhash64 over the band's minhash components, seeded
+    by the band index so matches across different bands can never alias.
+    One 8-byte long replaces the (band_id varchar, band_val 32-char md5)
+    pair in the band self-join shuffle — ~5× slimmer rows on the hottest
+    exchange of the dedup pass.  Two docs collide on a band key iff their
+    band minhash vectors match (the LSH semantics) or xxhash64 collides
+    (2^-64 per bucket pair — and any such spurious candidate still faces
+    exact-Jaccard verification).  The ORACLED signature outputs
+    (_band_cols_spark/_band_cols_duckdb md5 strings) are unchanged."""
+    per_band = N_HASHES // N_BANDS
+    return [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * per_band + i}") for i in range(per_band)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def _hashed_set(col) -> F.Column:
+    """array<string> → array<long> via per-element xxhash64 (r12).
+
+    Set-cardinality arithmetic (intersect/union/size → Jaccard,
+    containment) is value-identical on the hashed sets barring a 64-bit
+    collision inside one pair's union (~10² elements → P ≈ 10⁻¹⁵); the
+    verify joins carry ~5× fewer shuffle bytes (BASELINE.md r12).
+    array_distinct keeps set semantics exact under any collision."""
+    return F.array_distinct(F.transform(col, lambda x: F.xxhash64(x)))
+
+
 @query(
     "dedup_minhash_signatures",
     oracle=f"""
@@ -272,16 +303,18 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact-Jaccard verification.
 
-    Candidates come from an equi-join on (band_id, band_val) — the scalable
+    Candidates come from an equi-join on the band key — the scalable
     formulation (shuffle partitions by band hash; no cross join).  The band
-    join carries only slim (doc_id, band_id, band_val) rows: document
+    join carries only slim (doc_id, band_key int64) rows (r12: one
+    xxhash64 long replaces the (band_id, md5-string) pair): document
     shingle sets do NOT transit the band-explode/shuffle (which quadruples
     row count and concentrates in hot-band partitions).  After candidate
-    pairs are deduplicated, shingles are re-attached by two doc_id-keyed
-    joins against the original one-row-per-doc relation — at 100 TB that
-    shuffles each document's shingles at most once per side instead of
-    4×-replicated through skewed band buckets (plan-asserted in
-    tests/test_plans.py: no operator carries shingles alongside band keys).
+    pairs are deduplicated, shingle sets are re-attached — hashed to
+    int64 (r12) — by two doc_id-keyed joins against the one-row-per-doc
+    relation; at 100 TB that shuffles each document's set at most once
+    per side instead of 4×-replicated through skewed band buckets
+    (plan-asserted in tests/test_plans.py: no operator carries shingles
+    alongside band keys).
     Exact n-gram Jaccard then filters false positives.  Pair order
     doc_a<doc_b."""
     jac = F.col("jaccard")
@@ -296,27 +329,26 @@ def _lsh_candidate_pairs_with_shingles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(doc_a, doc_b, sh_a, sh_b) — deduplicated LSH band-join candidates
-    with both shingle sets re-attached; the shared kernel under the
-    verified-pairs, containment, and cluster operators."""
+    with both shingle sets re-attached as xxhash64 int64 SETS (r12: every
+    consumer does set-cardinality arithmetic only, so the hashes are
+    value-identical and ~5× slimmer through the verify shuffles); the
+    shared kernel under the verified-pairs, containment, and cluster
+    operators."""
     v = views(spark, sf_dir)
     sh = _with_shingles(v["documents"]).select("doc_id", "shingles")
     h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
     mh = h.select("doc_id", *_minhash_cols_spark())
-    banded = mh.select("doc_id", *_band_cols_spark())
+    # INTERNAL band keys are single int64s (band index seeds the hash, so
+    # the exploded column alone identifies the band) — the r12 payload
+    # rewrite; see _band_keys_spark.  The oracled signature op still
+    # emits md5 strings.
+    banded = mh.select("doc_id", *_band_keys_spark())
     expl = banded.select(
         "doc_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(f"band_{b}").alias("band_id"),
-                        F.col(f"band_{b}").alias("band_val"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_val")
+            F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])
+        ).alias("band_key"),
+    )
     # Chunk-tiled band self-join for HOT buckets only (r10 skew
     # rehearsal, VERDICT r9 #4).  A hot (band_id, band_val) bucket — one
     # boilerplate paragraph shared by B documents — makes the plain
@@ -341,8 +373,8 @@ def _lsh_candidate_pairs_with_shingles(
     from pyspark.sql import Window
 
     chunk_c = _BAND_CHUNK_C
-    w_rank = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
-    w_all = Window.partitionBy("band_id", "band_val")
+    w_rank = Window.partitionBy("band_key").orderBy("doc_id")
+    w_all = Window.partitionBy("band_key")
     sized = (
         expl.withColumn("rn", F.row_number().over(w_rank))
         .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
@@ -350,26 +382,24 @@ def _lsh_candidate_pairs_with_shingles(
     )
     small = sized.where(F.col("kmax") == 0)
     cand_small = (
-        small.select("band_id", "band_val", F.col("doc_id").alias("doc_a"))
+        small.select("band_key", F.col("doc_id").alias("doc_a"))
         .join(
-            small.select("band_id", "band_val", F.col("doc_id").alias("doc_b")),
-            ["band_id", "band_val"],
+            small.select("band_key", F.col("doc_id").alias("doc_b")),
+            ["band_key"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
     hot = sized.where(F.col("kmax") > 0)
     a_rep = hot.select(
-        "band_id",
-        "band_val",
+        "band_key",
         F.col("chunk").alias("ca"),
         F.explode(F.sequence("chunk", "kmax")).alias("cb"),
         F.col("doc_id").alias("doc_a"),
         F.col("rn").alias("rn_a"),
     )
     b_rep = hot.select(
-        "band_id",
-        "band_val",
+        "band_key",
         F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ca"),
         F.col("chunk").alias("cb"),
         F.col("doc_id").alias("doc_b"),
@@ -382,7 +412,7 @@ def _lsh_candidate_pairs_with_shingles(
     # keys equal the repartition keys, so the join reuses this
     # partitioning with no extra exchange.  Only hot-bucket rows pay it.
     n_part = spark.sparkContext.defaultParallelism * 2
-    tile_keys = ["band_id", "band_val", "ca", "cb"]
+    tile_keys = ["band_key", "ca", "cb"]
     a_rep = a_rep.repartition(n_part, *tile_keys)
     b_rep = b_rep.repartition(n_part, *tile_keys)
     cand_hot = (
@@ -391,11 +421,15 @@ def _lsh_candidate_pairs_with_shingles(
         .select("doc_a", "doc_b")
     )
     cand = cand_small.unionByName(cand_hot).dropDuplicates(["doc_a", "doc_b"])
+    # Re-attach the shingle sets HASHED to int64 (r12; see _hashed_set):
+    # these two doc_id-keyed joins are where the verify payload shuffles,
+    # and every downstream consumer only does set-cardinality arithmetic.
+    shh = sh.select("doc_id", _hashed_set("shingles").alias("shingles"))
     return cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        shh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
     ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        shh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
         "doc_b",
     )
 
@@ -1324,11 +1358,16 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grows with the corpus — no broadcast hint; AQE picks broadcast only
     # while the vocabulary actually fits, and falls back to a shuffle join
     # at 100 TB vocabularies instead of OOMing the driver.
+    # rn ties break on the STRING word (oracle parity), but the emitted
+    # block key is its xxhash64 — the key is only ever an equi-join /
+    # partition key downstream, and an 8-byte long beats a token string
+    # through three shuffles (r12 payload rewrite; collision = 2^-64 per
+    # token pair, and any merged block still faces Jaccard verification).
     blocked = (
         w.join(dfreq, "word")
         .withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") == 1)
-        .select("doc_id", F.col("word").alias("block_key"))
+        .select("doc_id", F.xxhash64("word").alias("block_key"))
     )
     # Tiled self-join, unified with the band kernel's two-path design
     # (r11; _lsh_candidate_pairs_with_shingles): a block's pairs grow
@@ -1354,8 +1393,13 @@ def fuzzy_join_rarest_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_c = _FUZZY_CHUNK_C
     w_chunk = W.partitionBy("block_key").orderBy("doc_id")
     w_block = W.partitionBy("block_key")
+    # The word sets that ride into the tile join are xxhash64-hashed to
+    # arrays of longs (r12; see _hashed_set) — Jaccard is set-cardinality
+    # arithmetic, value-identical on the hashes, and the ≤8-token string
+    # arrays were the dominant payload of the block/tile shuffles.
+    prefh = pref.select("doc_id", _hashed_set("words").alias("words"))
     sized = (
-        blocked.join(pref, "doc_id")
+        blocked.join(prefh, "doc_id")
         .withColumn("rn", F.row_number().over(w_chunk))
         .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
         .withColumn("kmax", F.max("chunk").over(w_block))

@@ -68,14 +68,15 @@ def test_minhash_signatures_no_shuffle_before_sort(spark):
 
 
 def test_minhash_candidates_band_join_slim(spark):
-    # the band-key self-join must shuffle only (doc_id, band_id, band_val)
-    # rows: no operator anywhere in the plan may carry the document shingle
+    # the band-key self-join must shuffle only (doc_id, band_key) rows:
+    # no operator anywhere in the plan may carry the document shingle
     # arrays alongside band keys (shingles re-attach AFTER pair dedup)
     from parquet_query_spark.plans import formatted_plan
 
     plan = formatted_plan(CATALOG["dedup_minhash_candidate_pairs"].fn(spark, SF))
+    assert "band_key" in plan  # guard against a silent column rename
     for block in plan.split("\n\n"):
-        assert not ("band_val" in block and "shingles" in block), block
+        assert not ("band_key" in block and "shingles" in block), block
 
 
 def test_knn_broadcasts_queries(spark):
