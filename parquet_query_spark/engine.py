@@ -440,7 +440,9 @@ class Engine:
             return self.sql(expand_star_replace(self, statement))
         primary = rewrite_duckdb_dialect(statement)
         try:
-            return self.spark.sql(rewrite_path_tables(primary, self.root, registered))
+            return self.spark.sql(
+                rewrite_path_tables(primary, self.root, registered, self.spark)
+            )
         except AnalysisException:
             # QUALIFY has two valid shapes (alias-visible vs base-column-
             # visible predicates); retry the alternate before surfacing
@@ -449,7 +451,7 @@ class Engine:
             for alt in rewrite_duckdb_dialect_fallbacks(statement):
                 try:
                     return self.spark.sql(
-                        rewrite_path_tables(alt, self.root, registered)
+                        rewrite_path_tables(alt, self.root, registered, self.spark)
                     )
                 except AnalysisException:
                     pass

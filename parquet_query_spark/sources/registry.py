@@ -68,11 +68,50 @@ def collect_files(root: str) -> list[SourceFile]:
     return out
 
 
-def reader_for(spark: SparkSession, path: str):
+def sniff_csv_options(path: str) -> dict:
+    """Lightweight DuckDB-style CSV auto-detection for path-literal scans
+    (r12, fuzz v7): delimiter from {',', ';', '|', tab} by consistent
+    per-line count, header by DuckDB's probed rule — the first row is a
+    HEADER unless any of its fields parses as a number (probed: ``1,2``
+    data rows stay data; an all-string first row is assumed a header even
+    over all-string columns).  The engine's folder imports always carry
+    headers (reader_for default); this sniffer serves arbitrary re-scanned
+    files, e.g. ``COPY ... TO '/tmp/x.csv' (HEADER false)`` round-trips."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(65536).decode("utf-8", "replace")
+    except OSError:
+        return {"header": True, "sep": ","}
+    lines = [ln for ln in head.splitlines() if ln.strip()][:2]
+    if not lines:
+        return {"header": True, "sep": ","}
+    sep = ","
+    best = -1
+    for cand in (",", ";", "|", "\t"):
+        c0 = lines[0].count(cand)
+        if c0 > best and all(ln.count(cand) == c0 for ln in lines):
+            best, sep = c0, cand
+
+    def _is_num(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    fields = [f.strip().strip('"') for f in lines[0].split(sep)]
+    header = not any(_is_num(f) for f in fields if f)
+    return {"header": header, "sep": sep}
+
+
+def reader_for(spark: SparkSession, path: str, sniff: bool = False):
     """Reader dispatch per suffix (A3 → Spark readers).
 
     Spark's JSON reader natively handles both ndjson (default) and the
     array-of-objects form (``multiLine``); we sniff the first byte for ``[``.
+    ``sniff=True`` (path-literal scans, r12) additionally auto-detects CSV
+    header/delimiter like DuckDB and names headerless columns column0..N
+    (DuckDB's names) instead of Spark's _c0..N.
     """
     lower = path.lower()
     if lower.endswith(".parquet"):
@@ -82,9 +121,16 @@ def reader_for(spark: SparkSession, path: str):
         # correctly (DuckDB parity).  Note: multiLine makes a CSV file
         # non-splittable — fine for workbench imports; at 100 TB you want
         # newline-free CSV (or parquet) anyway.
-        return spark.read.options(
-            header=True, inferSchema=True, multiLine=True, escape='"'
+        opts = {"header": True}
+        if sniff:
+            s = sniff_csv_options(path)
+            opts = {"header": s["header"], "sep": s["sep"]}
+        df = spark.read.options(
+            inferSchema=True, multiLine=True, escape='"', **opts
         ).csv(path)
+        if not opts["header"]:
+            df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
+        return df
     if lower.endswith(".ndjson"):
         return spark.read.json(path)
     if lower.endswith(".json"):

@@ -132,8 +132,18 @@ _FORMAT_BY_SUFFIX = {
 _TABLE_REF_KEYWORD = re.compile(r"(?:\bfrom\b|\bjoin\b)\s*$", re.IGNORECASE)
 
 
+# Sniffed per-file temp views for path-literal CSV/JSON scans (r12):
+# keyed by (abs_path, mtime_ns, size) so a re-written file (COPY ... TO
+# the same path) re-registers instead of serving a stale view.
+_PATH_VIEW_CACHE: dict[tuple, str] = {}
+_PATH_VIEW_SEQ = 0
+
+
 def _spark_path_ref(
-    path: str, root: str | None, registered: dict[str, str] | None
+    path: str,
+    root: str | None,
+    registered: dict[str, str] | None,
+    spark=None,
 ) -> str | None:
     if registered and path in registered:
         # imported file: its per-file view carries the right reader options
@@ -146,18 +156,40 @@ def _spark_path_ref(
     if fmt is None:
         return None
     abs_path = path if os.path.isabs(path) else os.path.join(root or ".", path)
+    if fmt != "parquet" and spark is not None and os.path.isfile(abs_path):
+        # csv/json path scans need READER OPTIONS DuckDB auto-detects
+        # (header, delimiter, inferred types, json array form) — a bare
+        # ``csv.`path``` reads headerless _c0 strings (fuzz v7 probe).
+        # Register a sniffed per-file temp view and reference it.
+        st = os.stat(abs_path)
+        key = (abs_path, st.st_mtime_ns, st.st_size)
+        view = _PATH_VIEW_CACHE.get(key)
+        if view is None:
+            from parquet_query_spark.sources.registry import reader_for
+
+            global _PATH_VIEW_SEQ
+            _PATH_VIEW_SEQ += 1
+            view = f"__path_scan_{_PATH_VIEW_SEQ}"
+            reader_for(spark, abs_path, sniff=True).createOrReplaceTempView(view)
+            _PATH_VIEW_CACHE[key] = view
+        return f"`{view}`"
     escaped = abs_path.replace("`", "``")
     return f"{fmt}.`{escaped}`"
 
 
 def rewrite_path_tables(
-    sql: str, root: str | None = None, registered: dict[str, str] | None = None
+    sql: str,
+    root: str | None = None,
+    registered: dict[str, str] | None = None,
+    spark=None,
 ) -> str:
     """Rewrite ``FROM 'file.parquet'`` → ``FROM parquet.`/abs/file.parquet```.
 
     Lexer-aware: only single-quoted literals in table position (immediately
     after FROM/JOIN, outside comments/other strings) are rewritten, and only
     when the literal looks like a supported data file (A3 suffix set).
+    With a ``spark`` session, csv/json paths resolve through sniffed
+    per-file temp views instead of bare format-path scans (r12).
     """
     out: list[str] = []
     i = 0
@@ -212,7 +244,7 @@ def rewrite_path_tables(
                     j += 1
             literal = "".join(content)
             ref = (
-                _spark_path_ref(literal, root, registered)
+                _spark_path_ref(literal, root, registered, spark)
                 if _TABLE_REF_KEYWORD.search("".join(out))
                 else None
             )
