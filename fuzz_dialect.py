@@ -1134,12 +1134,102 @@ def gen_statement_seq(rng: random.Random):
     """Returns a list of SQL statements; results compared for each one
     that yields rows (CREATE/DROP MACRO yield none on DuckDB's side and a
     dummy Count row on the engine's — skipped from comparison)."""
-    shape = rng.randrange(15)
+    shape = rng.randrange(19)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     key = cols["key"]
     base_filter = cols.get("filter")
     w = f" WHERE {base_filter}" if base_filter else ""
+    if shape == 15:  # r12 v7: COPY ... TO round-trip — sink then re-scan
+        # through the sniffed path-view reader (header/delimiter/type
+        # auto-detection parity; the COPY count row is compared too)
+        c1 = rng.choice(cols["num"])
+        c2 = rng.choice(cols["str"])
+        fid = rng.randrange(10**9)
+        fmt, ext, opts = rng.choice(
+            [
+                ("csv", "csv", "(FORMAT csv, HEADER)"),
+                ("csv", "csv", "(FORMAT csv, HEADER false)"),
+                ("csv", "csv", "(FORMAT csv, HEADER false, DELIMITER '|')"),
+                ("parquet", "parquet", "(FORMAT parquet)"),
+                ("json", "json", ""),
+            ]
+        )
+        path = f"/tmp/fz7_copy_{fid}.{ext}"
+        sel = f"SELECT {key} AS k, ({c1}) AS v, ({c2}) AS s FROM {table}{w}"
+        if opts == "(FORMAT csv, HEADER false)" or "DELIMITER" in opts:
+            # headerless re-scan uses DuckDB's column0..N names
+            rescan = f"SELECT * FROM '{path}' ORDER BY 1, 3"
+        else:
+            rescan = f"SELECT k, v, s FROM '{path}' ORDER BY k, s"
+        return [
+            f"COPY ({sel}) TO '{path}' {opts}".rstrip(),
+            rescan,
+        ]
+    if shape == 16:  # r12 v7: CTAS / VIEW lifetime — a view over a table
+        # that is REPLACED underneath it (incl. the self-referencing
+        # OR REPLACE, which must snapshot-then-swap), re-read after each
+        c1 = rng.choice(cols["num"])
+        tname = f"fz7_t{rng.randrange(1000)}"
+        vname = f"fz7_v{rng.randrange(1000)}"
+        op = rng.choice(["+ 7", "* 3", "- 1"])
+        return [
+            f"CREATE OR REPLACE TABLE {tname} AS "
+            f"SELECT {key} AS k, ({c1}) AS x FROM {table}{w}",
+            f"CREATE OR REPLACE VIEW {vname} AS "
+            f"SELECT k, x {op} AS y FROM {tname}",
+            f"SELECT k, y FROM {vname} ORDER BY k, y",
+            # self-referencing replace: DuckDB snapshots the body first
+            f"CREATE OR REPLACE TABLE {tname} AS "
+            f"SELECT k, x {op} AS x FROM {tname}",
+            f"SELECT k, y FROM {vname} ORDER BY k, y",
+            f"DROP VIEW {vname}",
+            f"DROP TABLE {tname}",
+        ]
+    if shape == 17:  # r12 v7: SUMMARIZE — the runner compares the stable
+        # columns only (column_name, count, null_percentage, plus min/max
+        # for non-composite types; quantiles/avg/approx_unique are
+        # approximate and engine-specific by construction)
+        src = rng.choice(
+            [
+                f"SELECT * FROM {table}{w}",
+                f"SELECT {key} AS k, ({rng.choice(cols['num'])}) AS v "
+                f"FROM {table}{w}",
+            ]
+        )
+        return [f"SUMMARIZE {src}"]
+    if shape == 18:  # r12 v7: BEGIN/COMMIT interleaved with PREPARE/MACRO
+        # (COMMIT only: ROLLBACK-of-DDL is intentionally divergent — the
+        # engine's txn markers are no-ops; pinned in
+        # tests/test_path_scan_sniff.py).  A ROLLBACK variant wraps a
+        # pure SELECT, which is safe on both.
+        c1 = rng.choice(cols["num"])
+        mname = f"fz7_m{rng.randrange(1000)}"
+        pname = f"fz7_p{rng.randrange(1000)}"
+        body1 = f"a {rng.choice(['+ 2', '* 2', '- 3'])}"
+        body2 = f"a {rng.choice(['+ 10', '* 5'])}"
+        lit = rng.choice(["0", "1", "2"])
+        if rng.random() < 0.3:
+            return [
+                "BEGIN",
+                f"SELECT count(*) AS c FROM {table}{w}",
+                "ROLLBACK",
+                f"SELECT count(*) AS c FROM {table}{w}",
+            ]
+        return [
+            "BEGIN",
+            f"CREATE OR REPLACE MACRO {mname}(a) AS ({body1})",
+            f"PREPARE {pname} AS SELECT {key} AS k, {mname}({c1}) AS v "
+            f"FROM {table} WHERE {key} <= $1 ORDER BY k",
+            f"EXECUTE {pname}({lit})",
+            "COMMIT",
+            f"CREATE OR REPLACE MACRO {mname}(a) AS ({body2})",
+            "BEGIN",
+            f"EXECUTE {pname}({lit})",
+            "COMMIT",
+            f"DEALLOCATE {pname}",
+            f"DROP MACRO {mname}",
+        ]
     if shape == 11:  # r11 v6: PIVOT × PREPARE in one script — the pivot
         # materialized by CTAS and queried through a prepared statement
         # (column-ORDER-stable projection: dynamic pivot column order
@@ -1421,7 +1511,14 @@ def gen_statement_seq(rng: random.Random):
 def run_statement_seq(differ: "Differ", stmts: list[str]):
     """Execute the sequence on both engines; compare each row-yielding
     statement.  Returns ('ok'|cls, failing_stmt, detail)."""
-    differ.con.execute("BEGIN")  # isolate macro namespace per seed
+    # v7 txn shapes carry their own BEGIN/COMMIT — a wrapper BEGIN would
+    # make DuckDB raise nested-transaction errors the engine never sees.
+    wrap = not any(
+        s.lstrip().upper().startswith(("BEGIN", "COMMIT", "ROLLBACK"))
+        for s in stmts
+    )
+    if wrap:
+        differ.con.execute("BEGIN")  # isolate macro namespace per seed
     try:
         for s in stmts:
             up = s.lstrip().upper()
@@ -1444,6 +1541,33 @@ def run_statement_seq(differ: "Differ", stmts: list[str]):
                 return ("duckdb_error_only", s, d_err)
             if is_ddl:
                 continue  # engine returns a dummy Count row; DuckDB none
+            if up.startswith("SUMMARIZE"):
+                # compare the STABLE profile columns only: quantiles /
+                # avg / std / approx_unique are approximate and
+                # engine-specific; min/max render composites differently
+                # — compared only for non-composite duck types (v7)
+                s_cols = [c.lower() for c in differ.engine.sql(s).columns]
+                d_desc = differ.con.execute(s).description
+                d_cols = [c[0].lower() for c in d_desc]
+                stable = ["column_name", "count", "null_percentage"]
+                if s_cols != d_cols:
+                    return ("value_mismatch", s,
+                            f"summarize columns {s_cols} vs {d_cols}")
+                if len(s_rows) != len(d_rows):
+                    return ("value_mismatch", s,
+                            f"summarize rowcount {len(s_rows)} vs {len(d_rows)}")
+                ixs = {c: s_cols.index(c) for c in stable + ["column_type", "min", "max"]}
+                for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+                    cmp_cols = list(stable)
+                    if not any(tok in str(dr[ixs["column_type"]])
+                               for tok in ("(", "[")):
+                        cmp_cols += ["min", "max"]
+                    for c in cmp_cols:
+                        if not cells_equal(sr[ixs[c]], dr[ixs[c]]):
+                            return ("value_mismatch", s,
+                                    f"row {i} {c}: spark={sr[ixs[c]]!r} "
+                                    f"duckdb={dr[ixs[c]]!r}")
+                continue
             if up.startswith("PIVOT"):
                 # dynamic column ORDER differs (DuckDB sorts pivot columns);
                 # compare as name->row-set maps
@@ -1474,7 +1598,15 @@ def run_statement_seq(differ: "Differ", stmts: list[str]):
                                 f"row {i} col {j}: spark={sv!r} duckdb={dv!r}")
         return ("ok", None, None)
     finally:
-        differ.con.execute("ROLLBACK")
+        if wrap:
+            differ.con.execute("ROLLBACK")
+        else:
+            # unwrapped (txn shape): close any transaction a mid-seq
+            # failure left open; the shape DROPs its own objects
+            try:
+                differ.con.execute("ROLLBACK")
+            except Exception:
+                pass
 
 
 # ── execution + comparison ───────────────────────────────────────────────
