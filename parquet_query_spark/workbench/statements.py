@@ -133,8 +133,9 @@ _TABLE_REF_KEYWORD = re.compile(r"(?:\bfrom\b|\bjoin\b)\s*$", re.IGNORECASE)
 
 
 # Sniffed per-file temp views for path-literal CSV/JSON scans (r12):
-# keyed by (abs_path, mtime_ns, size) so a re-written file (COPY ... TO
-# the same path) re-registers instead of serving a stale view.
+# keyed by (session, abs_path, mtime_ns, size) so a re-written file
+# (COPY ... TO the same path) re-registers instead of serving a stale
+# view, and a second SparkSession never reads another session's view.
 _PATH_VIEW_CACHE: dict[tuple, str] = {}
 _PATH_VIEW_SEQ = 0
 
@@ -162,7 +163,7 @@ def _spark_path_ref(
         # ``csv.`path``` reads headerless _c0 strings (fuzz v7 probe).
         # Register a sniffed per-file temp view and reference it.
         st = os.stat(abs_path)
-        key = (abs_path, st.st_mtime_ns, st.st_size)
+        key = (id(spark), abs_path, st.st_mtime_ns, st.st_size)
         view = _PATH_VIEW_CACHE.get(key)
         if view is None:
             from parquet_query_spark.sources.registry import reader_for
