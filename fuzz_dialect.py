@@ -1557,13 +1557,28 @@ def run_statement_seq(differ: "Differ", stmts: list[str]):
                     return ("value_mismatch", s,
                             f"summarize rowcount {len(s_rows)} vs {len(d_rows)}")
                 ixs = {c: s_cols.index(c) for c in stable + ["column_type", "min", "max"]}
+                def _sumcell_eq(a, b):
+                    # min/max are STRING renderings of typed values; a
+                    # numeric column whose engine type legitimately
+                    # widened (list_sum: Spark BIGINT-array aggregate is
+                    # DOUBLE, DuckDB HUGEINT — intentional-difference
+                    # class) renders '3.0' vs '3'.  Compare numerically
+                    # when both parse (seed 110606).
+                    if cells_equal(a, b):
+                        return True
+                    try:
+                        return float(a) == float(b)
+                    except (TypeError, ValueError):
+                        return False
+
                 for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
                     cmp_cols = list(stable)
                     if not any(tok in str(dr[ixs["column_type"]])
                                for tok in ("(", "[")):
                         cmp_cols += ["min", "max"]
                     for c in cmp_cols:
-                        if not cells_equal(sr[ixs[c]], dr[ixs[c]]):
+                        eq = _sumcell_eq if c in ("min", "max") else cells_equal
+                        if not eq(sr[ixs[c]], dr[ixs[c]]):
                             return ("value_mismatch", s,
                                     f"row {i} {c}: spark={sr[ixs[c]]!r} "
                                     f"duckdb={dr[ixs[c]]!r}")

@@ -85,11 +85,17 @@ def sniff_csv_options(path: str) -> dict:
     lines = [ln for ln in head.splitlines() if ln.strip()][:2]
     if not lines:
         return {"header": True, "sep": ","}
+    # Quote-aware counting (fuzz v7 seed 110270): a delimiter INSIDE a
+    # quoted field ("u|v") must not make the candidate's per-line counts
+    # inconsistent — DuckDB's sniffer is quote-aware too.
+    import re as _re
+
+    stripped = [_re.sub(r'"(?:[^"]|"")*"', '""', ln) for ln in lines]
     sep = ","
     best = -1
     for cand in (",", ";", "|", "\t"):
-        c0 = lines[0].count(cand)
-        if c0 > best and all(ln.count(cand) == c0 for ln in lines):
+        c0 = stripped[0].count(cand)
+        if c0 > best and all(ln.count(cand) == c0 for ln in stripped):
             best, sep = c0, cand
 
     def _is_num(s: str) -> bool:
@@ -99,7 +105,7 @@ def sniff_csv_options(path: str) -> dict:
         except ValueError:
             return False
 
-    fields = [f.strip().strip('"') for f in lines[0].split(sep)]
+    fields = [f.strip().strip('"') for f in stripped[0].split(sep)]
     header = not any(_is_num(f) for f in fields if f)
     return {"header": header, "sep": sep}
 

@@ -81,6 +81,23 @@ def test_copy_json_roundtrip(engine, tmp_path):
     con.close()
 
 
+def test_sniffer_is_quote_aware(tmp_path):
+    """Fuzz v7 seeds 110270/111189: a delimiter INSIDE a quoted field
+    ('u|v' / 'a,b') made the true delimiter's per-line counts
+    inconsistent, so the sniffer fell back to a wrong separator and the
+    re-scan saw one mangled column.  Counting now strips quoted spans."""
+    from parquet_query_spark.sources.registry import sniff_csv_options
+
+    p = str(tmp_path / "q.csv")
+    with open(p, "w") as f:
+        f.write('1|3|"u|v"\n2|1|u\n')
+    assert sniff_csv_options(p) == {"header": False, "sep": "|"}
+    p2 = str(tmp_path / "q2.csv")
+    with open(p2, "w") as f:
+        f.write('k,v,s\n0,3,"a,b"\n')
+    assert sniff_csv_options(p2) == {"header": True, "sep": ","}
+
+
 def test_rollback_of_ddl_is_intentionally_nontransactional(engine):
     """Intentional difference (r12, fuzz v7 probe): the engine's
     transaction statements are accepted no-op markers (single-session
