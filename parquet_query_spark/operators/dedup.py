@@ -1087,7 +1087,12 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregation on the (small) hit set.  worst_bench_id
     = the lowest-id matched benchmark doc (deterministic tie-break)."""
     v = views(spark, sf_dir)
-    sh = _with_shingles(v["documents"])
+    # Shingles are join/group keys only here — hash to int64 (r12, see
+    # _hashed_set): the broadcast benchmark table shrinks ~5× and the
+    # overlap-count hash table keys are 8-byte longs.
+    sh = _with_shingles(v["documents"]).select(
+        "doc_id", _hashed_set("shingles").alias("shingles")
+    )
     bench = (
         sh.where(F.col("doc_id") < 10)
         .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("shingle"))
@@ -1845,8 +1850,11 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup; the shuffle carries shingle hashes and the final histogram is
     four rows of exact BIGINTs."""
     v = views(spark, sf_dir)
+    # The shingle is only a group key; hashing to int64 (r12) makes the
+    # corpus-wide doc-freq shuffle carry 8-byte keys instead of 3-token
+    # strings — the whole profile is count-identical modulo 2^-64.
     sh = _with_shingles(v["documents"]).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode(_hashed_set("shingles")).alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("doc_freq"))
     bucket = (
@@ -1946,7 +1954,10 @@ def text_contamination_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT SEMI join (no shuffle of corpus shingles) and a per-source
     rollup.  Exact integer basis points."""
     v = views(spark, sf_dir)
-    sh = _with_shingles(v["documents"])
+    # Membership keys only — int64 hashes (r12): ~5× smaller broadcast.
+    sh = _with_shingles(v["documents"]).select(
+        "doc_id", _hashed_set("shingles").alias("shingles")
+    )
     bench = (
         sh.where(F.col("doc_id") < 20)
         .select(F.explode("shingles").alias("shingle"))

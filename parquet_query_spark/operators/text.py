@@ -1451,9 +1451,13 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle; the novelty join is shingle-keyed; the decile rollup is 10
     rows.  Exact integer basis points."""
     v = views(spark, sf_dir)
-    from parquet_query_spark.operators.dedup import _with_shingles
+    from parquet_query_spark.operators.dedup import _hashed_set, _with_shingles
 
-    sh = _with_shingles(v["documents"])
+    # Shingles are min-per-key group keys only — int64 hashes (r12)
+    # slim the corpus-wide first-seen shuffle; counts identical mod 2^-64.
+    sh = _with_shingles(v["documents"]).select(
+        "doc_id", _hashed_set("shingles").alias("shingles")
+    )
     expl = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     # No shingle-keyed re-join of the full explode: per-doc totals come
     # from the shingle arrays directly, and per-doc NOVEL counts are the
