@@ -58,6 +58,18 @@ def main() -> None:
         "edge-bound dedup/graph family)",
     )
     ap.add_argument(
+        "--jitter-embeddings",
+        action="store_true",
+        help="embeddings copies carry PERTURBED vectors (deterministic "
+        "per-(vec,copy,dim) uniform jitter in ±0.1 ≈ 0.8 sigma of the "
+        "component distribution): copies of one vector stay a near-dup "
+        "FAMILY (cos ≈ 0.9 between siblings) without being exact "
+        "duplicates, and the corpus keeps the base distribution's bucket "
+        "/cluster geometry — the embeddings analog of --bounded-dup "
+        "(exact copies would hash to one LSH bucket per family and "
+        "collapse semdedup's prune set by construction)",
+    )
+    ap.add_argument(
         "--tables",
         help="comma-separated fact tables to scale (default: all); dims "
         "always copy.  The 4096x stretch tier only needs documents — "
@@ -94,6 +106,22 @@ def main() -> None:
                     f"lang, source, "
                     f"strlen(regexp_replace(text, '(\\S+)', 'c{i}q\\1', 'g')) "
                     f"AS n_chars "
+                    f"FROM '{args.src}/{t}.parquet'"
+                )
+            union = " UNION ALL ".join(parts)
+        elif t == "embeddings" and args.jitter_embeddings:
+            # copy 0 is the base corpus verbatim; copy i>0 adds a
+            # deterministic per-(vec,copy,dim) jitter so sibling copies
+            # form near-dup families (cos ~0.9) instead of exact clones.
+            parts = [f"SELECT * FROM '{args.src}/{t}.parquet'"]
+            for i in range(1, args.factor):
+                parts.append(
+                    f"SELECT vec_id + {i * off} AS vec_id, "
+                    f"list_transform(embedding, (x, d) -> CAST(x + "
+                    f"(CAST(hash(CAST(vec_id AS VARCHAR) || '_{i}_' || "
+                    f"CAST(d AS VARCHAR)) % 2001 AS BIGINT) - 1000) / 10000.0 "
+                    f"AS FLOAT)) AS embedding, "
+                    f"label "
                     f"FROM '{args.src}/{t}.parquet'"
                 )
             union = " UNION ALL ".join(parts)

@@ -94,3 +94,27 @@ def test_pq_codes_within_codebook_range(spark):
     # codebook members must encode to themselves with zero distortion
     self_rows = [r for r in rows if r.vec_id < _PQ_K]
     assert self_rows and all(r.distortion == 0.0 for r in self_rows)
+
+
+def test_kmeans_numpy_path_matches_expression_path(spark, monkeypatch):
+    """The adaptive-K regime's broadcast-numpy assignment kernel must be
+    row-identical to the literal-expression fold when K is the same: force
+    the switch at a corpus (sf0.01, n=200) small enough that k_eff stays
+    _KM_K, and compare the full Lloyd state (cid AND rounded dist2) plus
+    the end-to-end semdedup survivor set."""
+    from parquet_query_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    expr_state = {
+        r.vec_id: (r.cid, r.dist2) for r in S._km_final_assign(spark, sf).collect()
+    }
+    expr_surv = {r.vec_id for r in CATALOG["semdedup_prune"].fn(spark, sf).collect()}
+
+    monkeypatch.setattr(S, "_KM_SMALL_N", 0)  # n=200 > 0 -> numpy kernel
+    np_state = {
+        r.vec_id: (r.cid, r.dist2) for r in S._km_final_assign(spark, sf).collect()
+    }
+    assert np_state == expr_state
+    # k_eff = max(_KM_K, ceil(200/512)) = _KM_K — same clusters by design
+    np_surv = {r.vec_id for r in CATALOG["semdedup_prune"].fn(spark, sf).collect()}
+    assert np_surv == expr_surv
