@@ -16,10 +16,13 @@ import urllib.request
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf = "/root/testdata/sf0.1"
-    if "--sf" in sys.argv:
-        sf = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
 
     import os
 

