@@ -307,16 +307,27 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = (
         emb.withColumn("_bits", bits)
         .select("vec_id", _as_double("embedding").alias("ev"), bands.alias("bands"))
+        .withColumn("nrm", _norm("ev"))
     )
     expl = signed.select(
-        "vec_id", "ev", F.posexplode("bands").alias("band_no", "band_val")
+        "vec_id", "ev", "nrm", F.posexplode("bands").alias("band_no", "band_val")
     )
     q = expl.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("ev").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
         F.col("band_no").alias("q_band_no"),
         F.col("band_val").alias("q_band_val"),
     )
+    # Score INSIDE the join stage, dedup after: a vector matching a query in
+    # up to 4 bands recomputes its cosine up to 4× (64 codegen FLOPs per
+    # extra hit), but the dropDuplicates exchange then carries 24-byte
+    # (qid, neighbor, cosine) rows instead of both 64-double vectors — the
+    # payload-rides-the-dedup shape that bent the 4096× point superlinear
+    # (~55 GB shuffle at 8.2M vectors; measured 985.7 s pre-fix).  Same
+    # class as the r11 fuzzy-join redesign: raw candidates stay transient
+    # codegen rows, only slim survivors shuffle.  Per-vector norms fold
+    # once before the join (bit-identical rounded cosine).
     cand = (
         expl.join(
             F.broadcast(q),
@@ -324,13 +335,14 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("band_val") == F.col("q_band_val"))
             & (F.col("vec_id") != F.col("qid")),
         )
-        .select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "ev")
-        .dropDuplicates(["qid", "neighbor_id"])
         .select(
             "qid",
-            "neighbor_id",
-            F.round(_dot("qv", "ev") / (_norm("qv") * _norm("ev")), 6).alias("cosine"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot("qv", "ev") / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cosine"),
         )
+        .dropDuplicates(["qid", "neighbor_id"])
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -798,24 +810,31 @@ def _km_assign_np(
 
     def assign(batches):
         b_cids, b_c, b_c2 = bc.value
+        # Chunk rows so the n_chunk x K distance matrix stays ~64 MB: a
+        # full 10k-row Arrow batch against K=16k centroids is a 1.3 GB
+        # float64 matrix PER WORKER (x32 workers = box-crushing) — the
+        # stall that killed the first 4096x attempt.
+        n_chunk = max(1, (8 << 20) // max(1, len(b_cids)))
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array(pdf["ev"].tolist(), dtype=np.float64)
-            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_c.T) + b_c2[None, :]
-            # columns are cid-ascending and argmin takes the FIRST minimum,
-            # so rounding first reproduces the (dist2, cid) lexicographic
-            # min of the expression path's array_sort
-            d = np.round(np.maximum(d, 0.0), 6)
-            best = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "ev": pdf["ev"],
-                    "cid": b_cids[best].astype(np.int32),
-                    "dist2": d[np.arange(len(best)), best],
-                }
-            )
+            for lo in range(0, len(pdf), n_chunk):
+                sub = pdf.iloc[lo : lo + n_chunk]
+                if len(sub) == 0:
+                    continue
+                x = np.array(sub["ev"].tolist(), dtype=np.float64)
+                d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_c.T) + b_c2[None, :]
+                # columns are cid-ascending and argmin takes the FIRST
+                # minimum, so rounding first reproduces the (dist2, cid)
+                # lexicographic min of the expression path's array_sort
+                d = np.round(np.maximum(d, 0.0), 6)
+                best = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": sub["vec_id"].to_numpy(),
+                        "ev": sub["ev"],
+                        "cid": b_cids[best].astype(np.int32),
+                        "dist2": d[np.arange(len(best)), best],
+                    }
+                )
 
     return emb.mapInPandas(
         assign, "vec_id bigint, ev array<double>, cid int, dist2 double"

@@ -70,6 +70,15 @@ def main() -> None:
         "collapse semdedup's prune set by construction)",
     )
     ap.add_argument(
+        "--shift-events-users",
+        action="store_true",
+        help="events copies also offset user_id (copy i gets user_id + "
+        "i*10000): key CARDINALITY scales with the factor instead of "
+        "rows-per-key — the corpus for the stateful-streaming state-store "
+        "rehearsal (at 100 TB the pressure on applyInPandasWithState is "
+        "millions of keys, not millions of rows under 1500 keys)",
+    )
+    ap.add_argument(
         "--tables",
         help="comma-separated fact tables to scale (default: all); dims "
         "always copy.  The 4096x stretch tier only needs documents — "
@@ -125,6 +134,13 @@ def main() -> None:
                     f"FROM '{args.src}/{t}.parquet'"
                 )
             union = " UNION ALL ".join(parts)
+        elif t == "events" and args.shift_events_users:
+            union = " UNION ALL ".join(
+                f"SELECT * REPLACE ({key} + {i * off} AS {key}, "
+                f"user_id + {i * 10_000} AS user_id) "
+                f"FROM '{args.src}/{t}.parquet'"
+                for i in range(args.factor)
+            )
         else:
             union = " UNION ALL ".join(
                 f"SELECT * REPLACE ({key} + {i * off} AS {key}) "
