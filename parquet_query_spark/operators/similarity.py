@@ -973,7 +973,55 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     same left-fold, so the rounded cosine is bit-identical to folding it
     per pair) — inside the join each of the ~(cluster_size²/2) candidate
     rows then costs one dot fold instead of dot + two norm folds, a ~3×
-    FLOP cut on the dominant stage."""
+    FLOP cut on the dominant stage.
+
+    Above _KM_SMALL_N vectors the pair stage switches to a per-cluster
+    numpy gram matrix (applyInPandas over cid): Spark's aggregate/zip_with
+    are CodegenFallback — INTERPRETED per row — so the pushed-down cosine
+    predicate cost ~µs × (cluster²/2) pairs; at 8.2M vectors (2×10⁹ raw
+    pairs) the join stage sat at 100% JVM CPU for 20+ minutes, while a
+    ~512-row cluster's gram is one 2 MB dgemm.  One shuffle on cid either
+    way; the anti-join disappears (survivors come straight out of the
+    group kernel).  Equivalence with the JVM join path is pinned at small
+    N alongside the assignment-kernel pin."""
+    v = views(spark, sf_dir)
+    if v["embeddings"].count() > _KM_SMALL_N:
+        import numpy as np
+        import pandas as pd
+
+        tau = _SEMDEDUP_TAU
+
+        def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            order = pdf["vec_id"].to_numpy().argsort()
+            ids = pdf["vec_id"].to_numpy()[order]
+            x = np.array(pdf["ev"].to_numpy()[order].tolist(), dtype=np.float64)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            dropped = np.zeros(len(ids), dtype=bool)
+            cols = np.arange(len(ids))[None, :]
+            # row-chunk the gram so a hot cluster can't blow memory
+            for lo in range(0, len(ids), 1024):
+                hi = min(lo + 1024, len(ids))
+                g = np.round(
+                    (x[lo:hi] @ x.T) / np.outer(nrm[lo:hi], nrm), 6
+                )
+                # j is dropped if ANY i < j (vec_id order) has g[i,j] >= tau
+                m = (g >= tau) & (cols > (lo + np.arange(hi - lo))[:, None])
+                dropped |= m.any(axis=0)
+            keep = ~dropped
+            return pd.DataFrame(
+                {
+                    "vec_id": ids[keep],
+                    "cluster": pdf["cid"].to_numpy()[order][keep],
+                }
+            )
+
+        return (
+            _km_final_assign(spark, sf_dir)
+            .groupBy("cid")
+            .applyInPandas(prune, "vec_id bigint, cluster int")
+            .orderBy("vec_id")
+        )
+
     assign = (
         _km_final_assign(spark, sf_dir)
         .withColumn("nrm", _norm("ev"))
