@@ -418,35 +418,47 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
     NEGATIVE gap into Σg/Σg² and corrupting the moments.  Out-of-order
     arrivals are now dropped at admission (monotone event time per key);
     equal-timestamp arrivals are kept (a zero gap — identical to the
-    batch operator's contribution for a timestamp tie)."""
+    batch operator's contribution for a timestamp tie).
+
+    r12 key-cardinality rehearsal: this function runs once per key per
+    micro-batch — at 768k keys the original pandas body (per-key
+    pd.concat + pd.to_datetime + sort_values + an empty typed DataFrame
+    for non-emitting keys) dominated the batch and pushed the 64→512×
+    key-growth segment superlinear.  The timestamp→microsecond
+    conversion now happens JVM-side (``unix_micros`` in the operator's
+    select), the body is pure numpy (lexsort mirrors the old
+    sort_values(["ts", "event_id"])), and non-emitting keys yield
+    nothing."""
+    import numpy as np
     import pandas as pd
 
     last_us, last_id, n, sum_s, sumsq_s, dropped = (
         state.get if state.exists else (None, None, 0, 0, 0, 0)
     )
-    import numpy as np
-
-    rows = []
-    for pdf in pdf_iter:
-        if len(pdf):
-            rows.append(pdf[["ts", "event_id"]])
-    if rows:
-        allr = pd.concat(rows).sort_values(["ts", "event_id"])
-        ts_us = pd.to_datetime(allr["ts"]).astype("int64") // 1000
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        if len(chunks) == 1:
+            ts_us = chunks[0]["ts_us"].to_numpy()
+            ev = chunks[0]["event_id"].to_numpy()
+        else:
+            ts_us = np.concatenate([c["ts_us"].to_numpy() for c in chunks])
+            ev = np.concatenate([c["event_id"].to_numpy() for c in chunks])
+        order = np.lexsort((ev, ts_us))
+        ts_us, ev = ts_us[order], ev[order]
         if last_us is not None:
-            keep = (ts_us >= last_us).to_numpy()
-            dropped += int((~keep).sum())  # counted, not silent (r12 #5)
-            allr, ts_us = allr[keep], ts_us[keep]
-    if rows and len(allr):
-        sec = (ts_us // 1_000_000).to_numpy()
-        if last_us is not None:
-            sec = np.concatenate(([last_us // 1_000_000], sec))
-        gaps = np.diff(sec)
-        n += int(len(gaps))
-        sum_s += int(gaps.sum())
-        sumsq_s += int((gaps * gaps).sum())
-        last_us = int(ts_us.iloc[-1])
-        last_id = int(allr["event_id"].iloc[-1])
+            keep = ts_us >= last_us
+            dropped += int(len(keep) - keep.sum())  # counted, not silent (r12 #5)
+            ts_us, ev = ts_us[keep], ev[keep]
+        if len(ts_us):
+            sec = ts_us // 1_000_000
+            if last_us is not None:
+                sec = np.concatenate(([last_us // 1_000_000], sec))
+            gaps = np.diff(sec)
+            n += int(len(gaps))
+            sum_s += int(gaps.sum())
+            sumsq_s += int((gaps * gaps).sum())
+            last_us = int(ts_us[-1])
+            last_id = int(ev[-1])
     state.update((last_us, last_id, n, sum_s, sumsq_s, dropped))
     if n >= 5:
         yield pd.DataFrame(
@@ -458,10 +470,6 @@ def _cadence_state_fn(key, pdf_iter, state: GroupState):
                 "dropped_late": [dropped],
             }
         )
-    else:
-        yield pd.DataFrame(
-            {"user_id": [], "n_gaps": [], "mean_gap_s": [], "metronomic": [], "dropped_late": []}
-        ).astype({"user_id": "int64", "n_gaps": "int64", "mean_gap_s": "int64", "metronomic": "int32", "dropped_late": "int64"})
 
 
 @query(
@@ -480,7 +488,10 @@ def streaming_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, sf_dir)
     flags = (
-        stream.select("user_id", "ts", "event_id")
+        # microsecond conversion stays JVM-side: the state fn runs once
+        # per key per batch, so per-key pandas datetime parsing is the
+        # scaling hazard at high key cardinality (r12 rehearsal)
+        stream.select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             _cadence_state_fn,
