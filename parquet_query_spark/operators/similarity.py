@@ -786,6 +786,101 @@ def _km_update_rows(assign: DataFrame) -> list[tuple[int, list[float]]]:
 
 _KM_SMALL_N = 2000          # <= this many vectors: the fixed-K literal path
 _KM_TARGET_CLUSTER = 512    # adaptive regime: K grows so clusters stay ~this
+_KM_TWO_LEVEL_K = 1024      # >= this many centroids: pruned two-level assignment
+
+
+def _km_super_pack(cmat, c2):
+    """Driver-side prep for the two-level assignment: group the K centroids
+    into S = ceil(sqrt(K)) super-cells with a small deterministic numpy
+    Lloyd over the CENTROIDS (init = first S rows in cid order, 4 updates),
+    and record per super-cell its member centroid indices (cid-ascending),
+    super-centroid, and covering radius r_s = max ||c - sc||.
+
+    With K = N/512 the flat kernel's per-row cost is K dot products —
+    N²/512 FLOPs corpus-wide, the named 512→4096× bottleneck (BASELINE.md
+    r12 ANN section).  The two-level shape is the IMI/hierarchical-kmeans
+    layout: per row ~S super-cell distances + the few cells whose triangle
+    bound survives, ~N·√K instead of N·K, while staying EXACT (see
+    _km_assign_chunk_pruned)."""
+    import numpy as np
+
+    K = len(cmat)
+    S = int(np.ceil(np.sqrt(K)))
+    sc = cmat[:S].copy()
+    for _ in range(4):
+        d = c2[:, None] - 2.0 * (cmat @ sc.T) + (sc * sc).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for s in range(S):
+            m = a == s
+            if m.any():
+                sc[s] = cmat[m].mean(axis=0)
+    d = c2[:, None] - 2.0 * (cmat @ sc.T) + (sc * sc).sum(axis=1)[None, :]
+    a = d.argmin(axis=1)
+    members = [np.flatnonzero(a == s) for s in range(S)]
+    radii = np.zeros(S)
+    for s, mem in enumerate(members):
+        if len(mem):
+            radii[s] = np.sqrt(
+                np.maximum(((cmat[mem] - sc[s]) ** 2).sum(axis=1), 0.0)
+            ).max()
+    return sc, (sc * sc).sum(axis=1), members, radii
+
+
+def _km_assign_chunk_flat(x, cmat, c2):
+    """Exact nearest-centroid for a row chunk: full n x K distance matrix,
+    round-to-6 then first-min (columns are cid-ascending, so this is the
+    (dist2, cid) lexicographic min of the expression path)."""
+    import numpy as np
+
+    d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c2[None, :]
+    d = np.round(np.maximum(d, 0.0), 6)
+    best = d.argmin(axis=1)
+    return best, d[np.arange(len(best)), best]
+
+
+def _km_assign_chunk_pruned(x, cmat, c2, sc, s2, members, radii):
+    """Exact nearest-centroid via super-cell triangle pruning: for any
+    centroid c in super-cell s, ||x-c|| >= ||x-sc_s|| - r_s, so a cell
+    whose squared lower bound exceeds the row's current best (+1e-6 slack
+    for the round-to-6 comparison) cannot produce the winner.  Sweep 1
+    seeds each row from its nearest super-cell; sweep 2 visits only
+    surviving cells.  Ties break identically to the flat kernel: rounded
+    dist2 then cid (member index order IS cid order)."""
+    import numpy as np
+
+    n = len(x)
+    x2 = (x * x).sum(axis=1)
+    ds2 = x2[:, None] - 2.0 * (x @ sc.T) + s2[None, :]
+    ds2 = np.maximum(ds2, 0.0)
+    empty = np.array([len(m) == 0 for m in members])
+    if empty.any():
+        ds2[:, empty] = np.inf
+    lb = np.maximum(np.sqrt(ds2) - radii[None, :], 0.0)
+    lb2 = lb * lb
+    primary = ds2.argmin(axis=1)
+    best_d = np.full(n, np.inf)
+    best_j = np.zeros(n, dtype=np.int64)
+    for phase in (0, 1):
+        for s, mem in enumerate(members):
+            if len(mem) == 0:
+                continue
+            if phase == 0:
+                rows = np.flatnonzero(primary == s)
+            else:
+                rows = np.flatnonzero((primary != s) & (lb2[:, s] <= best_d + 1e-6))
+            if len(rows) == 0:
+                continue
+            sub = x[rows]
+            d = x2[rows][:, None] - 2.0 * (sub @ cmat[mem].T) + c2[mem][None, :]
+            d = np.round(np.maximum(d, 0.0), 6)
+            loc = d.argmin(axis=1)
+            dr = d[np.arange(len(rows)), loc]
+            j = mem[loc]
+            upd = (dr < best_d[rows]) | ((dr == best_d[rows]) & (j < best_j[rows]))
+            ridx = rows[upd]
+            best_d[ridx] = dr[upd]
+            best_j[ridx] = j[upd]
+    return best_j, best_d
 
 
 def _km_assign_np(
@@ -806,33 +901,43 @@ def _km_assign_np(
     cids = np.array([c for c, _ in sorted(cent_rows)], dtype=np.int64)
     cmat = np.array([v for _, v in sorted(cent_rows)], dtype=np.float64)
     c2 = (cmat * cmat).sum(axis=1)
-    bc = spark.sparkContext.broadcast((cids, cmat, c2))
+    # rounding first reproduces the (dist2, cid) lexicographic min of the
+    # expression path's array_sort — both chunk kernels follow it
+    pack = _km_super_pack(cmat, c2) if len(cids) >= _KM_TWO_LEVEL_K else None
+    bc = spark.sparkContext.broadcast((cids, cmat, c2, pack))
 
     def assign(batches):
-        b_cids, b_c, b_c2 = bc.value
-        # Chunk rows so the n_chunk x K distance matrix stays ~64 MB: a
+        b_cids, b_c, b_c2, b_pack = bc.value
+        # Chunk rows so the per-chunk distance matrices stay ~64 MB: a
         # full 10k-row Arrow batch against K=16k centroids is a 1.3 GB
         # float64 matrix PER WORKER (x32 workers = box-crushing) — the
-        # stall that killed the first 4096x attempt.
-        n_chunk = max(1, (8 << 20) // max(1, len(b_cids)))
+        # stall that killed the first 4096x attempt.  The pruned kernel's
+        # biggest matrices are n x S and n x max-cell, so its chunks can
+        # be proportionally larger.
+        if b_pack is not None:
+            b_sc, b_s2, b_mem, b_rad = b_pack
+            width = len(b_sc) + max((len(m) for m in b_mem), default=1)
+        else:
+            width = len(b_cids)
+        n_chunk = max(1, (8 << 20) // max(1, width))
         for pdf in batches:
             for lo in range(0, len(pdf), n_chunk):
                 sub = pdf.iloc[lo : lo + n_chunk]
                 if len(sub) == 0:
                     continue
                 x = np.array(sub["ev"].tolist(), dtype=np.float64)
-                d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ b_c.T) + b_c2[None, :]
-                # columns are cid-ascending and argmin takes the FIRST
-                # minimum, so rounding first reproduces the (dist2, cid)
-                # lexicographic min of the expression path's array_sort
-                d = np.round(np.maximum(d, 0.0), 6)
-                best = d.argmin(axis=1)
+                if b_pack is not None:
+                    best, dist2 = _km_assign_chunk_pruned(
+                        x, b_c, b_c2, b_sc, b_s2, b_mem, b_rad
+                    )
+                else:
+                    best, dist2 = _km_assign_chunk_flat(x, b_c, b_c2)
                 yield pd.DataFrame(
                     {
                         "vec_id": sub["vec_id"].to_numpy(),
                         "ev": sub["ev"],
                         "cid": b_cids[best].astype(np.int32),
-                        "dist2": d[np.arange(len(best)), best],
+                        "dist2": dist2,
                     }
                 )
 

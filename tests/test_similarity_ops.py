@@ -118,3 +118,44 @@ def test_kmeans_numpy_path_matches_expression_path(spark, monkeypatch):
     # k_eff = max(_KM_K, ceil(200/512)) = _KM_K — same clusters by design
     np_surv = {r.vec_id for r in CATALOG["semdedup_prune"].fn(spark, sf).collect()}
     assert np_surv == expr_surv
+
+    # and the two-level pruned kernel (r12: K >= _KM_TWO_LEVEL_K) must be
+    # row-identical too — force its gate down to the same tiny K
+    monkeypatch.setattr(S, "_KM_TWO_LEVEL_K", 1)
+    pruned_state = {
+        r.vec_id: (r.cid, r.dist2) for r in S._km_final_assign(spark, sf).collect()
+    }
+    assert pruned_state == expr_state
+    pruned_surv = {r.vec_id for r in CATALOG["semdedup_prune"].fn(spark, sf).collect()}
+    assert pruned_surv == expr_surv
+
+
+def test_two_level_assignment_matches_flat_kernel_large_k():
+    """numpy-level pin at a K above the real gate: the triangle-pruned
+    two-level assignment must reproduce the flat kernel's (cid, dist2)
+    exactly — including round-to-6 ties broken by cid — on a clustered
+    corpus (the regime where pruning actually skips cells) with exact
+    duplicates planted to exercise tie-breaks."""
+    from parquet_query_spark.operators import similarity as S
+
+    rng = np.random.default_rng(12)
+    K, dim, n = 1500, 16, 6000
+    cmat = rng.standard_normal((K, dim))
+    c2 = (cmat * cmat).sum(axis=1)
+    # rows = jittered copies of random centroids + some uniform noise rows
+    base = cmat[rng.integers(0, K, n)] + rng.standard_normal((n, dim)) * 0.05
+    base[-200:] = rng.standard_normal((200, dim)) * 3.0
+    # duplicate centroids at distinct cids force (dist2, cid) tie-breaks
+    cmat[700] = cmat[100]
+    cmat[1400] = cmat[100]
+    c2 = (cmat * cmat).sum(axis=1)
+    base[:50] = cmat[100]
+
+    flat_j, flat_d = S._km_assign_chunk_flat(base, cmat, c2)
+    sc, s2, members, radii = S._km_super_pack(cmat, c2)
+    assert len(members) == int(np.ceil(np.sqrt(K)))
+    pr_j, pr_d = S._km_assign_chunk_pruned(base, cmat, c2, sc, s2, members, radii)
+    assert (flat_j == pr_j).all()
+    assert (flat_d == pr_d).all()
+    # the planted duplicates must resolve to the LOWEST cid copy
+    assert (pr_j[:50] == 100).all()
