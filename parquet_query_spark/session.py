@@ -129,6 +129,20 @@ def get_spark(app_name: str = "parquet_query_spark", cpus: int | str | None = No
     for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
         k, _, v = pair.partition("=")
         builder = builder.config(k.strip(), v.strip())
+    # Streaming state-store provider.  The default HDFSBackedStateStore
+    # keeps every key's state as JVM-heap objects per partition — at the
+    # r12 key-cardinality rehearsal's 512x tier (768k users, one
+    # unwatermarked batch holding ~millions of open session-window rows)
+    # it OOMed a 16 GB heap.  RocksDB (native memory + local disk,
+    # Spark's production choice for large state) runs the same tier on
+    # the same heap; set SPARK_GRAFT_STATE_STORE=rocksdb to opt in.
+    # Default stays hdfs: tiny-state tests and the driver oracle pay no
+    # native-lib startup, and semantics are identical either way.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     assert_eager_analysis(spark)

@@ -79,11 +79,48 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
 
     The checkpoint directory is removed after the query stops — the
     memory-sink table holds the results, and leaving one ckpt dir per
-    invocation leaks disk across repeated bench/correctness runs."""
+    invocation leaks disk across repeated bench/correctness runs.
+
+    Sink selection (r12): the default memory sink materializes every
+    emitted row ON THE DRIVER — the right harness for oracle-sized runs,
+    but a scaling wall, not an engine property: at the key-cardinality
+    rehearsal's 512x tier session_window's update stream shipped >1 GB of
+    task results into spark.driver.maxResultSize.  Set
+    ``SPARK_GRAFT_STREAM_SINK=files`` to route emissions through
+    foreachBatch into parquet instead (append for update mode, overwrite
+    for complete — per-batch full results would duplicate under append),
+    registered as a temp view over the files: the production shape, rows
+    never gather on the driver.  Result-identical for single-batch drives
+    and pinned against the memory sink in tests."""
+    import os
     import shutil
 
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    if os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files":
+        spark = result.sparkSession
+        schema = result.schema
+        out_dir = tempfile.mkdtemp(prefix=f"sink_{name}_")
+        write_mode = "overwrite" if mode == "complete" else "append"
+
+        def _write_batch(batch_df, _batch_id):
+            batch_df.write.mode(write_mode).parquet(out_dir)
+
+        q = (
+            result.writeStream.outputMode(mode)
+            .foreachBatch(_write_batch)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        _record_num_batches(q)
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(out_dir)
+        spark.read.parquet(out_dir).createOrReplaceTempView(name)
+        return name
     q = (
         result.writeStream.outputMode(mode)
         .format("memory")
