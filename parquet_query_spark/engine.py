@@ -373,12 +373,36 @@ class Engine:
                 _CTAS_SWAP_SEQ += 1
                 tmp = f"__ctas_swap_{_CTAS_SWAP_SEQ}"
                 df.write.saveAsTable(tmp)
+                # Swap via rename-to-backup, NOT drop-then-rename (r12
+                # VERDICT #2): the old DROP+RENAME had a window where a
+                # failed RENAME after a successful DROP lost BOTH copies
+                # (the original was dropped, the except path dropped the
+                # staging table).  Moving the original aside first means a
+                # failed promotion can always restore it.
+                bak = f"{tmp}_bak"
+                had_target = self.spark.catalog.tableExists(name)
                 try:
-                    self.spark.sql(f"DROP TABLE IF EXISTS {q}")
-                    self.spark.sql(f"ALTER TABLE `{tmp}` RENAME TO {q}")
+                    if had_target:
+                        self.spark.sql(f"ALTER TABLE {q} RENAME TO `{bak}`")
                 except Exception:
                     self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
                     raise
+                try:
+                    self.spark.sql(f"ALTER TABLE `{tmp}` RENAME TO {q}")
+                except Exception:
+                    # promotion failed: restore the original, then (only
+                    # if the target exists again) drop the staged copy —
+                    # never delete the last surviving copy of the data
+                    if had_target:
+                        try:
+                            self.spark.sql(f"ALTER TABLE `{bak}` RENAME TO {q}")
+                        except Exception:
+                            pass  # original survives under `bak`
+                    if self.spark.catalog.tableExists(name):
+                        self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+                    raise
+                if had_target:
+                    self.spark.sql(f"DROP TABLE IF EXISTS `{bak}`")
             elif m_ctas.group(2):
                 df.write.mode("ignore").saveAsTable(name)
             else:

@@ -537,13 +537,26 @@ sigs AS (
 
 
 def _simhash_batches(batches):
-    """mapInPandas worker: numpy-vectorized SimHash.
+    """mapInPandas worker: numpy-vectorized SimHash over whole batches.
 
-    Per document, md5 digests of all tokens are concatenated and unpacked
-    into an (n_tokens, 64) bit matrix in one `np.unpackbits` call; the
-    per-bit majority vote is a single column sum — no per-bit Python loop
-    (the previous per-token×64 interpreted loop was the per-core
-    throughput killer at scale; this form measured >10× faster)."""
+    r13 rewrite of the per-document kernel (guide §4.2 — hand whole
+    batches to vectorized code).  Two wins over the per-doc form:
+
+    * **md5 once per DISTINCT token per batch.**  Natural-language token
+      frequency is Zipfian, so hashing the batch vocabulary instead of
+      every occurrence cuts the hashlib calls ~5-10× (the dominant cost:
+      one C-call per token).  Occurrences become integer ids into the
+      vocabulary's digest table.
+    * **One unpackbits + one segmented reduce for the whole batch.**  The
+      (occurrences × 64) bit matrix is built in a single `np.unpackbits`
+      and the per-document ±1 majority vote is one `np.add.reduceat` over
+      document segments — no per-document Python loop bodies beyond
+      tokenization itself.
+
+    Bit semantics are IDENTICAL to the previous per-doc kernel (and the
+    DuckDB oracle CTEs): token hash = first 8 md5 bytes big-endian,
+    acc[i] = Σ ±1, signature bit i = acc > 0, MSB-first packing, wrap to
+    signed int64; token-less documents → 0."""
     import hashlib
     import re
 
@@ -552,21 +565,47 @@ def _simhash_batches(batches):
 
     # ASCII \s to match the RE2 '\s+' the SQL-side tokenizers use
     ws = re.compile(r"\s+", re.ASCII)
-
-    def one(text: str) -> int:
-        toks = [t for t in ws.split(text) if t]
-        if not toks:
-            return 0
-        raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks)
-        # big-endian bytes, MSB-first unpack ⇒ column j is bit (63-j) of h,
-        # i.e. the columns are already in MSB-first signature order
-        bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8), axis=1)
-        acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
-        sig = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
+    md5 = hashlib.md5
 
     for pdf in batches:
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": pdf["text"].map(one)})
+        texts = pdf["text"]
+        n = len(texts)
+        sigs = np.zeros(n, dtype=np.int64)
+        vocab: dict[str, int] = {}
+        digests: list[bytes] = []
+        ids: list[int] = []
+        lens = np.zeros(n, dtype=np.int64)
+        get = vocab.get
+        for i, text in enumerate(texts):
+            cnt = 0
+            for tok in ws.split(text):
+                if not tok:
+                    continue
+                j = get(tok)
+                if j is None:
+                    j = len(digests)
+                    vocab[tok] = j
+                    digests.append(md5(tok.encode("utf-8")).digest()[:8])
+                ids.append(j)
+                cnt += 1
+            lens[i] = cnt
+        if digests:
+            # big-endian bytes, MSB-first unpack ⇒ column j is bit (63-j)
+            # of h, i.e. columns are already in MSB-first signature order
+            bits = np.unpackbits(
+                np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 8),
+                axis=1,
+            ).astype(np.int64)
+            nz = lens > 0
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            offsets[1:] = np.cumsum(lens[nz])[:-1]
+            ones = np.add.reduceat(bits[np.asarray(ids, dtype=np.int64)], offsets, axis=0)
+            acc = ones * 2 - lens[nz][:, None]
+            packed = np.packbits(acc > 0, axis=1)
+            sigs[nz] = np.frombuffer(packed.tobytes(), dtype=">u8").astype(
+                np.uint64
+            ).view(np.int64)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,16 +917,33 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     global LAST_CC_ROUNDS
     edges = edges.cache()
 
-    # Each round ends in an eager localCheckpoint: the halving step joins the
-    # round's output against ITSELF, so without lineage truncation the logical
-    # plan doubles every round and Catalyst analysis goes exponential in the
-    # round count.  Checkpointing keeps every round's plan constant-size (and,
-    # unlike .cache(), the blocks are freed when the DataFrame is dropped —
-    # no storage pinned after the result is consumed).
+    # Fused round-0 (r13): the old loop initialized lbl(v) = v and spent
+    # its whole first round discovering lbl(v) = least(v, min neighbor) —
+    # one distinct + one join + one aggregation just to compute what a
+    # single map-side-combinable aggregation over the edge list yields
+    # directly (edges carry both orientations, so every node appears as
+    # src).  Seeding the loop with that state removes one full iteration
+    # (≈1/3 of the loop's serial stage chain at bench scale) and is
+    # convergence-neutral: the fixpoint — every node labeled with its
+    # component minimum — is unique, and the loop still runs until no
+    # label changes, so the output is identical (pinned by the oracle and
+    # the chain-topology test).
+    #
+    # Each round ends in a localCheckpoint: the halving step joins the
+    # round's output against ITSELF, so without lineage truncation the
+    # logical plan doubles every round and Catalyst analysis goes
+    # exponential in the round count.  Checkpointing keeps every round's
+    # plan constant-size (and, unlike .cache(), the blocks are freed when
+    # the DataFrame is dropped — no storage pinned after the result is
+    # consumed).  r13: eager=False + the fixpoint count() as the
+    # materializing action — the count job persists the checkpoint blocks
+    # as it computes them, where eager=True scheduled a separate
+    # materialization job per round (guide §1.2: remove whole passes).
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     while True:
@@ -918,7 +974,7 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
                 "old_lbl",
                 F.least(F.col("mid_lbl"), F.coalesce(F.col("h_lbl"), F.col("mid_lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
         prop.unpersist()

@@ -456,14 +456,21 @@ def _assign_cells_scanside(emb: DataFrame, cent_rows) -> DataFrame:
     pass.  -round(sim, 6) is the exact negation of the window's rounded
     sort key, so ascending (nsim, label) picks the identical cell and the
     DuckDB oracle hash is unchanged."""
+    # coalesce(…, 1.0): a zero-norm (degenerate) centroid divides by zero →
+    # NULL cosine, and array_sort orders a NULL struct field FIRST
+    # ascending, so the degenerate centroid would WIN the argmax — the
+    # replaced window (desc sim, NULLS LAST) made it lose.  Pinning nsim
+    # to +1 (cosine -1) preserves the old nulls-lose semantics
+    # (ADVICE r12); non-degenerate inputs are untouched.
     best = F.expr(
         """
         array_sort(transform(_cents, ct -> named_struct(
-          'nsim', -round(aggregate(zip_with(ev, ct.c, (x, y) -> x * y),
+          'nsim', coalesce(
+                 -round(aggregate(zip_with(ev, ct.c, (x, y) -> x * y),
                                    CAST(0.0 AS DOUBLE), (a, v) -> a + v)
                  / (sqrt(aggregate(ev, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))
                     * sqrt(aggregate(ct.c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))),
-                 6),
+                 6), CAST(1.0 AS DOUBLE)),
           'lab', ct.cid)))[0].lab
         """
     )
@@ -828,8 +835,10 @@ def _km_super_pack(cmat, c2):
 
 def _km_assign_chunk_flat(x, cmat, c2):
     """Exact nearest-centroid for a row chunk: full n x K distance matrix,
-    round-to-6 then first-min (columns are cid-ascending, so this is the
-    (dist2, cid) lexicographic min of the expression path)."""
+    round-to-6 then first-min (columns are cid-ascending, so this follows
+    the (dist2, cid) lexicographic min of the expression path — pinned
+    equivalent at small N by the forced-kernel tests; see the rounding-
+    rule caveat at the _km_assign_np call site)."""
     import numpy as np
 
     d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c2[None, :]
@@ -883,6 +892,20 @@ def _km_assign_chunk_pruned(x, cmat, c2, sc, s2, members, radii):
     return best_j, best_d
 
 
+_KM_LIVE_BC: list = []  # broadcasts created by _km_assign_np, oldest first
+
+
+def _km_release_broadcasts(keep_last: int = 0) -> None:
+    """Unpersist all but the newest ``keep_last`` tracked centroid
+    broadcasts (executor copies only — a later re-use re-fetches from the
+    driver, so this is safe even if a released DataFrame is re-run)."""
+    while len(_KM_LIVE_BC) > keep_last:
+        try:
+            _KM_LIVE_BC.pop(0).unpersist()
+        except Exception:
+            pass
+
+
 def _km_assign_np(
     spark: SparkSession, emb: DataFrame, cent_rows: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -901,10 +924,22 @@ def _km_assign_np(
     cids = np.array([c for c, _ in sorted(cent_rows)], dtype=np.int64)
     cmat = np.array([v for _, v in sorted(cent_rows)], dtype=np.float64)
     c2 = (cmat * cmat).sum(axis=1)
-    # rounding first reproduces the (dist2, cid) lexicographic min of the
-    # expression path's array_sort — both chunk kernels follow it
+    # Rounding first follows the (dist2, cid) lexicographic min of the
+    # expression path's array_sort.  NOTE the kernels use np.round
+    # (half-to-even) on the expanded ||x||²-2xC+||c||² form while the
+    # expression path applies Spark round (HALF_UP) to a left-fold sum of
+    # squares — equivalence is PINNED at small N by the forced-kernel
+    # tests, not bit-guaranteed: a value landing exactly on a 5e-7
+    # rounding boundary (or a last-ulp difference between the two
+    # summation orders) could flip an argmin (ADVICE r12).
     pack = _km_super_pack(cmat, c2) if len(cids) >= _KM_TWO_LEVEL_K else None
     bc = spark.sparkContext.broadcast((cids, cmat, c2, pack))
+    # Track the broadcast so the Lloyd loop can unpersist superseded
+    # iterations — one K×dim block per assignment call otherwise
+    # accumulates on driver + executors across iterations and repeated
+    # catalog runs (ADVICE r12).  unpersist() is recoverable (the driver
+    # re-ships on demand), so releasing is always safe.
+    _KM_LIVE_BC.append(bc)
 
     def assign(batches):
         b_cids, b_c, b_c2, b_pack = bc.value
@@ -976,9 +1011,14 @@ def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("ev").alias("c"))
         .collect()
     )
+    # Release any centroid broadcasts left from previous catalog runs —
+    # their DataFrames, if re-run, re-fetch from the driver (ADVICE r12).
+    _km_release_broadcasts()
     assign = assign_fn(emb, init)
     for _ in range(_KM_UPDATES):
-        assign = assign_fn(emb, _km_update_rows(assign))
+        rows = _km_update_rows(assign)  # materializes the previous round
+        _km_release_broadcasts()        # its broadcast is now superseded
+        assign = assign_fn(emb, rows)
     return assign
 
 

@@ -35,6 +35,24 @@ _STREAM_READ_OPTIONS: dict[str, str] = {}
 # processed — lets tests assert state actually crossed a batch boundary.
 LAST_NUM_BATCHES: int = 0
 
+# Files-sink output dirs created by _run_to_table — removed at interpreter
+# exit (the temp views read them lazily, so they must outlive the drive;
+# without this every files-sink invocation leaked a parquet dir, ADVICE
+# r12).
+_SINK_DIRS: list[str] = []
+
+
+def _cleanup_sink_dirs() -> None:
+    import shutil
+
+    while _SINK_DIRS:
+        shutil.rmtree(_SINK_DIRS.pop(), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_sink_dirs)
+
 # Per-op total of late/out-of-order rows DROPPED at admission by the
 # stateful operators' bounded-state semantics on their most recent drive
 # (r12, VERDICT #5) — the observable counterpart of the r11 honest-drop
@@ -101,10 +119,25 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
         spark = result.sparkSession
         schema = result.schema
         out_dir = tempfile.mkdtemp(prefix=f"sink_{name}_")
-        write_mode = "overwrite" if mode == "complete" else "append"
+        # The temp view reads these files lazily, so the dir can't be
+        # deleted here — register it for removal at interpreter exit
+        # instead of leaking one parquet dir per invocation (ADVICE r12).
+        _SINK_DIRS.append(out_dir)
 
-        def _write_batch(batch_df, _batch_id):
-            batch_df.write.mode(write_mode).parquet(out_dir)
+        def _write_batch(batch_df, batch_id):
+            if mode == "complete":
+                # complete mode re-emits the full result every batch —
+                # whole-dir overwrite is naturally replay-idempotent
+                batch_df.write.mode("overwrite").parquet(out_dir)
+            else:
+                # update/append emissions are per-batch deltas: key each
+                # batch to its own batch=<id> partition dir and OVERWRITE
+                # it, so a checkpoint-recovery replay of a micro-batch
+                # rewrites its own output instead of appending duplicate
+                # rows (ADVICE r12 — foreachBatch idempotency contract).
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch={batch_id}")
+                )
 
         q = (
             result.writeStream.outputMode(mode)
@@ -117,9 +150,18 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
         _record_num_batches(q)
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(out_dir)
+            for f in files
+        ):
             spark.createDataFrame([], schema).write.mode("overwrite").parquet(out_dir)
-        spark.read.parquet(out_dir).createOrReplaceTempView(name)
+        # select() drops the batch=<id> discovery column when present, so
+        # the view schema is identical in both modes (and to the memory
+        # sink, which the row-identity tests pin).
+        spark.read.parquet(out_dir).select(
+            *[f.name for f in schema.fields]
+        ).createOrReplaceTempView(name)
         return name
     q = (
         result.writeStream.outputMode(mode)
