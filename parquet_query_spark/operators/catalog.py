@@ -20,6 +20,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parquet_query_spark.sources.registry import register_testdata_views
 
@@ -44,6 +45,28 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
         return fn
 
     return deco
+
+
+def ordered_once(df: DataFrame, *keys: str) -> DataFrame:
+    """``df.orderBy(*keys)`` with the expensive child computed ONCE.
+
+    A global sort range-partitions its input, and the RangePartitioner's
+    bound-sampling job computes the ENTIRE child plan a first time before
+    the shuffle map tasks compute it again — so a query shaped
+    ``scan → expensive projection → orderBy`` (regex/hash expression
+    chains, mapInPandas kernels) pays the projection twice (guide §1.2:
+    remove unnecessary passes; measured r13: dedup_simhash 0.86 → 0.62 s
+    at sf0.1 — the whole Python/Arrow signature pass was running twice).
+
+    Hash-repartitioning on the sort key first inserts a materialization
+    point: the heavy child is computed once into the hash exchange, AQE
+    materializes that stage, and both the sampling job and the range
+    shuffle read the (slim) materialized rows.  The extra exchange moves
+    only the projected output — at 100 TB that is orders of magnitude
+    smaller than re-scanning and re-hashing the corpus.  The final
+    ordering is identical: rows end range-partitioned and sorted by
+    ``keys`` either way."""
+    return df.repartition(*[F.col(k) for k in keys]).orderBy(*keys)
 
 
 _VIEW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}

@@ -246,11 +246,15 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely scan-side builtin expressions: shingle → md5-per-seed →
     array_min → band md5.  At 100 TB this is the map phase; only the
     (doc_id, 4×16-byte bands) tuples shuffle."""
+    from parquet_query_spark.operators.catalog import ordered_once
+
     v = views(spark, sf_dir)
     sh = _with_shingles(v["documents"])
     h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
     mh = h.select("doc_id", *_minhash_cols_spark())
-    return mh.select("doc_id", *_band_cols_spark()).orderBy("doc_id")
+    # ordered_once: the global sort's range-sampling pass would otherwise
+    # run the whole shingle→md5→minhash chain a second time (r13)
+    return ordered_once(mh.select("doc_id", *_band_cols_spark()), "doc_id")
 
 
 # Shared oracle CTE chain: documents → shingles → minhash → bands → LSH
@@ -638,7 +642,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (unnest tokens → per-bit ±1 sums → power-of-two recombination),
     making this hash-verifiable end-to-end — property tests additionally
     cover perturbation behavior in tests/test_dedup_ops.py."""
-    return _simhash_signatures(spark, sf_dir).orderBy("doc_id")
+    from parquet_query_spark.operators.catalog import ordered_once
+
+    # ordered_once: without the barrier the range-sampling pass re-runs
+    # the whole Python/Arrow signature pass (measured 0.86 → 0.62 s, r13)
+    return ordered_once(_simhash_signatures(spark, sf_dir), "doc_id")
 
 
 SIMHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit signature
@@ -963,24 +971,34 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
                 F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("mid_lbl"),
             )
-            .cache()  # referenced twice below (self-join) — compute once
+            .localCheckpoint(eager=False)  # count materializes; halving re-reads
         )
+        changed = prop.where(F.col("mid_lbl") != F.col("old_lbl")).count()
+        if changed == 0:
+            # Fixpoint test BEFORE halving (r13): if min-label propagation
+            # changed nothing, labels are already constant across every
+            # edge (for any edge (u,v): lbl(v) ≤ lbl(u) and lbl(u) ≤
+            # lbl(v)), i.e. converged — and pointer halving is then the
+            # identity (lbl(lbl(v)) = lbl(v)), so the terminal round's
+            # halving self-join was two joins spent computing a no-op.
+            # Both loop forms detect convergence on the SAME round (if
+            # any mid_lbl < old_lbl the old post-halving check also saw a
+            # change, halving being monotone), so rounds and labels are
+            # identical — the terminal round just got two joins cheaper.
+            labels = prop.select("node", F.col("mid_lbl").alias("lbl"))
+            break
         # pointer halving: follow the freshly-propagated label one more hop
         hop = prop.select(F.col("node").alias("h_node"), F.col("mid_lbl").alias("h_lbl"))
-        stepped = (
+        labels = (
             prop.join(hop, prop["mid_lbl"] == hop["h_node"], "left")
             .select(
                 "node",
-                "old_lbl",
                 F.least(F.col("mid_lbl"), F.coalesce(F.col("h_lbl"), F.col("mid_lbl"))).alias("lbl"),
             )
+            # lazy: the NEXT round's fixpoint count materializes this —
+            # no standalone checkpoint job per round (guide §1.2)
             .localCheckpoint(eager=False)
         )
-        changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
-        prop.unpersist()
-        labels = stepped.select("node", "lbl")
-        if changed == 0:
-            break
     LAST_CC_ROUNDS = rounds
     edges.unpersist()
     return labels

@@ -1328,7 +1328,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [T.StructField(f"code_{m}", T.IntegerType()) for m in range(m_n)]
         + [T.StructField("distortion", T.DoubleType())]
     )
-    return emb.mapInPandas(_encode, schema).orderBy("vec_id")
+    from parquet_query_spark.operators.catalog import ordered_once
+
+    # ordered_once: without the barrier the sort's range-sampling pass
+    # re-runs the whole numpy PQ encode a second time (r13)
+    return ordered_once(emb.mapInPandas(_encode, schema), "vec_id")
 
 
 _RP_J = 8  # projected dimensions

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_query_spark.operators.catalog import query, views
+from parquet_query_spark.operators.catalog import ordered_once, query, views
 
 # token pattern: letter runs | digit runs | single non-space symbol (BPE-ish
 # pre-tokenization, cf. GPT-2's regex family)
@@ -78,7 +78,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
             ).alias("n_letter_e"),
         )
-        .orderBy("doc_id")
+        # ordered_once: the sort's range-sampling pass would re-run every
+        # regex over every document a second time (r13)
+        .transform(lambda df: ordered_once(df, "doc_id"))
     )
 
 
@@ -199,7 +201,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("passes_filter"),
-    ).orderBy("doc_id")
+        # ordered_once: don't pay the regex chain twice for range sampling
+    ).transform(lambda df: ordered_once(df, "doc_id"))
 
 
 @query(

@@ -60,11 +60,14 @@ def test_semi_join_is_semi(spark):
     assert "LeftSemi" in plan
 
 
-def test_minhash_signatures_no_shuffle_before_sort(spark):
+def test_minhash_signatures_single_compute_pass(spark):
     plan = physical_plan(CATALOG["dedup_minhash_signatures"].fn(spark, SF))
-    # signature computation is scan-side: no hash Exchange at all (only the
-    # final presentation orderBy range-partitions)
-    assert "Exchange hashpartitioning" not in plan
+    # signature computation is scan-side; the ONE hash exchange is the
+    # ordered_once barrier on doc_id (r13): it materializes the slim
+    # signature rows so the presentation sort's range-sampling job reads
+    # them instead of re-running the shingle→md5→minhash chain
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
 
 
 def test_minhash_candidates_band_join_slim(spark):
@@ -214,10 +217,13 @@ def test_unigram_lm_model_join_broadcasts(spark):
 
 
 def test_pq_codes_scan_side(spark):
-    # PQ encoding is one corpus pass with a literal codebook: zero hash
-    # exchanges (the presentation orderBy range-partitions only)
+    # PQ encoding is one corpus pass with a literal codebook; the ONE hash
+    # exchange is the ordered_once barrier on vec_id (r13), which keeps
+    # the presentation sort's range-sampling job from re-running the
+    # whole numpy encode pass
     plan = physical_plan(CATALOG["embedding_pq_codes"].fn(spark, SF))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert re.search(r"Exchange hashpartitioning\(vec_id", plan), plan
 
 
 def test_random_projection_scan_side(spark):
