@@ -41,6 +41,10 @@ _BAND_CHUNK_C = 1024
 # skew rehearsal can patch it (1e9 reproduces the untiled 'before' plan),
 # same knob pattern as _BAND_CHUNK_C above.
 _FUZZY_CHUNK_C = 2048
+# SimHash kernel: documents per numpy sub-chunk — bounds the gathered
+# (occurrences × 64) bit matrix to ~10 MB per task independent of Arrow
+# batch size (see _simhash_batches).
+_SIMHASH_DOC_CHUNK = 1024
 
 
 @query(
@@ -551,11 +555,16 @@ def _simhash_batches(batches):
       every occurrence cuts the hashlib calls ~5-10× (the dominant cost:
       one C-call per token).  Occurrences become integer ids into the
       vocabulary's digest table.
-    * **One unpackbits + one segmented reduce for the whole batch.**  The
-      (occurrences × 64) bit matrix is built in a single `np.unpackbits`
-      and the per-document ±1 majority vote is one `np.add.reduceat` over
-      document segments — no per-document Python loop bodies beyond
-      tokenization itself.
+    * **One unpackbits + one segmented reduce per document CHUNK.**  The
+      (occurrences × 64) uint8 bit matrix is built in one `np.unpackbits`
+      and the per-document ±1 majority vote is one `np.add.reduceat`
+      (accumulating in int64) over document segments — no per-document
+      numpy-call overhead.  Work is chunked at `_SIMHASH_DOC_CHUNK`
+      documents so the gathered bit matrix stays ~10 MB regardless of
+      Arrow batch size (an unchunked 10k-doc batch of salted unique
+      tokens gathered a ~1 GB int64 matrix per task and ran 2× SLOWER
+      than the per-doc form at 64× — measured r13; the chunked uint8
+      form wins on both the natural and the salted corpus).
 
     Bit semantics are IDENTICAL to the previous per-doc kernel (and the
     DuckDB oracle CTEs): token hash = first 8 md5 bytes big-endian,
@@ -570,46 +579,58 @@ def _simhash_batches(batches):
     # ASCII \s to match the RE2 '\s+' the SQL-side tokenizers use
     ws = re.compile(r"\s+", re.ASCII)
     md5 = hashlib.md5
+    chunk_n = _SIMHASH_DOC_CHUNK
 
     for pdf in batches:
-        texts = pdf["text"]
-        n = len(texts)
-        sigs = np.zeros(n, dtype=np.int64)
-        vocab: dict[str, int] = {}
-        digests: list[bytes] = []
-        ids: list[int] = []
-        lens = np.zeros(n, dtype=np.int64)
-        get = vocab.get
-        for i, text in enumerate(texts):
-            cnt = 0
-            for tok in ws.split(text):
-                if not tok:
-                    continue
-                j = get(tok)
-                if j is None:
-                    j = len(digests)
-                    vocab[tok] = j
-                    digests.append(md5(tok.encode("utf-8")).digest()[:8])
-                ids.append(j)
-                cnt += 1
-            lens[i] = cnt
-        if digests:
-            # big-endian bytes, MSB-first unpack ⇒ column j is bit (63-j)
-            # of h, i.e. columns are already in MSB-first signature order
-            bits = np.unpackbits(
-                np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 8),
-                axis=1,
-            ).astype(np.int64)
-            nz = lens > 0
-            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
-            offsets[1:] = np.cumsum(lens[nz])[:-1]
-            ones = np.add.reduceat(bits[np.asarray(ids, dtype=np.int64)], offsets, axis=0)
-            acc = ones * 2 - lens[nz][:, None]
-            packed = np.packbits(acc > 0, axis=1)
-            sigs[nz] = np.frombuffer(packed.tobytes(), dtype=">u8").astype(
-                np.uint64
-            ).view(np.int64)
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+        out = np.zeros(len(pdf), dtype=np.int64)
+        all_texts = pdf["text"]
+        for lo in range(0, len(pdf), chunk_n):
+            texts = all_texts.iloc[lo : lo + chunk_n]
+            n = len(texts)
+            sigs = np.zeros(n, dtype=np.int64)
+            vocab: dict[str, int] = {}
+            digests: list[bytes] = []
+            ids: list[int] = []
+            lens = np.zeros(n, dtype=np.int64)
+            get = vocab.get
+            for i, text in enumerate(texts):
+                cnt = 0
+                for tok in ws.split(text):
+                    if not tok:
+                        continue
+                    j = get(tok)
+                    if j is None:
+                        j = len(digests)
+                        vocab[tok] = j
+                        digests.append(md5(tok.encode("utf-8")).digest()[:8])
+                    ids.append(j)
+                    cnt += 1
+                lens[i] = cnt
+            if digests:
+                # big-endian bytes, MSB-first unpack ⇒ column j is bit
+                # (63-j) of h, i.e. columns are already in MSB-first
+                # signature order.  uint8 end to end; reduceat widens.
+                bits = np.unpackbits(
+                    np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 8),
+                    axis=1,
+                )
+                nz = lens > 0
+                offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+                offsets[1:] = np.cumsum(lens[nz])[:-1]
+                ones = np.add.reduceat(
+                    bits[np.asarray(ids, dtype=np.int64)],
+                    offsets,
+                    axis=0,
+                    dtype=np.int64,
+                )
+                acc = ones * 2 - lens[nz][:, None]
+                packed = np.packbits(acc > 0, axis=1)
+                sigs[nz] = np.frombuffer(packed.tobytes(), dtype=">u8").astype(
+                    np.uint64
+                ).view(np.int64)
+            out[lo : lo + n] = sigs
+            ids.clear()
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
