@@ -456,19 +456,22 @@ def _assign_cells_scanside(emb: DataFrame, cent_rows) -> DataFrame:
     pass.  -round(sim, 6) is the exact negation of the window's rounded
     sort key, so ascending (nsim, label) picks the identical cell and the
     DuckDB oracle hash is unchanged."""
-    # coalesce(…, 1.0): a zero-norm (degenerate) centroid divides by zero →
-    # NULL cosine, and array_sort orders a NULL struct field FIRST
-    # ascending, so the degenerate centroid would WIN the argmax — the
-    # replaced window (desc sim, NULLS LAST) made it lose.  Pinning nsim
-    # to +1 (cosine -1) preserves the old nulls-lose semantics
-    # (ADVICE r12); non-degenerate inputs are untouched.
+    # try_divide + coalesce(…, 1.0): a zero-norm (degenerate) centroid
+    # makes the cosine a division by zero — under ANSI (Spark 4 default)
+    # a hard error, under non-ANSI a NULL that array_sort orders FIRST
+    # ascending so the degenerate centroid would WIN the argmax — where
+    # the replaced window (desc sim, NULLS LAST) made it lose.  try_divide
+    # yields NULL instead of throwing and the coalesce pins nsim to +1
+    # (cosine -1), restoring the nulls-lose semantics (ADVICE r12);
+    # non-degenerate inputs are arithmetically untouched.
     best = F.expr(
         """
         array_sort(transform(_cents, ct -> named_struct(
           'nsim', coalesce(
-                 -round(aggregate(zip_with(ev, ct.c, (x, y) -> x * y),
-                                   CAST(0.0 AS DOUBLE), (a, v) -> a + v)
-                 / (sqrt(aggregate(ev, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))
+                 -round(try_divide(
+                    aggregate(zip_with(ev, ct.c, (x, y) -> x * y),
+                              CAST(0.0 AS DOUBLE), (a, v) -> a + v),
+                    sqrt(aggregate(ev, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))
                     * sqrt(aggregate(ct.c, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))),
                  6), CAST(1.0 AS DOUBLE)),
           'lab', ct.cid)))[0].lab
