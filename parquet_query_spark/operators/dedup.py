@@ -383,10 +383,16 @@ def _lsh_candidate_pairs_with_shingles(
     chunk_c = _BAND_CHUNK_C
     w_rank = Window.partitionBy("band_key").orderBy("doc_id")
     w_all = Window.partitionBy("band_key")
-    sized = (
-        expl.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("chunk", F.expr(f"(rn - 1) DIV {chunk_c}"))
-        .withColumn("kmax", F.max("chunk").over(w_all))
+    # one select, not chained withColumns: every DataFrame call re-runs
+    # analysis over the whole (wide-HOF) minhash tree — build time is a
+    # measurable slice of these sub-2s queries (r13: ~0.5 s of the
+    # candidate-pairs wall was driver-side plan building)
+    ranked = expl.select("*", F.row_number().over(w_rank).alias("rn"))
+    chunk_expr = F.expr(f"(rn - 1) DIV {chunk_c}")
+    sized = ranked.select(
+        "*",
+        chunk_expr.alias("chunk"),
+        F.max(chunk_expr).over(w_all).alias("kmax"),
     )
     small = sized.where(F.col("kmax") == 0)
     cand_small = (
