@@ -223,6 +223,90 @@ def _hashed_set(col) -> F.Column:
     return F.array_distinct(F.transform(col, lambda x: F.xxhash64(x)))
 
 
+# ── one-shot SQL builders for the minhash chain (r13) ────────────────────
+# Chaining 4-5 DataFrame selects re-runs full analysis over the wide
+# higher-order-function tree on EVERY call — measured 0.157 s to build
+# `banded` vs 0.040 s for one spark.sql() over the identical CTE chain
+# (rows verified identical, including the xxhash64 band keys).  The
+# catalog registers `documents` as a temp view via views(), so the SQL
+# resolves against the caller's sf_dir.  Expressions are the same SQL
+# fragments the column builders use; the physical plan is unchanged.
+
+_SPARK_SHINGLES_SQL = """
+array_distinct(
+  transform(
+    sequence(1, greatest(size(toks) - 2, 1)),
+    i -> concat_ws(' ', try_element_at(toks, i),
+                   try_element_at(toks, i + 1),
+                   try_element_at(toks, i + 2))
+  )
+)
+"""
+
+
+def _sh_cte() -> str:
+    """CTEs producing sh(doc_id, shingles) from the documents temp view —
+    tokenization in its own projection (same one-split-per-doc guarantee
+    as _with_shingles)."""
+    return f"""toksrc AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SPARK_SHINGLES_SQL} AS shingles FROM toksrc
+)"""
+
+
+def _banded_sql(band_select: str) -> str:
+    """Full documents → shingles → h12 → 16 minhash → band SELECT, with
+    the band projection supplied (int64 xxhash64 keys for the internal
+    kernel, md5 strings for the oracled signatures op)."""
+    mh_cols = ",\n       ".join(
+        f"array_min(transform(h12, s -> s.h1 + {seed} * s.h2)) AS mh_{seed}"
+        for seed in range(N_HASHES)
+    )
+    return f"""
+WITH {_sh_cte()},
+h AS (
+  SELECT doc_id, {_SPARK_H12} AS h12 FROM sh
+),
+mh AS (
+  SELECT doc_id, {mh_cols} FROM h
+)
+SELECT doc_id, {band_select} FROM mh
+"""
+
+
+def _band_keys_select() -> str:
+    """SQL twin of _band_keys_spark (int64 xxhash64, band index seeds)."""
+    per_band = N_HASHES // N_BANDS
+    return ",\n       ".join(
+        f"xxhash64({b}, "
+        + ", ".join(f"mh_{b * per_band + i}" for i in range(per_band))
+        + f") AS band_{b}"
+        for b in range(N_BANDS)
+    )
+
+
+def _band_md5_select() -> str:
+    """SQL twin of _band_cols_spark (oracled md5-string bands)."""
+    per_band = N_HASHES // N_BANDS
+    return ",\n       ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * per_band + i}" for i in range(per_band))
+        + f")) AS band_{b}"
+        for b in range(N_BANDS)
+    )
+
+
+def _shh_sql() -> str:
+    """documents → hashed int64 shingle sets (the _hashed_set twin)."""
+    return f"""
+WITH {_sh_cte()}
+SELECT doc_id, array_distinct(transform(shingles, x -> xxhash64(x))) AS shingles
+FROM sh
+"""
+
+
 @query(
     "dedup_minhash_signatures",
     oracle=f"""
@@ -252,13 +336,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 4×16-byte bands) tuples shuffle."""
     from parquet_query_spark.operators.catalog import ordered_once
 
-    v = views(spark, sf_dir)
-    sh = _with_shingles(v["documents"])
-    h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
-    mh = h.select("doc_id", *_minhash_cols_spark())
-    # ordered_once: the global sort's range-sampling pass would otherwise
-    # run the whole shingle→md5→minhash chain a second time (r13)
-    return ordered_once(mh.select("doc_id", *_band_cols_spark()), "doc_id")
+    views(spark, sf_dir)  # registers the documents temp view
+    # one spark.sql analysis instead of four chained selects (r13 — see
+    # _banded_sql); ordered_once: the global sort's range-sampling pass
+    # would otherwise run the whole shingle→md5→minhash chain twice (r13)
+    bands = spark.sql(_banded_sql(_band_md5_select()))
+    return ordered_once(bands, "doc_id")
 
 
 # Shared oracle CTE chain: documents → shingles → minhash → bands → LSH
@@ -342,15 +425,14 @@ def _lsh_candidate_pairs_with_shingles(
     value-identical and ~5× slimmer through the verify shuffles); the
     shared kernel under the verified-pairs, containment, and cluster
     operators."""
-    v = views(spark, sf_dir)
-    sh = _with_shingles(v["documents"]).select("doc_id", "shingles")
-    h = sh.select("doc_id", F.expr(_SPARK_H12).alias("h12"))
-    mh = h.select("doc_id", *_minhash_cols_spark())
+    views(spark, sf_dir)  # registers the documents temp view
     # INTERNAL band keys are single int64s (band index seeds the hash, so
     # the exploded column alone identifies the band) — the r12 payload
     # rewrite; see _band_keys_spark.  The oracled signature op still
-    # emits md5 strings.
-    banded = mh.select("doc_id", *_band_keys_spark())
+    # emits md5 strings.  Built via ONE spark.sql analysis (r13 — see
+    # _banded_sql; the chained-select form re-analyzed the wide HOF tree
+    # per call, ~0.12 s of pure driver time per query build).
+    banded = spark.sql(_banded_sql(_band_keys_select()))
     expl = banded.select(
         "doc_id",
         F.explode(
@@ -438,7 +520,7 @@ def _lsh_candidate_pairs_with_shingles(
     # Re-attach the shingle sets HASHED to int64 (r12; see _hashed_set):
     # these two doc_id-keyed joins are where the verify payload shuffles,
     # and every downstream consumer only does set-cardinality arithmetic.
-    shh = sh.select("doc_id", _hashed_set("shingles").alias("shingles"))
+    shh = spark.sql(_shh_sql())
     return cand.join(
         shh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
