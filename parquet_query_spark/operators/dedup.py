@@ -156,11 +156,16 @@ list_transform(shingles, x -> {
 """
 
 
+def _mh_expr(seed: int) -> str:
+    """The k-th minhash as a Spark SQL fragment over the h12 struct array —
+    the ONE source both the DataFrame builders and the one-shot SQL chain
+    wrap (r14, ADVICE: the fragments had drifted into two copies that could
+    silently desynchronize band values across operators)."""
+    return f"array_min(transform(h12, s -> s.h1 + {seed} * s.h2))"
+
+
 def _minhash_cols_spark() -> list[F.Column]:
-    return [
-        F.expr(f"array_min(transform(h12, s -> s.h1 + {seed} * s.h2))").alias(f"mh_{seed}")
-        for seed in range(N_HASHES)
-    ]
+    return [F.expr(_mh_expr(seed)).alias(f"mh_{seed}") for seed in range(N_HASHES)]
 
 
 def _minhash_cols_duckdb() -> str:
@@ -170,14 +175,38 @@ def _minhash_cols_duckdb() -> str:
     )
 
 
-def _band_cols_spark() -> list[F.Column]:
+def _band_md5_expr(b: int) -> str:
+    """Band-b oracled md5-string key as a Spark SQL fragment (shared source
+    for the DataFrame builder and the one-shot SQL chain)."""
     per_band = N_HASHES // N_BANDS
-    return [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh_{b * per_band + i}") for i in range(per_band)])
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
+    return (
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * per_band + i}" for i in range(per_band))
+        + "))"
+    )
+
+
+def _band_key_expr(b: int) -> str:
+    """INTERNAL int64 band key for the candidate kernel (r12 shuffle-payload
+    rewrite): xxhash64 over the band's minhash components, seeded by the
+    band index so matches across different bands can never alias.  One
+    8-byte long replaces the (band_id varchar, band_val 32-char md5) pair
+    in the band self-join shuffle — ~5× slimmer rows on the hottest
+    exchange of the dedup pass.  Two docs collide on a band key iff their
+    band minhash vectors match (the LSH semantics) or xxhash64 collides
+    (2^-64 per bucket pair — and any such spurious candidate still faces
+    exact-Jaccard verification).  The ORACLED signature outputs
+    (_band_cols_spark md5 strings) are unchanged."""
+    per_band = N_HASHES // N_BANDS
+    return (
+        f"xxhash64({b}, "
+        + ", ".join(f"mh_{b * per_band + i}" for i in range(per_band))
+        + ")"
+    )
+
+
+def _band_cols_spark() -> list[F.Column]:
+    return [F.expr(_band_md5_expr(b)).alias(f"band_{b}") for b in range(N_BANDS)]
 
 
 def _band_cols_duckdb() -> str:
@@ -190,26 +219,6 @@ def _band_cols_duckdb() -> str:
         + f") AS band_{b}"
         for b in range(N_BANDS)
     )
-
-
-def _band_keys_spark() -> list[F.Column]:
-    """INTERNAL int64 band keys for the candidate kernel (r12 shuffle-
-    payload rewrite): xxhash64 over the band's minhash components, seeded
-    by the band index so matches across different bands can never alias.
-    One 8-byte long replaces the (band_id varchar, band_val 32-char md5)
-    pair in the band self-join shuffle — ~5× slimmer rows on the hottest
-    exchange of the dedup pass.  Two docs collide on a band key iff their
-    band minhash vectors match (the LSH semantics) or xxhash64 collides
-    (2^-64 per bucket pair — and any such spurious candidate still faces
-    exact-Jaccard verification).  The ORACLED signature outputs
-    (_band_cols_spark/_band_cols_duckdb md5 strings) are unchanged."""
-    per_band = N_HASHES // N_BANDS
-    return [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{b * per_band + i}") for i in range(per_band)]
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
 
 
 def _hashed_set(col) -> F.Column:
@@ -256,45 +265,41 @@ sh AS (
 )"""
 
 
-def _banded_sql(band_select: str) -> str:
-    """Full documents → shingles → h12 → 16 minhash → band SELECT, with
-    the band projection supplied (int64 xxhash64 keys for the internal
-    kernel, md5 strings for the oracled signatures op)."""
+def _mh_cte_body() -> str:
+    """The h → mh CTE pair shared by every SQL chain built here."""
     mh_cols = ",\n       ".join(
-        f"array_min(transform(h12, s -> s.h1 + {seed} * s.h2)) AS mh_{seed}"
-        for seed in range(N_HASHES)
+        f"{_mh_expr(seed)} AS mh_{seed}" for seed in range(N_HASHES)
     )
-    return f"""
-WITH {_sh_cte()},
-h AS (
+    return f"""h AS (
   SELECT doc_id, {_SPARK_H12} AS h12 FROM sh
 ),
 mh AS (
   SELECT doc_id, {mh_cols} FROM h
-)
+)"""
+
+
+def _banded_sql(band_select: str) -> str:
+    """Full documents → shingles → h12 → 16 minhash → band SELECT, with
+    the band projection supplied (int64 xxhash64 keys for the internal
+    kernel, md5 strings for the oracled signatures op)."""
+    return f"""
+WITH {_sh_cte()},
+{_mh_cte_body()}
 SELECT doc_id, {band_select} FROM mh
 """
 
 
 def _band_keys_select() -> str:
-    """SQL twin of _band_keys_spark (int64 xxhash64, band index seeds)."""
-    per_band = N_HASHES // N_BANDS
+    """Internal int64 band-key projection (see _band_key_expr)."""
     return ",\n       ".join(
-        f"xxhash64({b}, "
-        + ", ".join(f"mh_{b * per_band + i}" for i in range(per_band))
-        + f") AS band_{b}"
-        for b in range(N_BANDS)
+        f"{_band_key_expr(b)} AS band_{b}" for b in range(N_BANDS)
     )
 
 
 def _band_md5_select() -> str:
-    """SQL twin of _band_cols_spark (oracled md5-string bands)."""
-    per_band = N_HASHES // N_BANDS
+    """Oracled md5-string band projection (see _band_md5_expr)."""
     return ",\n       ".join(
-        "md5(concat_ws('|', "
-        + ", ".join(f"mh_{b * per_band + i}" for i in range(per_band))
-        + f")) AS band_{b}"
-        for b in range(N_BANDS)
+        f"{_band_md5_expr(b)} AS band_{b}" for b in range(N_BANDS)
     )
 
 
@@ -416,117 +421,122 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_pair_ctes(spark: SparkSession) -> str:
+    """CTE chain documents → banded → tiled band self-join → deduplicated
+    candidate pairs → shingle re-attach: everything up to
+    ``attached(doc_a, doc_b, sh_a, sh_b)``.
+
+    One spark.sql over this chain replaces ~15 chained DataFrame calls
+    (r14, guide §1.2 driver-side): every chained call re-ran full Catalyst
+    analysis over the whole wide-HOF minhash tree — measured 0.62 s of
+    pure build time per candidate-pairs invocation, ~30% of the query's
+    wall at sf0.1 — where the one-shot form analyzes the tree once
+    (~0.15 s).  The CTEs are verbatim transcriptions of the previous
+    DataFrame calls (same expressions, same order), so the optimized
+    physical plan is unchanged — plan-pinned by tests/test_plans.py and
+    the committed plans/r14 diffs.
+
+    INTERNAL band keys are single int64s (band index seeds the hash, so
+    the exploded column alone identifies the band) — the r12 payload
+    rewrite; see _band_key_expr.  The oracled signature op still emits
+    md5 strings.
+
+    Chunk-tiled band self-join for HOT buckets only (r10 skew rehearsal,
+    VERDICT r9 #4).  A hot (band) bucket — one boilerplate paragraph
+    shared by B documents — makes the plain equi-join emit B²/2 pairs
+    from ONE task: join-key skew by OUTPUT, invisible to AQE's input-size
+    skew split.  Shape: ONE exchange hash-partitions the slim band rows
+    by bucket; two window functions attach the in-bucket doc_id rank
+    (rn), its C-sized chunk, and the bucket's max chunk.  Buckets with
+    ≤ C members — all of them, on a deduplicated corpus — take the plain
+    self-join on band_key: both sides read the SAME window output, so the
+    exchange is built once and reused, and no new shuffle is added.
+    Oversized buckets fan out over (ca ≤ cb) chunk tiles via an explicit
+    fixed-count repartition on the tile key (AQE's byte-based coalesce
+    would fold the small tile INPUTS together and re-serialize the pair
+    explosion): every pair lands in exactly one tile, every task emits
+    ≤ C² pairs.  rn is the in-bucket doc_id rank, so rn_a < rn_b ⟺
+    doc_a < doc_b.  The hot branch is EMPTY on normal corpora.
+
+    Shingle sets re-attach HASHED to int64 (r12; see _hashed_set): the
+    two doc_id-keyed joins are where the verify payload shuffles, and
+    every consumer does set-cardinality arithmetic only."""
+    chunk_c = _BAND_CHUNK_C
+    n_part = spark.sparkContext.defaultParallelism * 2
+    return f"""{_sh_cte()},
+{_mh_cte_body()},
+banded AS (
+  SELECT doc_id, {_band_keys_select()} FROM mh
+),
+expl AS (
+  SELECT doc_id, explode(array(band_0, band_1, band_2, band_3)) AS band_key
+  FROM banded
+),
+ranked AS (
+  SELECT doc_id, band_key,
+         row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM expl
+),
+sized AS (
+  SELECT doc_id, band_key, rn,
+         (rn - 1) DIV {chunk_c} AS chunk,
+         max((rn - 1) DIV {chunk_c}) OVER (PARTITION BY band_key) AS kmax
+  FROM ranked
+),
+small AS (SELECT band_key, doc_id FROM sized WHERE kmax = 0),
+cand_small AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM small a JOIN small b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+hot AS (SELECT * FROM sized WHERE kmax > 0),
+a_rep AS (
+  SELECT /*+ REPARTITION({n_part}, band_key, ca, cb) */ *
+  FROM (SELECT band_key, chunk AS ca, explode(sequence(chunk, kmax)) AS cb,
+               doc_id AS doc_a, rn AS rn_a
+        FROM hot)
+),
+b_rep AS (
+  SELECT /*+ REPARTITION({n_part}, band_key, ca, cb) */ *
+  FROM (SELECT band_key, explode(sequence(0, chunk)) AS ca, chunk AS cb,
+               doc_id AS doc_b, rn AS rn_b
+        FROM hot)
+),
+cand_hot AS (
+  SELECT doc_a, doc_b
+  FROM a_rep JOIN b_rep
+    ON a_rep.band_key = b_rep.band_key
+   AND a_rep.ca = b_rep.ca AND a_rep.cb = b_rep.cb
+  WHERE rn_a < rn_b
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT doc_a, doc_b FROM cand_small
+        UNION ALL
+        SELECT doc_a, doc_b FROM cand_hot)
+),
+shh AS (
+  SELECT doc_id, array_distinct(transform(shingles, x -> xxhash64(x))) AS shingles
+  FROM sh
+),
+attached AS (
+  SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+  FROM cand c
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b
+)"""
+
+
 def _lsh_candidate_pairs_with_shingles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(doc_a, doc_b, sh_a, sh_b) — deduplicated LSH band-join candidates
-    with both shingle sets re-attached as xxhash64 int64 SETS (r12: every
-    consumer does set-cardinality arithmetic only, so the hashes are
-    value-identical and ~5× slimmer through the verify shuffles); the
-    shared kernel under the verified-pairs, containment, and cluster
-    operators."""
+    with both shingle sets re-attached as xxhash64 int64 SETS; the shared
+    kernel under the verified-pairs, containment, and cluster operators.
+    Built via ONE spark.sql analysis (see _lsh_pair_ctes)."""
     views(spark, sf_dir)  # registers the documents temp view
-    # INTERNAL band keys are single int64s (band index seeds the hash, so
-    # the exploded column alone identifies the band) — the r12 payload
-    # rewrite; see _band_keys_spark.  The oracled signature op still
-    # emits md5 strings.  Built via ONE spark.sql analysis (r13 — see
-    # _banded_sql; the chained-select form re-analyzed the wide HOF tree
-    # per call, ~0.12 s of pure driver time per query build).
-    banded = spark.sql(_banded_sql(_band_keys_select()))
-    expl = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])
-        ).alias("band_key"),
-    )
-    # Chunk-tiled band self-join for HOT buckets only (r10 skew
-    # rehearsal, VERDICT r9 #4).  A hot (band_id, band_val) bucket — one
-    # boilerplate paragraph shared by B documents — makes the plain
-    # equi-join emit B²/2 pairs from ONE task: join-key skew by OUTPUT,
-    # invisible to AQE's input-size skew split (the hot bucket's slim
-    # input rows are a few hundred KB; measured in BASELINE.md r10).
-    #
-    # Shape: ONE exchange hash-partitions the slim band rows by bucket;
-    # two window functions over that partitioning attach the in-bucket
-    # doc_id rank (rn), its C-sized chunk, and the bucket's max chunk.
-    # Buckets with ≤ C members — all of them, on a deduplicated corpus —
-    # take the plain self-join on (band_id, band_val): both sides read
-    # the SAME window output, so the exchange is built once and reused
-    # (the minhash scan runs once, where the pre-r10 self-join computed
-    # it per side), and no new shuffle is added — the join reuses the
-    # bucket partitioning.  Oversized buckets fan out over (ca ≤ cb)
-    # chunk tiles: every pair lands in exactly one tile, every task
-    # emits ≤ C² pairs, and a B-doc bucket spreads over k(k+1)/2 tile
-    # keys (k = ⌈B/C⌉) per band instead of one.  rn is the in-bucket
-    # doc_id rank, so rn_a < rn_b ⟺ doc_a < doc_b.  The hot branch is
-    # EMPTY on normal corpora — its stages schedule nothing.
-    from pyspark.sql import Window
-
-    chunk_c = _BAND_CHUNK_C
-    w_rank = Window.partitionBy("band_key").orderBy("doc_id")
-    w_all = Window.partitionBy("band_key")
-    # one select, not chained withColumns: every DataFrame call re-runs
-    # analysis over the whole (wide-HOF) minhash tree — build time is a
-    # measurable slice of these sub-2s queries (r13: ~0.5 s of the
-    # candidate-pairs wall was driver-side plan building)
-    ranked = expl.select("*", F.row_number().over(w_rank).alias("rn"))
-    chunk_expr = F.expr(f"(rn - 1) DIV {chunk_c}")
-    sized = ranked.select(
-        "*",
-        chunk_expr.alias("chunk"),
-        F.max(chunk_expr).over(w_all).alias("kmax"),
-    )
-    small = sized.where(F.col("kmax") == 0)
-    cand_small = (
-        small.select("band_key", F.col("doc_id").alias("doc_a"))
-        .join(
-            small.select("band_key", F.col("doc_id").alias("doc_b")),
-            ["band_key"],
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    hot = sized.where(F.col("kmax") > 0)
-    a_rep = hot.select(
-        "band_key",
-        F.col("chunk").alias("ca"),
-        F.explode(F.sequence("chunk", "kmax")).alias("cb"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("rn").alias("rn_a"),
-    )
-    b_rep = hot.select(
-        "band_key",
-        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ca"),
-        F.col("chunk").alias("cb"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("rn").alias("rn_b"),
-    )
-    # Explicit fixed-count repartition on the tile key (fuzzy-join
-    # precedent): tile INPUTS are small, so AQE's byte-based coalesce
-    # would fold many tiles into one post-shuffle partition and
-    # re-serialize the pair explosion the tiling spreads out.  The join
-    # keys equal the repartition keys, so the join reuses this
-    # partitioning with no extra exchange.  Only hot-bucket rows pay it.
-    n_part = spark.sparkContext.defaultParallelism * 2
-    tile_keys = ["band_key", "ca", "cb"]
-    a_rep = a_rep.repartition(n_part, *tile_keys)
-    b_rep = b_rep.repartition(n_part, *tile_keys)
-    cand_hot = (
-        a_rep.join(b_rep, tile_keys)
-        .where(F.col("rn_a") < F.col("rn_b"))
-        .select("doc_a", "doc_b")
-    )
-    cand = cand_small.unionByName(cand_hot).dropDuplicates(["doc_a", "doc_b"])
-    # Re-attach the shingle sets HASHED to int64 (r12; see _hashed_set):
-    # these two doc_id-keyed joins are where the verify payload shuffles,
-    # and every downstream consumer only does set-cardinality arithmetic.
-    shh = spark.sql(_shh_sql())
-    return cand.join(
-        shh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-        "doc_a",
-    ).join(
-        shh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-        "doc_b",
+    return spark.sql(
+        f"WITH {_lsh_pair_ctes(spark)}\nSELECT doc_a, doc_b, sh_a, sh_b FROM attached"
     )
 
 
@@ -535,25 +545,29 @@ def _lsh_verified_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH band-join candidates that pass exact
     n-gram Jaccard >= threshold.  Slim band shuffle; see
-    dedup_minhash_candidates for the 100 TB plan-shape rationale."""
-    pairs = _lsh_candidate_pairs_with_shingles(spark, sf_dir)
-    # inter_sz is hoisted into one projected column for readability, but note
-    # Catalyst re-inlines it anyway: CollapseProject merges the projection and
-    # predicate-pushdown moves the threshold filter INTO the join condition
-    # (verified in the optimized plan), so the intersect is evaluated in the
-    # join predicate per candidate and once more when projecting survivors.
-    # That trade is correct — filtering inside the join materializes only
-    # passing pairs — and codegen-level subexpression elimination dedups the
-    # repeated subtree within the predicate itself; measured wall-clock is
-    # identical either way at sf0.1.
-    scored = pairs.withColumn(
-        "inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    )
-    jac = F.col("inter_sz") / (
-        F.size("sh_a") + F.size("sh_b") - F.col("inter_sz")
-    )
-    return scored.where(jac >= threshold).select(
-        "doc_a", "doc_b", jac.alias("jaccard")
+    dedup_minhash_candidates for the 100 TB plan-shape rationale.
+
+    inter_sz is hoisted into one projected column for readability, but note
+    Catalyst re-inlines it anyway: CollapseProject merges the projection and
+    predicate-pushdown moves the threshold filter INTO the join condition
+    (verified in the optimized plan), so the intersect is evaluated in the
+    join predicate per candidate and once more when projecting survivors.
+    That trade is correct — filtering inside the join materializes only
+    passing pairs — and codegen-level subexpression elimination dedups the
+    repeated subtree within the predicate itself."""
+    views(spark, sf_dir)  # registers the documents temp view
+    return spark.sql(
+        f"""WITH {_lsh_pair_ctes(spark)},
+scored AS (
+  SELECT doc_a, doc_b, sh_a, sh_b,
+         CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) AS inter_sz
+  FROM attached
+)
+SELECT doc_a, doc_b,
+       inter_sz / (size(sh_a) + size(sh_b) - inter_sz) AS jaccard
+FROM scored
+WHERE inter_sz / (size(sh_a) + size(sh_b) - inter_sz)
+      >= CAST({threshold!r} AS DOUBLE)"""
     )
 
 
