@@ -1046,7 +1046,17 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     the blocks be freed when the result is dropped — a .cache() here would
     pin executor storage until session end)."""
     global LAST_CC_ROUNDS
-    edges = edges.cache()
+    # Lazy localCheckpoint, not .cache() (r14): a cached plan is compiled
+    # with AQE's final-stage coalescing DISABLED
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false
+    # default), so the cached edge list kept the full shuffle-partition
+    # fan-out (32 tiny partitions at bench scale) and EVERY loop round
+    # inherited one scheduling wave of near-empty tasks per stage.  The
+    # checkpoint materializes the AQE-coalesced plan instead — partition
+    # count tracks data size at any scale — and, like the loop's label
+    # checkpoints, its blocks are freed when the DataFrame is dropped.
+    # Interleaved A/B on dedup_cluster_pipeline: 3.08 → 2.18 s min-of-5.
+    edges = edges.localCheckpoint(eager=False)
 
     # Fused round-0 (r13): the old loop initialized lbl(v) = v and spent
     # its whole first round discovering lbl(v) = least(v, min neighbor) —
@@ -1079,21 +1089,30 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     rounds = 0
     while True:
         rounds += 1
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        # Propagation as ONE aggregation (r14, VERDICT #2 / guide §2.4):
+        # the old form computed nbr_min = min neighbor label per src and
+        # then JOINED it back onto labels — a second node-keyed shuffle
+        # join every round, and the terminal (confirmation) round paid it
+        # just to prove nothing changed.  Instead, union the neighbor
+        # label contributions with the self rows and fold both the new
+        # label AND the old label out of a single groupBy on the same
+        # shuffle: mid_lbl = min over {self lbl} ∪ {neighbor lbls};
+        # old_lbl = the unique self row's lbl.  Every node appears in
+        # exactly one self row (labels is keyed by node), so old_lbl is
+        # exact and mid_lbl = least(old, min nbr) — identical to the
+        # joined form, with one join and one shuffle fewer per round.
+        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), "lbl", F.lit(False).alias("is_self")
         )
-        # Carry the pre-step label through the projection so the fixpoint
-        # check is a filter over the already-materialized step, not a second
-        # node-keyed join per iteration.
+        self_rows = labels.select("node", "lbl", F.lit(True).alias("is_self"))
         prop = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.col("lbl").alias("old_lbl"),
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("mid_lbl"),
+            nbr.unionByName(self_rows)
+            .groupBy("node")
+            .agg(
+                F.min("lbl").alias("mid_lbl"),
+                F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("old_lbl"),
             )
+            .select("node", "old_lbl", "mid_lbl")
             .localCheckpoint(eager=False)  # count materializes; halving re-reads
         )
         changed = prop.where(F.col("mid_lbl") != F.col("old_lbl")).count()
@@ -1123,7 +1142,6 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     LAST_CC_ROUNDS = rounds
-    edges.unpersist()
     return labels
 
 
