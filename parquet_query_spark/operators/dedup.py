@@ -834,7 +834,15 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # Hamming verify BEFORE the pair dedup (r14, guide §2.3): a pair's
+    # signatures are per-document constants, so every duplicate row of a
+    # multi-band match carries the identical hamming value and filtering
+    # first is output-identical — but it shrinks the dropDuplicates
+    # exchange by the verify selectivity (measured 4.5 MB → ~0.3 MB at
+    # sf0.1; Catalyst cannot push the filter itself because hamming is
+    # not a grouping key of the dedup aggregate).
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -847,13 +855,10 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    ham = F.expr("bit_count(sig_a ^ sig_b)")
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
+        .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
