@@ -797,6 +797,25 @@ def _km_update_rows(assign: DataFrame) -> list[tuple[int, list[float]]]:
 _KM_SMALL_N = 2000          # <= this many vectors: the fixed-K literal path
 _KM_TARGET_CLUSTER = 512    # adaptive regime: K grows so clusters stay ~this
 _KM_TWO_LEVEL_K = 1024      # >= this many centroids: pruned two-level assignment
+# Hard cap on the adaptive K (r14, VERDICT r13 #3): the centroid state is
+# driver-collected and broadcast, so it MUST be bounded independent of
+# corpus size.  Memory arithmetic at _DIM=64 float64: one centroid costs
+# (dim + 2) × 8 ≈ 528 B in the (cids, cmat, c2) broadcast plus ~at most
+# the same again for the two-level super-pack views, so K = 2^20 bounds
+# the broadcast at ~0.55 GB (≲ 1.1 GB with pack) — comfortably under the
+# driver/executor heap and Spark's 8 GB broadcast relation cap.  The cap
+# engages at n > _KM_MAX_K × _KM_TARGET_CLUSTER ≈ 5.4 × 10^8 vectors
+# (≈ 0.14 PB of raw 64-d float64 corpus); beyond it mean cluster size
+# grows as n / _KM_MAX_K and the within-cluster gram cost per cluster
+# grows quadratically — shard the corpus into ≤ ~5×10^8-vector k-means
+# domains (or distribute the refresh) past that point.  See BASELINE.md.
+_KM_MAX_K = 1 << 20
+
+
+def _km_k_eff(n: int) -> int:
+    """Adaptive cluster count for an n-vector corpus: clusters stay near
+    _KM_TARGET_CLUSTER members, bounded by the broadcast-memory cap."""
+    return min(max(_KM_K, -(-n // _KM_TARGET_CLUSTER)), _KM_MAX_K)
 
 
 def _km_super_pack(cmat, c2):
@@ -992,7 +1011,10 @@ def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-adaptive engine:
 
     * n <= _KM_SMALL_N: K = _KM_K literal centroids folded scan-side.
-    * n  > _KM_SMALL_N: K = max(_KM_K, ceil(n / _KM_TARGET_CLUSTER)) — the
+    * n  > _KM_SMALL_N: K = max(_KM_K, ceil(n / _KM_TARGET_CLUSTER)),
+      capped at _KM_MAX_K so the driver-collected/broadcast centroid
+      state stays bounded at any corpus size (see the cap's memory
+      arithmetic) — the
       SemDeDup regime (Abbas et al. 2023 scale K with the corpus so
       clusters stay bounded); with K fixed, within-cluster pair joins grow
       (n/K)^2 and the prune both explodes in cost and degenerates in
@@ -1006,7 +1028,7 @@ def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n <= _KM_SMALL_N:
         k_eff, assign_fn = _KM_K, _km_assign
     else:
-        k_eff = max(_KM_K, -(-n // _KM_TARGET_CLUSTER))
+        k_eff = _km_k_eff(n)  # capped — see _KM_MAX_K memory arithmetic
         assign_fn = lambda e, c: _km_assign_np(spark, e, c)  # noqa: E731
     init = sorted(
         (r.cid, list(r.c))
