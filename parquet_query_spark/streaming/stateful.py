@@ -128,17 +128,26 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
-    q = (
-        counts.writeStream.outputMode("complete")
-        .foreachBatch(write_epoch)
-        .option("checkpointLocation", ckpt)
-        .start()
+    from parquet_query_spark.streaming.streaming_ops import (
+        _record_num_batches,
+        _state_partitions,
     )
-    q.processAllAvailable()
-    from parquet_query_spark.streaming.streaming_ops import _record_num_batches
 
-    _record_num_batches(q)
-    q.stop()
+    # same adaptive state-partition sizing as _run_to_table (r14)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    try:
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        _record_num_batches(q)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(ckpt, ignore_errors=True)
     # read back the last epoch (idempotent overwrite semantics)
     import glob

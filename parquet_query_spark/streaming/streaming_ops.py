@@ -61,6 +61,13 @@ atexit.register(_cleanup_sink_dirs)
 LAST_DROPPED_LATE: dict[str, int] = {}
 
 
+# Source bytes of the most recent _file_stream build — the cardinality
+# proxy _state_partitions sizes streaming state partitioning from (set
+# here because only the source builder knows the path; every streaming
+# op reads exactly one file source before driving it).
+_LAST_SOURCE_BYTES: int = 0
+
+
 def _file_stream(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
     """``{sf_dir}/{filename}`` as a file-source stream.  The path may be a
     single parquet file (normal testdata layout) or a DIRECTORY of part
@@ -69,7 +76,19 @@ def _file_stream(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
     tests drive order-sensitive state across batch boundaries."""
     import os
 
+    global _LAST_SOURCE_BYTES
     path = f"{sf_dir}/{filename}"
+    try:
+        if os.path.isdir(path):
+            _LAST_SOURCE_BYTES = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            _LAST_SOURCE_BYTES = os.path.getsize(path)
+    except OSError:
+        _LAST_SOURCE_BYTES = 0
     batch = spark.read.parquet(path)  # schema only
     reader = spark.readStream.schema(batch.schema).format("parquet")
     for k, val in _STREAM_READ_OPTIONS.items():
@@ -77,6 +96,33 @@ def _file_stream(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
     if os.path.isdir(path):
         return reader.load(path)
     return reader.option("pathGlobFilter", filename).load(sf_dir)
+
+
+def _state_partitions(spark: SparkSession) -> int:
+    """Shuffle/state-store partition count for a streaming drive, sized
+    from the source bytes (r14, VERDICT r13 #5).
+
+    A streaming query freezes ``spark.sql.shuffle.partitions`` into its
+    checkpoint at first batch, and each state partition is a live state
+    store (under RocksDB: a native instance with real per-partition fixed
+    cost — the r12 key-cardinality rehearsal measured ~3× wall at the
+    512× tier when a flat 256 was used where the key count only needed
+    ~32).  One config therefore cannot serve the whole decade unless it
+    ADAPTS: size partitions at ~64 MB of source per state partition —
+    key cardinality is bounded by rows, and rows track bytes for a fixed
+    schema — clamped to [cores, 32×cores] so tiny corpora keep full
+    parallelism and huge ones stay within sane instance counts per box
+    (a cluster deployment scales the clamp with its core count).
+    ``SPARK_GRAFT_STREAM_STATE_PARTS`` overrides, for rehearsals pinning
+    a uniform config across tiers."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env:
+        return int(env)
+    cpus = spark.sparkContext.defaultParallelism
+    by_bytes = _LAST_SOURCE_BYTES // (64 << 20) + 1
+    return int(max(cpus, min(32 * cpus, by_bytes)))
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,33 +161,78 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
 
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    if os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files":
-        spark = result.sparkSession
-        schema = result.schema
-        out_dir = tempfile.mkdtemp(prefix=f"sink_{name}_")
-        # The temp view reads these files lazily, so the dir can't be
-        # deleted here — register it for removal at interpreter exit
-        # instead of leaking one parquet dir per invocation (ADVICE r12).
-        _SINK_DIRS.append(out_dir)
+    # Adaptive state partitioning (r14): the count is frozen into the new
+    # checkpoint at first batch, so set it just for this drive and restore
+    # after — batch queries in the same session keep the session setting.
+    session = result.sparkSession
+    prev_parts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(session)))
+    try:
+        if os.environ.get("SPARK_GRAFT_STREAM_SINK", "memory") == "files":
+            spark = session
+            schema = result.schema
+            out_dir = tempfile.mkdtemp(prefix=f"sink_{name}_")
+            # The temp view reads these files lazily, so the dir can't be
+            # deleted here — register it for removal at interpreter exit
+            # instead of leaking one parquet dir per invocation (ADVICE r12).
+            _SINK_DIRS.append(out_dir)
 
-        def _write_batch(batch_df, batch_id):
-            if mode == "complete":
-                # complete mode re-emits the full result every batch —
-                # whole-dir overwrite is naturally replay-idempotent
-                batch_df.write.mode("overwrite").parquet(out_dir)
-            else:
-                # update/append emissions are per-batch deltas: key each
-                # batch to its own batch=<id> partition dir and OVERWRITE
-                # it, so a checkpoint-recovery replay of a micro-batch
-                # rewrites its own output instead of appending duplicate
-                # rows (ADVICE r12 — foreachBatch idempotency contract).
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, f"batch={batch_id}")
+            def _write_batch(batch_df, batch_id):
+                if mode == "complete":
+                    # complete mode re-emits the full result every batch —
+                    # whole-dir overwrite is naturally replay-idempotent
+                    batch_df.write.mode("overwrite").parquet(out_dir)
+                else:
+                    # update/append emissions are per-batch deltas: key each
+                    # batch to its own pqs_sink_batch=<id> partition dir and
+                    # OVERWRITE it, so a checkpoint-recovery replay of a
+                    # micro-batch rewrites its own output instead of
+                    # appending duplicate rows (ADVICE r12 — foreachBatch
+                    # idempotency contract).  The dir key is deliberately
+                    # obscure so a result column can't collide with the
+                    # partition-discovery column (ADVICE r13; NOT a leading
+                    # underscore — Spark's path filter hides those dirs).
+                    batch_df.write.mode("overwrite").parquet(
+                        os.path.join(out_dir, f"pqs_sink_batch={batch_id}")
+                    )
+
+            q = (
+                result.writeStream.outputMode(mode)
+                .foreachBatch(_write_batch)
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            _record_num_batches(q)
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+            if not any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(out_dir)
+                for f in files
+            ):
+                # Empty-output fallback goes into its OWN partition dir in
+                # the per-batch modes: flat files mixed with
+                # pqs_sink_batch=<id> dirs (possible when a micro-batch
+                # wrote only _SUCCESS) would fail partition discovery with
+                # 'Conflicting directory structures' (ADVICE r13).
+                target = (
+                    out_dir
+                    if mode == "complete"
+                    else os.path.join(out_dir, "pqs_sink_batch=-1")
                 )
-
+                spark.createDataFrame([], schema).write.mode("overwrite").parquet(target)
+            # select() drops the pqs_sink_batch=<id> discovery column when
+            # present, so the view schema is identical in both modes (and
+            # to the memory sink, which the row-identity tests pin).
+            spark.read.parquet(out_dir).select(
+                *[f.name for f in schema.fields]
+            ).createOrReplaceTempView(name)
+            return name
         q = (
             result.writeStream.outputMode(mode)
-            .foreachBatch(_write_batch)
+            .format("memory")
             .queryName(name)
             .option("checkpointLocation", ckpt)
             .start()
@@ -150,31 +241,9 @@ def _run_to_table(result: DataFrame, name_prefix: str, mode: str = "complete") -
         _record_num_batches(q)
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-        if not any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(out_dir)
-            for f in files
-        ):
-            spark.createDataFrame([], schema).write.mode("overwrite").parquet(out_dir)
-        # select() drops the batch=<id> discovery column when present, so
-        # the view schema is identical in both modes (and to the memory
-        # sink, which the row-identity tests pin).
-        spark.read.parquet(out_dir).select(
-            *[f.name for f in schema.fields]
-        ).createOrReplaceTempView(name)
         return name
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    _record_num_batches(q)
-    q.stop()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return name
+    finally:
+        session.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _record_num_batches(q) -> None:
