@@ -389,7 +389,7 @@ class Engine:
                     raise
                 try:
                     self.spark.sql(f"ALTER TABLE `{tmp}` RENAME TO {q}")
-                except Exception:
+                except Exception as promote_err:
                     # promotion failed: restore the original, then (only
                     # if the target exists again) drop the staged copy —
                     # never delete the last surviving copy of the data
@@ -397,12 +397,37 @@ class Engine:
                         try:
                             self.spark.sql(f"ALTER TABLE `{bak}` RENAME TO {q}")
                         except Exception:
-                            pass  # original survives under `bak`
+                            # original survives only under the internal
+                            # backup name — say so, or the data looks lost
+                            # (ADVICE r13)
+                            if self.spark.catalog.tableExists(name):
+                                self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+                            raise RuntimeError(
+                                f"CREATE OR REPLACE promotion AND restore "
+                                f"both failed for table {name!r}; the "
+                                f"original data survives under backup "
+                                f"table `{bak}`"
+                            ) from promote_err
                     if self.spark.catalog.tableExists(name):
                         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
                     raise
                 if had_target:
-                    self.spark.sql(f"DROP TABLE IF EXISTS `{bak}`")
+                    # The swap has SUCCEEDED: a failure cleaning up the
+                    # backup must not surface as a CTAS error (ADVICE
+                    # r13) — log and continue; the backup is re-usable
+                    # disk, not correctness.
+                    try:
+                        self.spark.sql(f"DROP TABLE IF EXISTS `{bak}`")
+                    except Exception:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "CREATE OR REPLACE %s succeeded but dropping "
+                            "backup table `%s` failed; it can be dropped "
+                            "manually",
+                            name,
+                            bak,
+                        )
             elif m_ctas.group(2):
                 df.write.mode("ignore").saveAsTable(name)
             else:

@@ -464,6 +464,19 @@ def _assign_cells_scanside(emb: DataFrame, cent_rows) -> DataFrame:
     # yields NULL instead of throwing and the coalesce pins nsim to +1
     # (cosine -1), restoring the nulls-lose semantics (ADVICE r12);
     # non-degenerate inputs are arithmetically untouched.
+    #
+    # Zero-norm DOCUMENT corner (ADVICE r13, adjudicated r14): when ev
+    # itself has zero norm, EVERY centroid's cosine is undefined, all
+    # nsim coalesce to the same sentinel, and the lowest cid wins the
+    # tie — including a degenerate centroid if it has the lowest cid.
+    # That is deliberate: with a degenerate document no argmax is more
+    # "right" than another, the lowest-label tie-break is exactly what
+    # the replaced window form produced for an all-NULL sim column
+    # (row_number over (sim DESC NULLS LAST, label) degenerates to label
+    # order), and swapping in a worse-than-any-real sentinel + max-cid
+    # tie-break would silently diverge from the window form and the
+    # oracle's rank semantics.  Pinned in
+    # tests/test_round14_advice.py::test_zero_norm_document_assigns_lowest_label.
     best = F.expr(
         """
         array_sort(transform(_cents, ct -> named_struct(

@@ -1,10 +1,50 @@
-"""Round-14 optimization pins (VERDICT r13 follow-ups)."""
+"""Round-14 optimization pins (VERDICT r13 follow-ups + ADVICE r13)."""
 
 import pytest
 
 from parquet_query_spark.operators.catalog import CATALOG, load_all
 
 load_all()
+
+
+@pytest.fixture(scope="module")
+def engine(sf_dir):
+    from parquet_query_spark.engine import Engine
+
+    return Engine.open(sf_dir, table_name="alldata")
+
+
+def test_ctas_backup_drop_failure_does_not_fail_the_swap(engine, monkeypatch):
+    """ADVICE r13: once the OR REPLACE promotion has succeeded, a failure
+    dropping the internal backup table must not surface as a CTAS error
+    — the swap is done; the backup is leftover disk."""
+    n = "__r14_bakdrop"
+    engine.exec(f"DROP TABLE IF EXISTS {n}")
+    engine.sql(f"CREATE TABLE {n} AS SELECT 1 AS x")
+    spark = engine.spark
+    real_sql = spark.sql
+    fails = {"left": 1}
+
+    def flaky(stmt, *a, **kw):
+        if (
+            isinstance(stmt, str)
+            and stmt.startswith("DROP TABLE IF EXISTS `__ctas_swap")
+            and stmt.rstrip().endswith("_bak`")
+            and fails["left"] > 0
+        ):
+            fails["left"] -= 1
+            raise RuntimeError("injected drop hiccup")
+        return real_sql(stmt, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", flaky)
+    engine.sql(f"CREATE OR REPLACE TABLE {n} AS SELECT 2 AS x")  # must not raise
+    monkeypatch.undo()
+    assert [r[0] for r in engine.sql(f"SELECT x FROM {n}").collect()] == [2]
+    # the backup leaked by the injected failure is discoverable + droppable
+    leftovers = [t.name for t in spark.catalog.listTables() if "__ctas_swap" in t.name]
+    for t in leftovers:
+        real_sql(f"DROP TABLE IF EXISTS `{t}`")
+    engine.exec(f"DROP TABLE {n}")
 
 
 SF001 = "/root/testdata/sf0.001"
@@ -68,6 +108,27 @@ def test_files_sink_empty_fallback_coexists_with_batch_dirs(spark, tmp_path, mon
     # the partition column, as _run_to_table does
     got = spark.read.parquet(out_dir).select("k")
     assert got.collect() == []
+
+
+def test_zero_norm_document_assigns_lowest_label(spark):
+    """ADVICE r13, adjudicated: a zero-norm DOCUMENT has undefined cosine
+    against every centroid, so the assignment degenerates to the lowest
+    label — the same output the replaced window form (sim DESC NULLS
+    LAST, label) produced for an all-NULL sim column.  Non-degenerate
+    documents keep nulls-lose vs degenerate centroids."""
+    from parquet_query_spark.operators.similarity import _assign_cells_scanside
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, ev array<double>"
+    )
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]  # cid 0 degenerate
+    got = {
+        r.vec_id: r.c_label
+        for r in _assign_cells_scanside(emb, cents).select("vec_id", "c_label").collect()
+    }
+    # doc 1 is degenerate: every centroid ties, lowest cid (0) wins;
+    # doc 2 is normal: the degenerate centroid loses as before
+    assert got == {1: 0, 2: 2}
 
 
 def test_km_cap_engages_and_pipeline_still_runs(spark, monkeypatch):
